@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship biometric-alert pipeline on
+sf0.001; ``queries()``/``oracle_sql()`` enumerate every implemented
+operator from SURVEY.md §2 with DuckDB-checkable SQL twins.
 """
 
 from __future__ import annotations
@@ -13,26 +11,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from biometric_stream_processing_spark.plans import biometric
+from biometric_stream_processing_spark.session import tune_session
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full biometric alert pipeline (union → sliding
+    windows → existential flags → filter → throttle) on sf0.001."""
+    tune_session(spark)
+    return biometric.alerts_throttled(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+        return run
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q["biometric_union"] = _wrap(biometric.biometric_union)
+    q["alert_windows"] = _wrap(biometric.alert_windows)
+    q["alerts_throttled"] = _wrap(biometric.alerts_throttled)
+    q["alerts_leading_debounce"] = _wrap(biometric.alerts_leading_debounce)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(biometric.ORACLE)
+    return o

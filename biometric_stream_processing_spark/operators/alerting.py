@@ -1,0 +1,91 @@
+"""The biometric alert pipeline, batch form (SURVEY §2 F1, A1, J4, P8).
+
+Logical query (canonical across all four reference implementations,
+`README.md:7-13`): per user and sliding window, alert iff some blood-
+pressure event has systolic < 100 AND some heart-rate event has
+heart_rate > 100 (`BiometricAlertStreamProcessor.scala:58-62`).
+
+Plan shape: the Akka **union-then-aggregate** strategy
+(`AkkaBiometricAlertStreamProcessor.scala:156-161` Merge + groupBy) —
+union the typed streams with a discriminator, explode sliding windows,
+group by (window, user), aggregate existence FLAGS (not event lists:
+``max(when(...))`` keeps per-group state O(1) instead of the
+reference's list-concat reducer `Spark.scala:25-27`), filter both
+flags. The grouped aggregation gets a map-side partial combine, so the
+shuffle moves at most one boolean pair per (window,user,input
+partition) — this is what survives 100 TB, where collect_list would
+OOM the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import with_sliding_windows
+
+# Alert thresholds — BiometricAlertStreamProcessor.scala:58-62.
+HR_THRESHOLD = 100   # heart_rate > 100
+BP_THRESHOLD = 100   # systolic < 100
+
+
+def union_streams(hr: DataFrame, bp: DataFrame) -> DataFrame:
+    """J4 (`Akka...scala:156-161`): merge typed streams into one Event
+    stream with an ``event_type`` discriminator. Columns missing on
+    either side become NULL (the sealed-trait union of
+    `Akka...scala:23-28` as a single nullable schema)."""
+    return hr.withColumn("event_type", F.lit("hr")).unionByName(
+        bp.withColumn("event_type", F.lit("bp")), allowMissingColumns=True
+    )
+
+
+def alert_flags(is_hr_qualifying: Column, is_bp_qualifying: Column) -> list[Column]:
+    """A1 flag aggregation: existential predicates as boolean MAX."""
+    return [
+        F.max(is_hr_qualifying.cast("int")).alias("has_high_hr"),
+        F.max(is_bp_qualifying.cast("int")).alias("has_low_bp"),
+    ]
+
+
+def qualifying_windows(
+    events: DataFrame,
+    is_hr: Column,
+    is_bp: Column,
+    hr_reading: Column,
+    bp_reading: Column,
+    length_s: int,
+    slide_s: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(window_start, user_id) pairs where the alert condition holds.
+
+    ``is_hr``/``is_bp`` discriminate the two logical streams inside a
+    unioned frame; ``hr_reading``/``bp_reading`` are the vital-sign
+    values (F7 `Akka...scala:125-126` type-discriminator predicates →
+    column predicates). Output: ``wstart`` BIGINT epoch seconds,
+    ``user_id``.
+    """
+    qual_hr = is_hr & (hr_reading > HR_THRESHOLD)
+    qual_bp = is_bp & (bp_reading < BP_THRESHOLD)
+    relevant = events.where(qual_hr | qual_bp).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        qual_hr.alias("is_hr_q"),
+        qual_bp.alias("is_bp_q"),
+    )
+    exploded = with_sliding_windows(relevant, "ts", length_s, slide_s)
+    return (
+        exploded.groupBy("wstart", "user_id")
+        .agg(*alert_flags(F.col("is_hr_q"), F.col("is_bp_q")))
+        .where((F.col("has_high_hr") == 1) & (F.col("has_low_bp") == 1))
+        .select("wstart", "user_id")
+    )
+
+
+def format_alert(df: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """P8 (`BiometricAlertStreamProcessor.scala:63-65`): alert message
+    projection ``"User {id} has a problem"``."""
+    return df.withColumn(
+        "message", F.format_string("User %d has a problem", F.col(user_col))
+    )

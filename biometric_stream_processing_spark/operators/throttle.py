@@ -1,0 +1,81 @@
+"""Alert-episode throttling (SURVEY §2.7 T1-T5, the "hard 20%").
+
+Canonical semantics (reconciling `BiometricAlertStreamProcessor
+.scala:67-85` updateStateByKey, `AkkaBiometricAlertStreamProcessor
+.scala:129-151` statefulMapConcat debounce, `KafkaBiometricAlert
+StreamProcessor.scala:65-104` Transformer+KeyValueStore, and Beam's
+session+debounce `README.md:448-466`): per user, suppress qualifying
+results that follow a previous one within the cooldown; emit the first
+of each episode.
+
+Two batch twins, both distributed (no driver-side loops):
+
+* ``throttle_gap`` — gaps-and-islands: a new episode starts when the
+  gap since the PREVIOUS QUALIFYING result exceeds the cooldown
+  (trailing debounce; exactly Beam's session semantics with
+  gap=cooldown, `README.md:450`). Pure ``lag()`` → SQL-oracle-exact.
+* ``throttle_leading`` — strict leading-edge debounce: suppress until
+  cooldown has elapsed since the LAST EMITTED alert
+  (`Akka...scala:138-146` semantics). This is a per-key sequential
+  scan, not expressible with fixed-depth window functions; implemented
+  as an Arrow-batched ``applyInPandas`` per user. Keys are independent
+  → scales horizontally; per-key history is bounded by qualifying
+  results, not raw events.
+
+The streaming twin (transformWithStateInPandas with per-user state +
+timers) lives in ``streaming/state.py``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def throttle_gap(
+    df: DataFrame, ts_col: str, cooldown_s: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows whose gap from the previous row (per key, by ``ts_col``,
+    epoch-second BIGINT or castable) exceeds ``cooldown_s`` — plus each
+    key's first row. One shuffle on the key; oracle: ``lag() OVER``."""
+    keys = partition_cols or ["user_id"]
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .where(F.col("_prev").isNull() | (F.col(ts_col) - F.col("_prev") > cooldown_s))
+        .drop("_prev")
+    )
+
+
+def throttle_leading(
+    df: DataFrame, ts_col: str, cooldown_s: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Strict leading-edge debounce (T2/T3 semantics): emit a row iff
+    ``ts - last_emitted_ts > cooldown`` per key; the first row of a key
+    always emits and re-arms the clock (`Akka...scala:138-146`).
+
+    Sequential per key ⇒ ``applyInPandas`` (Arrow-batched); the group
+    is one user's QUALIFYING alerts only, which is tiny relative to raw
+    events, so per-group memory is bounded.
+    """
+    keys = partition_cols or ["user_id"]
+    out_schema = df.schema
+
+    def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy()
+        keep = []
+        last = None
+        for t in ts:
+            if last is None or t - last > cooldown_s:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(*keys).applyInPandas(_debounce, schema=out_schema)

@@ -1,0 +1,88 @@
+"""Event-time windowing operators (SURVEY §2.6, W1-W8).
+
+The reference implements sliding-window assignment by hand
+(`AkkaBiometricAlertStreamProcessor.scala:44-56`: an event with
+timestamp ``ts`` belongs to the ``length/step`` windows ending at or
+after it) and window lifecycle/watermarking as explicit stateful code
+(`Akka...scala:58-98`). In Spark both are engine-native: ``F.window``
+expands exactly the same assignment inside ``TimeWindowing`` and the
+watermark machinery closes state. These helpers standardize on
+**epoch-second BIGINT window starts** in batch outputs so results are
+timezone-proof and hash-comparable with any SQL oracle.
+
+Scale: window expansion multiplies rows by length/step BEFORE the
+grouped aggregation's map-side partial combine — state per (window,
+user) is O(flags), not O(events), because we aggregate to booleans
+instead of the reference's list-concat (`Spark.scala:25-27`), its main
+scalability flaw (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """Timestamp → epoch seconds (floor), BIGINT. Matches DuckDB's
+    ``epoch_us(ts)//1000000`` for non-negative instants."""
+    return F.unix_timestamp(ts)
+
+
+def sliding_window_start(ts: Column, length_s: int, slide_s: int) -> Column:
+    """All sliding-window starts containing ``ts``, as an ARRAY<BIGINT>
+    of epoch seconds — the explicit form of the assignment algebra at
+    `AkkaBiometricAlertStreamProcessor.scala:44-56`.
+
+    Explode the result to get one row per (window, event). Windows are
+    aligned to the epoch, ``length_s/slide_s`` windows per event —
+    identical to ``F.window(ts, length, slide)`` for integer-second
+    boundaries.
+    """
+    if length_s % slide_s != 0:
+        raise ValueError("length must be a multiple of slide")
+    n = length_s // slide_s
+    last = (epoch_seconds(ts) / slide_s).cast("long") * slide_s
+    return F.sequence(last - (n - 1) * slide_s, last, F.lit(slide_s))
+
+
+def with_sliding_windows(
+    df: DataFrame, ts_col: str, length_s: int, slide_s: int,
+    out_col: str = "wstart",
+) -> DataFrame:
+    """Explode each row into its sliding windows (epoch-second starts)."""
+    return df.withColumn(
+        out_col, F.explode(sliding_window_start(F.col(ts_col), length_s, slide_s))
+    )
+
+
+def tumbling_window_start(ts: Column, length_s: int) -> Column:
+    """Tumbling window start (epoch seconds) — degenerate slide==length."""
+    return (epoch_seconds(ts) / length_s).cast("long") * length_s
+
+
+def with_session_windows(
+    df: DataFrame, ts_col: str, gap_s: int, partition_cols: list[str],
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization (W7, `README.md:448-452` Beam
+    ``Sessions.withGapDuration``) via gaps-and-islands: a new session
+    starts when the gap from the previous event (per key) exceeds
+    ``gap_s``. ``out_col`` is the session's ordinal per key (1-based);
+    streaming uses native ``F.session_window`` instead
+    (streaming/pipeline.py).
+
+    Scale: one shuffle on the partition keys; both window functions
+    share the same (key, ts) sort order so Catalyst evaluates them in a
+    single Window physical operator.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*partition_cols).orderBy(ts_col)
+    es = epoch_seconds(F.col(ts_col))
+    prev = F.lag(es).over(w)
+    new_session = (prev.isNull() | ((es - prev) > gap_s)).cast("int")
+    return df.withColumn("_new_s", new_session).withColumn(
+        out_col, F.sum("_new_s").over(
+            w.rowsBetween(W.unboundedPreceding, 0))
+    ).drop("_new_s")

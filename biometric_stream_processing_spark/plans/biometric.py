@@ -1,0 +1,147 @@
+"""Batch plans mapping the biometric pipeline onto the driver's
+``events`` table (FIXTURES.md §1.3 mapping): ``event_type='error'``
+with ``value > 100`` plays the high-heart-rate stream and
+``event_type='view'`` with ``value < 100`` the low-systolic stream.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+columns are BIGINT/STRING only (epoch seconds, not timestamps) so the
+DuckDB oracle hash-matches regardless of timezone or timestamp
+precision.
+
+Demo constants scaled to the test data's ~1-month span: window 1 h
+sliding by 15 min (reference demo 5 s/1 s, prose 60 min/1 min —
+`BiometricAlertStreamProcessor.scala:56`, `README.md:75`), cooldown
+2 h (`README.md:140` uses 60 min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.alerting import format_alert, qualifying_windows, union_streams
+from ..operators.throttle import throttle_gap, throttle_leading
+from ..operators.windows import epoch_seconds
+from ..sources.readers import load_table
+
+WINDOW_S = 14400      # 4 h sliding window …
+SLIDE_S = 3600        # … every 1 h
+COOLDOWN_S = 21600    # 6 h alert episode cooldown
+
+HR_TYPE = "error"     # events slice standing in for heart-rate stream
+BP_TYPE = "view"      # events slice standing in for blood-pressure stream
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def hr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heart-rate slice (P5 keying is just a column here)."""
+    ev = _events(spark, sf_dir)
+    return ev.where(F.col("event_type") == HR_TYPE).select(
+        "user_id", "ts", F.col("value").alias("heart_rate")
+    )
+
+
+def bp_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.where(F.col("event_type") == BP_TYPE).select(
+        "user_id", "ts", F.col("value").alias("systolic")
+    )
+
+
+def biometric_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 union with discriminator, projected to a hash-stable shape."""
+    uni = union_streams(hr_stream(spark, sf_dir), bp_stream(spark, sf_dir))
+    return uni.select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("es"),
+        "event_type",
+        F.round(F.coalesce("heart_rate", F.lit(-1.0)), 2).alias("heart_rate"),
+        F.round(F.coalesce("systolic", F.lit(-1.0)), 2).alias("systolic"),
+    )
+
+
+def _qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return qualifying_windows(
+        ev,
+        is_hr=F.col("event_type") == HR_TYPE,
+        is_bp=F.col("event_type") == BP_TYPE,
+        hr_reading=F.col("value"),
+        bp_reading=F.col("value"),
+        length_s=WINDOW_S,
+        slide_s=SLIDE_S,
+    )
+
+
+def alert_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-throttle qualifying (window,user) pairs — the output of the
+    reference's filter stage (`Spark.scala:58-62`) before dedup."""
+    return _qualifying(spark, sf_dir).orderBy("wstart", "user_id")
+
+
+def alerts_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full pipeline incl. episode dedup (T1-T5, trailing-gap
+    batch twin). Output (user_id, alert_epoch, message)."""
+    qual = _qualifying(spark, sf_dir)
+    deduped = throttle_gap(qual, "wstart", COOLDOWN_S, ["user_id"])
+    return format_alert(deduped).select(
+        "user_id", F.col("wstart").alias("alert_epoch"), "message"
+    )
+
+
+def alerts_leading_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict leading-edge debounce twin (T2/T3 exact semantics) via
+    applyInPandas — same output shape as ``alerts_throttled``."""
+    qual = _qualifying(spark, sf_dir)
+    deduped = throttle_leading(qual, "wstart", COOLDOWN_S, ["user_id"])
+    return format_alert(deduped).select(
+        "user_id", F.col("wstart").alias("alert_epoch"), "message"
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_PIPE_CTE = f"""
+WITH uni AS (
+  SELECT user_id, epoch_us(ts)//1000000 AS es,
+         CASE WHEN event_type = '{HR_TYPE}' AND value > 100 THEN 1 ELSE 0 END AS hr_q,
+         CASE WHEN event_type = '{BP_TYPE}' AND value < 100 THEN 1 ELSE 0 END AS bp_q
+  FROM events
+  WHERE (event_type = '{HR_TYPE}' AND value > 100)
+     OR (event_type = '{BP_TYPE}' AND value < 100)
+),
+wins AS (
+  SELECT user_id, (es // {SLIDE_S}) * {SLIDE_S} - {SLIDE_S} * k.k AS wstart, hr_q, bp_q
+  FROM uni CROSS JOIN (SELECT unnest(range(0, {WINDOW_S // SLIDE_S})) AS k) AS k
+),
+qual AS (
+  SELECT wstart, user_id
+  FROM wins
+  GROUP BY wstart, user_id
+  HAVING max(hr_q) = 1 AND max(bp_q) = 1
+)
+"""
+
+ORACLE = {
+    "biometric_union": f"""
+        SELECT user_id, epoch_us(ts)//1000000 AS es,
+               CASE WHEN event_type = '{HR_TYPE}' THEN 'hr' ELSE 'bp' END AS event_type,
+               round(CASE WHEN event_type = '{HR_TYPE}' THEN value ELSE -1.0 END, 2) AS heart_rate,
+               round(CASE WHEN event_type = '{BP_TYPE}' THEN value ELSE -1.0 END, 2) AS systolic
+        FROM events WHERE event_type IN ('{HR_TYPE}', '{BP_TYPE}')
+    """,
+    "alert_windows": _PIPE_CTE + "SELECT wstart, user_id FROM qual ORDER BY wstart, user_id",
+    "alerts_throttled": _PIPE_CTE + f""",
+        gaps AS (
+          SELECT user_id, wstart,
+                 lag(wstart) OVER (PARTITION BY user_id ORDER BY wstart) AS prev
+          FROM qual
+        )
+        SELECT user_id, wstart AS alert_epoch,
+               printf('User %d has a problem', user_id) AS message
+        FROM gaps WHERE prev IS NULL OR wstart - prev > {COOLDOWN_S}
+    """,
+}

@@ -1,0 +1,61 @@
+"""Typed event schemas — the engine's data model.
+
+Mirrors the reference's code-declared case classes
+(`BiometricAlertStreamProcessor.scala:29-30` and the event-time
+variants at `AkkaBiometricAlertStreamProcessor.scala:23-28`): fixed
+schemas, snake_case JSON wire keys, unknown fields ignored. In Spark
+these are explicit ``StructType``s used with ``from_json`` — schema
+projection drops unknown keys, matching Jackson's
+``FAIL_ON_UNKNOWN_PROPERTIES=false`` (`JsonSerde.scala:11,33`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# HeartRateEvent — BiometricAlertStreamProcessor.scala:29 (+ event-time
+# `timestamp: Long` epoch-millis at AkkaBiometricAlertStreamProcessor.scala:27).
+HEART_RATE_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("heart_rate", T.IntegerType()),
+    T.StructField("timestamp", T.LongType()),  # epoch millis; nullable
+])
+
+# BloodPressureEvent — BiometricAlertStreamProcessor.scala:30 /
+# AkkaBiometricAlertStreamProcessor.scala:28.
+BLOOD_PRESSURE_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("systolic", T.IntegerType()),
+    T.StructField("diastolic", T.IntegerType()),
+    T.StructField("timestamp", T.LongType()),
+])
+
+# Unioned Event stream (sealed trait at AkkaBiometricAlertStreamProcessor
+# .scala:23-26 → single schema + discriminator, the Akka Merge shape J4).
+BIOMETRIC_EVENT_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),  # 'hr' | 'bp'
+    T.StructField("heart_rate", T.IntegerType()),
+    T.StructField("systolic", T.IntegerType()),
+    T.StructField("diastolic", T.IntegerType()),
+])
+
+# Alert output — (userId, message) at BiometricAlertStreamProcessor
+# .scala:64 plus event-time (Beam Alert README.md:433-436).
+ALERT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("alert_ts", T.TimestampType()),
+    T.StructField("message", T.StringType()),
+])
+
+# Driver test-table `events` (TESTDATA.md): generic event stream the
+# batch surface maps the biometric semantics onto (FIXTURES.md §1.3).
+EVENTS_TABLE_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engines each hand-configure their runtime
+(`BiometricAlertStreamProcessor.scala:32-36` SparkConf local[2] + 1s
+batches; `KafkaBiometricAlertStreamProcessor.scala:17-23` streams
+config). Our single equivalent is a tuned SparkSession: AQE on for
+runtime re-planning (skew joins, partition coalescing), shuffle
+partitions sized to cores locally (a cluster deployment would raise
+this to ~2-3x total cores), Arrow enabled for any Pandas-UDF path,
+and session timezone pinned to UTC so event-time arithmetic is
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Event-time arithmetic must not depend on machine TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for the (rare) Pandas-UDF/applyInPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) deterministically.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Broadcast generously: all dim tables here are tiny; at 100 TB the
+    # dims (region/nation/part/supplier) still fit well under 1 GiB.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "biometric_stream_processing_spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, falling
+    back to all cores) so bench and tests share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-created session
+    (e.g. the driver's) — only the ones safe to flip post-start."""
+    for k, v in DEFAULT_CONFS.items():
+        if k.startswith(("spark.sql.adaptive", "spark.sql.session",
+                         "spark.sql.shuffle", "spark.sql.autoBroadcast",
+                         "spark.sql.execution.arrow")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # conf locked by the host session; keep going
+    return spark

@@ -1,0 +1,65 @@
+"""Table readers over the driver's parquet test data.
+
+The reference ingests JSON strings from in-memory queues / Kafka topics
+(`BiometricAlertStreamProcessor.scala:37-41`,
+`KafkaBiometricAlertStreamProcessor.scala:29-30`); our batch surface
+reads the driver's parquet star schema and the streaming surface reads
+the same schemas via ``readStream`` (see ``streaming/``).
+
+Scale note: ``spark.read.parquet`` gives Catalyst predicate pushdown,
+column pruning and partition pruning for free — on a 100 TB dataset the
+scan only materializes the referenced columns and row groups. Nothing
+here ever collects to the driver.
+
+The driver's ``events.parquet`` stores ``ts`` as parquet
+TIMESTAMP(NANOS), which Spark 4 refuses by default; we flip
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a proper
+microsecond TimestampType column with integer division (``div`` — going
+through DOUBLE would lose nanosecond-magnitude precision: 1.7e18 does
+not fit in a 53-bit mantissa). DuckDB truncates the same ns values to
+microseconds, so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _enable_nanos(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set or locked; the read below will surface issues
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table, normalizing timestamp columns.
+
+    ``events.ts`` arrives as nanos-long → converted to TimestampType
+    (microsecond precision, matching DuckDB's truncation).
+    """
+    _enable_nanos(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

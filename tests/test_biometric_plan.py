@@ -1,0 +1,123 @@
+"""Slice-0 tests: flagship pipeline on the driver's events table plus
+FIXTURES.md golden fixtures replayed through the batch operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.alerting import (
+    qualifying_windows,
+)
+from biometric_stream_processing_spark.operators.throttle import (
+    throttle_gap,
+    throttle_leading,
+)
+from biometric_stream_processing_spark.plans import biometric
+from tests.conftest import SF_DIR
+
+T0 = datetime(2024, 1, 1)
+
+
+def _fixture_df(spark, rows):
+    """rows: (offset_s, kind, user_id, reading). kind 'hr'→heart_rate,
+    'bp'→systolic; mirrors FIXTURES.md §3 fixture tables."""
+    data = [
+        (T0 + timedelta(seconds=off), kind, uid, float(reading))
+        for off, kind, uid, reading in rows
+    ]
+    return spark.createDataFrame(
+        data, "ts timestamp, event_type string, user_id long, value double"
+    )
+
+
+def _alerts(spark, rows, length_s, slide_s, cooldown_s, leading=True):
+    df = _fixture_df(spark, rows)
+    qual = qualifying_windows(
+        df,
+        is_hr=F.col("event_type") == "hr",
+        is_bp=F.col("event_type") == "bp",
+        hr_reading=F.col("value"),
+        bp_reading=F.col("value"),
+        length_s=length_s,
+        slide_s=slide_s,
+    )
+    throttle = throttle_leading if leading else throttle_gap
+    out = throttle(qual, "wstart", cooldown_s, ["user_id"])
+    return sorted((r.user_id, r.wstart) for r in out.collect())
+
+
+def test_fixture_a_spark_demo(spark):
+    """F-A: only user 12346 alerts, exactly once (README.md:116,133-159);
+    12345's systolic=120 fails the predicate despite hr=200."""
+    rows = [
+        (0, "bp", 12345, 120),
+        (0, "bp", 12346, 80),
+        (2, "hr", 12345, 200),
+        (2, "hr", 12345, 200),
+        (2, "hr", 12346, 101),
+    ]
+    alerts = _alerts(spark, rows, length_s=5, slide_s=1, cooldown_s=5)
+    assert [u for u, _ in alerts] == [12346]
+
+
+def test_fixture_b_akka_demo(spark):
+    rows = [
+        (0, "bp", 12345, 120),
+        (0, "bp", 12346, 80),
+        (2, "hr", 12345, 200),
+        (2, "hr", 12345, 200),
+        (2, "hr", 12346, 101),
+        (4, "hr", 12345, 200),
+        (6, "hr", 12345, 200),
+    ]
+    alerts = _alerts(spark, rows, length_s=10, slide_s=1, cooldown_s=15)
+    assert [u for u, _ in alerts] == [12346]
+
+
+def test_fixture_d_window_boundary_straddle(spark):
+    """F-D: bp just before a tumbling boundary, hr just after — sliding
+    windows must still alert (W9, README.md:93-100)."""
+    # boundary at 100 s for length 10: bp at 95, hr at 104 — no single
+    # tumbling window holds both, but sliding (10 s, slide 1 s) does.
+    rows = [(95, "bp", 777, 85), (104, "hr", 777, 150)]
+    sliding = _alerts(spark, rows, length_s=10, slide_s=1, cooldown_s=1000)
+    assert [u for u, _ in sliding] == [777]
+    tumbling = _alerts(spark, rows, length_s=10, slide_s=10, cooldown_s=1000)
+    assert tumbling == []
+
+
+def test_fixture_f_cooldown_rearm(spark):
+    """F-F: same qualifying pair at t=0 and t=C+L+1 → two episodes; at
+    t=C/2 → suppressed."""
+    L, S, C = 10, 1, 30
+    far = [
+        (0, "bp", 999, 85), (0, "hr", 999, 150),
+        (C + L + 1, "bp", 999, 85), (C + L + 1, "hr", 999, 150),
+    ]
+    assert len(_alerts(spark, far, L, S, C)) == 2
+    near = [
+        (0, "bp", 999, 85), (0, "hr", 999, 150),
+        (C // 2, "bp", 999, 85), (C // 2, "hr", 999, 150),
+    ]
+    assert len(_alerts(spark, near, L, S, C)) == 1
+
+
+def test_leading_vs_gap_throttle_divergence(spark):
+    """Continuous qualifying results: trailing-gap merges into one
+    episode, leading-edge re-emits every cooldown (T2 nuance)."""
+    rows = []
+    for t in range(0, 100, 5):  # qualifying pair every 5 s
+        rows += [(t, "bp", 5, 85), (t, "hr", 5, 150)]
+    lead = _alerts(spark, rows, length_s=5, slide_s=5, cooldown_s=20)
+    gap = _alerts(spark, rows, length_s=5, slide_s=5, cooldown_s=20, leading=False)
+    assert len(gap) == 1          # gaps never exceed cooldown
+    assert len(lead) == 4         # re-arms at 0,25,50,75
+
+def test_flagship_on_testdata(spark):
+    out = biometric.alerts_throttled(spark, SF_DIR)
+    rows = out.collect()
+    assert set(out.columns) == {"user_id", "alert_epoch", "message"}
+    for r in rows:
+        assert r.message == f"User {r.user_id} has a problem"
