@@ -1,0 +1,49 @@
+"""JSON ingestion/serialization (SURVEY §2.2 P1-P4).
+
+The reference parses JSON lines into typed events with Jackson
+(`BiometricAlertStreamProcessor.scala:17-23`, `JsonSerde.scala:8-48`):
+snake_case keys, unknown fields silently ignored, malformed input
+throws. Spark equivalents: ``from_json`` with an explicit schema
+(projection drops unknown keys — matching
+``FAIL_ON_UNKNOWN_PROPERTIES=false``) and ``to_json(struct(...))``.
+
+Both run JVM-side inside whole-stage codegen — no Python on the parse
+path, which at 100 TB is the difference between a scan-bound and a
+serde-bound pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_json(col: Column, schema: T.StructType | str,
+               strict: bool = False) -> Column:
+    """P1/P2: JSON string → typed struct.
+
+    ``strict=True`` matches the reference's throw-on-malformed
+    behavior (`JsonSerde.scala:24-26`) via FAILFAST; the default
+    PERMISSIVE mode yields NULL fields instead (documented divergence,
+    strictly more forgiving).
+    """
+    opts = {"mode": "FAILFAST"} if strict else {}
+    return F.from_json(col, schema, opts)
+
+
+def parse_events(df: DataFrame, json_col: str, schema: T.StructType | str,
+                 strict: bool = False) -> DataFrame:
+    """Parse a JSON-string column and flatten its fields alongside the
+    original columns (minus the raw JSON)."""
+    return (
+        df.withColumn("_j", parse_json(F.col(json_col), schema, strict))
+        .select(*[c for c in df.columns if c != json_col], "_j.*")
+    )
+
+
+def serialize_json(*cols: str | Column) -> Column:
+    """P3: typed fields → compact JSON string (`JsonSerde.scala:40-47`).
+    Spark's ``to_json`` emits no whitespace — byte-identical to DuckDB's
+    ``to_json(struct_pack(...))`` for the same field order."""
+    return F.to_json(F.struct(*cols))

@@ -1,0 +1,79 @@
+"""Join operators (SURVEY §2.4 J1-J4).
+
+The reference's three join strategies for one logical query:
+per-batch keyed full outer join (`BiometricAlertStreamProcessor
+.scala:46-49`), windowed interval join (`KafkaBiometricAlertStream
+Processor.scala:42-51`, ``JoinWindows.of(15s)``), and co-group
+(`README.md:416-421`). Batch equivalents below; Catalyst provides the
+standard equi/semi/anti/broadcast family natively.
+
+Scale notes are per-function; the interval join is the one that needs
+real engineering — a naive time-range theta-join degenerates to a
+per-key nested loop, so we bucketize time to keep it an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import epoch_seconds
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """J2: pairs with the same ``key`` whose timestamps (epoch-second
+    BIGINT columns) are within ±``tolerance_s`` — Kafka Streams
+    ``outerJoin(JoinWindows.of(…))`` semantics
+    (`KafkaBiometricAlertStreamProcessor.scala:42-51`).
+
+    Implementation: bucketize time at ``tolerance_s`` granularity and
+    explode the left side into its 3 candidate buckets, turning the
+    range predicate into an equi-join on ``(key, bucket)`` followed by
+    a cheap filter. Every matching pair appears exactly once (the right
+    row's bucket is unique). At 100 TB this shuffles on a composite key
+    with ~3× left amplification instead of cogrouping entire key
+    histories — time-locality bounds each join partition.
+    """
+    lb = (F.col(left_ts) / tolerance_s).cast("long")
+    rb = (F.col(right_ts) / tolerance_s).cast("long")
+    l = left.withColumn(
+        "_bkt", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = right.withColumn("_bkt", rb)
+    cond = (
+        (l[key] == r[key])
+        & (l["_bkt"] == r["_bkt"])
+        & (F.abs(l[left_ts] - r[right_ts]) <= tolerance_s)
+    )
+    out = l.join(r, cond, how).drop("_bkt")
+    # drop the duplicated key column from the right side
+    return out.drop(r[key])
+
+
+def full_outer_keyed(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> DataFrame:
+    """J1: keyed full outer join with USING-style merged key columns —
+    ``(K,(Option[A],Option[B]))`` becomes SQL NULLs natively (the P7
+    un-option step at `Spark.scala:50-55` disappears)."""
+    return left.join(right, on, "full_outer")
+
+
+def cogroup_lists(
+    df: DataFrame, keys: list[str], value_col: str, sorted_output: bool = True
+) -> DataFrame:
+    """J3 (Beam CoGroupByKey shape): group values into an array per
+    key. Kept for parity; prefer flag/count aggregation — per-key
+    arrays are the reference's scalability flaw (SURVEY §7.4)."""
+    agg = F.collect_list(value_col)
+    if sorted_output:
+        agg = F.sort_array(agg)
+    return df.groupBy(*keys).agg(agg.alias(f"{value_col}s"))

@@ -1,0 +1,220 @@
+"""Standard batch-analytics surface over the TPC-H-style tables —
+the joins/aggregations/sorts SURVEY §2 notes as "not present in the
+reference, provided by Catalyst for free" (§2.4, §2.5, §2.8), exposed
+and oracle-validated so a reference user gets a complete engine.
+
+Scale design: fact tables (lineitem/orders) are only ever shuffled on
+their join/group keys; dim tables (region/nation/customer/supplier/
+part) ride broadcast joins (`autoBroadcastJoinThreshold=64m` — at
+100 TB these dims are still MBs). Aggregates use the exact-decimal
+``dsum`` trick for engine-independent doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .events_ops import dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with derived
+    measures; the canonical whole-stage-codegen benchmark query."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window-rank: top-3 customers by exact revenue per market
+    segment (deterministic tiebreak on c_custkey). Customer side is
+    broadcast; orders aggregates map-side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "revenue"))
+    joined = rev.join(
+        F.broadcast(c), rev["o_custkey"] == c["c_custkey"], "inner"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_name",
+                F.round("revenue", 2).alias("revenue"))
+    )
+
+
+def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query + ROLLUP(region, nation) with grouping
+    flags — grouping-sets surface (§2.5 'not present' list)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    star = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        star.rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice"), "revenue"),
+             F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.round("revenue", 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — customers having ≥1 open order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no pending order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (fixed column list so
+    the shuffle-free two-phase pivot plan applies)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("n_open"),
+            F.col("F").alias("n_finished"),
+            F.col("P").alias("n_pending"),
+        )
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (§2.8): top-20 orders by totalprice, unique
+    tiebreak on o_orderkey → deterministic. Spark executes this as
+    TakeOrderedAndProject — no global sort materialization."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def distinct_user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT surface (§2.8 'no intersect/except anywhere' — distinct
+    exposed as the basic set op)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+_DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
+
+ORACLE = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM.format(e='l_quantity')} AS sum_qty,
+               {_DSUM.format(e='l_extendedprice')} AS sum_base_price,
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers_per_segment": f"""
+        WITH rev AS (
+          SELECT o_custkey, {_DSUM.format(e='o_totalprice')} AS revenue
+          FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT c_mktsegment, c_custkey, c_name, revenue,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY revenue DESC, c_custkey) AS rank
+          FROM rev JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, rank, c_custkey, c_name, round(revenue, 2) AS revenue
+        FROM ranked WHERE rank <= 3
+    """,
+    "regional_revenue_rollup": f"""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               round({_DSUM.format(e='o_totalprice')}, 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "order_priority_pivot": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "distinct_user_type_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+}
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_customers_per_segment": top_customers_per_segment,
+    "regional_revenue_rollup": regional_revenue_rollup,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "order_priority_pivot": order_priority_pivot,
+    "top_orders": top_orders,
+    "distinct_user_type_pairs": distinct_user_type_pairs,
+}

@@ -1,0 +1,243 @@
+"""Event-stream operator queries over the driver's ``events`` table —
+the batch-checkable form of SURVEY §2's parsing, join, window and
+aggregation inventory (P1-P4, J1-J4, W5-W7, A-family).
+
+All outputs are BIGINT/STRING/exact-decimal-derived DOUBLE so the
+DuckDB oracle hash-matches bit-for-bit (see plans/biometric.py
+docstring for the timestamp/precision rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.json_io import serialize_json
+from ..operators.joins import full_outer_keyed, interval_join
+from ..operators.windows import (
+    epoch_seconds,
+    tumbling_window_start,
+    with_session_windows,
+)
+from ..sources.readers import load_table
+
+SESSION_GAP_S = 7200        # 2 h sessionization gap (W7 batch twin)
+INTERVAL_TOL_S = 7200       # ±2 h interval join (J2/W5; Kafka uses ±15 s —
+                            # scaled to the testdata's event density)
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Order-independent double sum: aggregate exactly in DECIMAL, cast
+    once to DOUBLE. Plain double sums are non-associative and would
+    hash-differ from any other engine's partial-aggregation order."""
+    return F.sum(expr.cast("decimal(28,10)")).cast("double").alias(alias)
+
+
+DSUM_SQL = "CAST(sum(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------- P1/P2: parse
+
+def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: JSON-string column → typed field via from_json with explicit
+    schema; unknown keys dropped by projection
+    (`BiometricAlertStreamProcessor.scala:17-23`)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+def serialize_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: typed fields → compact JSON (`JsonSerde.scala:40-47`)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", serialize_json("user_id", "event_type").alias("json_str")
+    )
+
+
+# ---------------------------------------------------------------- J2: interval
+
+def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W5: hr×bp pairs within ±15 min per user (Kafka
+    ``outerJoin(JoinWindows.of(15s))`` inner-match core,
+    `KafkaBiometricAlertStreamProcessor.scala:42-51`), bucketized to an
+    equi-join (see operators/joins.py)."""
+    ev = _events(spark, sf_dir)
+    hr = ev.where((F.col("event_type") == "error") & (F.col("value") > 100)).select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("hr_es"),
+        F.round("value", 2).alias("hr_value"),
+    )
+    bp = ev.where((F.col("event_type") == "view") & (F.col("value") < 100)).select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("bp_es"),
+        F.round("value", 2).alias("bp_value"),
+    )
+    return interval_join(hr, bp, "user_id", "hr_es", "bp_es", INTERVAL_TOL_S)
+
+
+def full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: keyed full outer join of the two per-day aggregated streams;
+    Option[...] null-encoding becomes native SQL NULL → coalesce
+    (`Spark.scala:46-55`)."""
+    ev = _events(spark, sf_dir)
+    day = (epoch_seconds(F.col("ts")) / 86400).cast("long")
+    hr = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.col("user_id"), day.alias("day"))
+        .agg(F.count("*").alias("hr_n"))
+    )
+    bp = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(F.col("user_id"), day.alias("day"))
+        .agg(F.count("*").alias("bp_n"))
+    )
+    joined = full_outer_keyed(hr, bp, ["user_id", "day"])
+    return joined.select(
+        "user_id", "day",
+        F.coalesce("hr_n", F.lit(0)).alias("hr_n"),
+        F.coalesce("bp_n", F.lit(0)).alias("bp_n"),
+    )
+
+
+# ------------------------------------------------------------- W6/W7 windows
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windowed grouped aggregation (A1 tumbling
+    degenerate; count + min/max + exact sum)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            tumbling_window_start(F.col("ts"), 3600).alias("wstart"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 batch twin: sessionize each user's events with a 2 h gap
+    (Beam ``Sessions.withGapDuration`` `README.md:448-452`) via
+    gaps-and-islands; output one row per session."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", epoch_seconds(F.col("ts")).alias("es")
+    )
+    sess = with_session_windows(ev, "ts", SESSION_GAP_S, ["user_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("start_es"),
+        F.max("es").alias("end_es"),
+    )
+
+
+# ------------------------------------------------------------------ A: stats
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation surface: count, distinct, min/max, exact sum
+    (§2.5 'not present in reference, exposed by our engine')."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+ORACLE = {
+    "parse_props_json": """
+        SELECT event_id, user_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    "serialize_events_json": """
+        SELECT event_id,
+               to_json(struct_pack(user_id := user_id,
+                                   event_type := event_type))::VARCHAR AS json_str
+        FROM events
+    """,
+    "interval_join_pairs": f"""
+        WITH hr AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS hr_es, round(value, 2) AS hr_value
+          FROM events WHERE event_type = 'error' AND value > 100
+        ), bp AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS bp_es, round(value, 2) AS bp_value
+          FROM events WHERE event_type = 'view' AND value < 100
+        )
+        SELECT hr.user_id, hr.hr_es, hr.hr_value, bp.bp_es, bp.bp_value
+        FROM hr JOIN bp ON hr.user_id = bp.user_id
+         AND abs(hr.hr_es - bp.bp_es) <= {INTERVAL_TOL_S}
+    """,
+    "full_outer_daily": """
+        WITH hr AS (
+          SELECT user_id, (epoch_us(ts)//1000000) // 86400 AS day, count(*) AS hr_n
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ), bp AS (
+          SELECT user_id, (epoch_us(ts)//1000000) // 86400 AS day, count(*) AS bp_n
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT coalesce(hr.user_id, bp.user_id) AS user_id,
+               coalesce(hr.day, bp.day) AS day,
+               coalesce(hr_n, 0) AS hr_n, coalesce(bp_n, 0) AS bp_n
+        FROM hr FULL OUTER JOIN bp USING (user_id, day)
+    """,
+    "tumbling_hourly": """
+        SELECT ((epoch_us(ts)//1000000) // 3600) * 3600 AS wstart, event_type,
+               count(*) AS n,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "user_sessions": f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS es FROM events
+        ), flagged AS (
+          SELECT user_id, es,
+                 CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w > {SESSION_GAP_S}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+        ), sessions AS (
+          SELECT user_id, es,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(es) AS start_es, max(es) AS end_es
+        FROM sessions GROUP BY 1, 2
+    """,
+    "event_type_stats": """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "parse_props_json": parse_props_json,
+    "serialize_events_json": serialize_events_json,
+    "interval_join_pairs": interval_join_pairs,
+    "full_outer_daily": full_outer_daily,
+    "tumbling_hourly": tumbling_hourly,
+    "user_sessions": user_sessions,
+    "event_type_stats": event_type_stats,
+}
