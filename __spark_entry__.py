@@ -11,7 +11,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from biometric_stream_processing_spark.plans import analytics, biometric, events_ops
+from biometric_stream_processing_spark.plans import (
+    analytics,
+    biometric,
+    documents_ops,
+    events_ops,
+)
 from biometric_stream_processing_spark.session import tune_session
 
 
@@ -34,7 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["alert_windows"] = _wrap(biometric.alert_windows)
     q["alerts_throttled"] = _wrap(biometric.alerts_throttled)
     q["alerts_leading_debounce"] = _wrap(biometric.alerts_leading_debounce)
-    for name, fn in {**events_ops.QUERIES, **analytics.QUERIES}.items():
+    for name, fn in {**events_ops.QUERIES, **analytics.QUERIES,
+                     **documents_ops.QUERIES}.items():
         q[name] = _wrap(fn)
     return q
 
@@ -44,4 +50,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(biometric.ORACLE)
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
+    o.update(documents_ops.ORACLE)
     return o

@@ -1,0 +1,101 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines (beyond-reference surface, BASELINE.json north star):
+tokenization, stopword stats, shingling, minhash signatures, simhash
+fingerprints. Everything is built-in Catalyst array/string expressions
+— no Python on the hot path, so these run inside whole-stage codegen
+and scale linearly with input splits.
+
+Engine-parity notes (for the DuckDB oracles): hashing is md5 (same hex
+output everywhere); hex digits are decoded with the
+``strpos('0123456789abcdef', c) - 1`` trick, which avoids
+engine-specific hex-parse functions; integer arithmetic only inside
+aggregations (order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list (public-domain common words).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+HEX = "0123456789abcdef"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization with empties dropped — parity form:
+    ``list_filter(string_split(text,' '), w -> w <> '')``."""
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def distinct_word_count(col: Column) -> Column:
+    return F.size(F.array_distinct(words(col)))
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, w)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Regex token count: alpha runs, digit runs, and single
+    non-alphanumerics — a BPE-pretokenizer approximation using only
+    character classes (identical across regex engines)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over the normalized (whitespace-
+    collapsed) token stream."""
+    return F.md5(F.concat_ws(" ", words(col)))
+
+
+def shingles(ws: Column, n: int = 2) -> Column:
+    """Word n-gram shingles from a words array (1-indexed element_at,
+    mirroring SQL list indexing)."""
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def minhash_sig(sh: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: per seed, the lexicographic min of
+    ``md5(seed ':' shingle)`` — one aliased column per seed."""
+    return [
+        F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        ).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def simhash16(ws: Column) -> Column:
+    """16-bit SimHash over a words array: for each bit position, sum
+    +1/-1 over every token whose md5 has that bit set/unset; the sign
+    vector packs into a BIGINT. Pure array folds — no explosion, no
+    shuffle, order-independent integer sums.
+    """
+    def bit_of(w: Column, hex_pos: int, bit: int) -> Column:
+        digit = F.instr(F.lit(HEX), F.substring(F.md5(w), hex_pos + 1, 1)) - 1
+        return F.floor(digit / (2 ** bit)).cast("long") % 2
+
+    total = F.lit(0).cast("long")
+    for i in range(16):
+        hex_pos, bit = i // 4, i % 4
+        per_word = F.transform(ws, lambda w: bit_of(w, hex_pos, bit) * 2 - 1)
+        bit_sum = F.aggregate(
+            per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        total = total + F.when(bit_sum > 0, F.lit(2 ** i)).otherwise(0).cast("long")
+    return total

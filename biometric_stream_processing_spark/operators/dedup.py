@@ -1,0 +1,104 @@
+"""Deduplication operators for training-data pipelines
+(beyond-reference surface): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (the last via
+``similarity.similar_pairs_blocked``).
+
+Scale design: every stage is a groupBy/join on content-derived keys —
+no cross product ever materializes. Exact dedup shuffles md5 digests
+(16 bytes/doc, not the documents). LSH candidate generation shuffles
+(band, bucket) pairs; only bucket-colliding docs meet in the verify
+join, which is the whole point of LSH at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_sig, shingles, words
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the min id as
+    canonical. Output one row per distinct content."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) rows: MinHash signature over word
+    ``shingle_n``-grams, split into ``bands`` bands whose bucket is the
+    md5 of the band's concatenated signature rows."""
+    rows = num_hashes // bands
+    ws = words(F.col(text_col))
+    sh = df.select(
+        F.col(id_col), shingles(ws, shingle_n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sig = sh.select(F.col(id_col), *minhash_sig(F.col("_sh"), num_hashes))
+    band_cols = []
+    for b in range(bands):
+        concat = F.concat(*[F.col(f"m{b * rows + r}") for r in range(rows)])
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(concat).alias("bucket"))
+        )
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("_b"))
+        .select(id_col, F.col("_b.band").alias("band"),
+                F.col("_b.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct id pairs sharing any (band, bucket)."""
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for candidate pairs (the LSH verify
+    stage). Joins the (small) candidate set back to the corpus twice;
+    at scale both joins are shuffle-hash on doc id, and the Jaccard is
+    a per-row array expression (codegen, no UDF)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(words(F.col(text_col)), shingle_n)).alias("_s"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a")
+                     .withColumnRenamed("_s", "_sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("_s", "_sb"), "id_b")
+    )
+    n_inter = F.size(F.filter(
+        F.col("_sa"), lambda x: F.array_contains(F.col("_sb"), x)
+    ))
+    n_union = F.size("_sa") + F.size("_sb") - n_inter
+    jac = F.when(n_union > 0, n_inter.cast("double") / n_union.cast("double"))
+    return out.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -1,0 +1,73 @@
+"""Multimodal column plumbing (beyond-reference surface): image/audio/
+video payloads as opaque BINARY columns with typed metadata, processed
+by Arrow-batched ``mapInPandas`` operators.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(``decode_media`` raises NotImplementedError; ``fake_featurize`` is a
+deterministic stand-in) — but the Spark-side plumbing (schema, batch
+iteration, partitioning, UDF signatures) is real and tested. Swapping
+the stub for e.g. PIL/torchcodec changes only the inner function.
+
+Scale: binary payloads stay in Arrow record batches end-to-end
+(``spark.sql.execution.arrow.pyspark.enabled``); ``mapInPandas``
+streams batches so a partition never fully materializes in Python;
+feature extraction parallelism == partition count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat a text column's UTF-8 bytes as an opaque media payload +
+    typed metadata — the schema pattern for real image/audio columns:
+    ``content BINARY, media_type STRING, n_bytes BIGINT, content_md5``."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("content", content).withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("content_md5"),
+        ),
+    )
+
+
+def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode binary media to pixels/samples. STUB: the runtime image/
+    audio libraries are not available in this environment."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio codec library not present "
+        "in this environment; use fake_featurize for pipeline testing"
+    )
+
+
+def fake_featurize(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id", dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic stand-in for a media feature extractor: maps each
+    binary payload to a ``dim``-float vector derived from its sha256.
+    Exercises the real production shape — mapInPandas over Arrow
+    batches, binary in / array<float> out."""
+    schema = f"{id_col} long, features array<float>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[content_col]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                feats.append(
+                    [int.from_bytes(digest[4 * i: 4 * i + 4], "big")
+                     / 2**32 for i in range(dim)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=schema)

@@ -1,0 +1,104 @@
+"""Vector similarity operators over ``array<float>`` embedding columns
+(beyond-reference surface): brute-force cosine top-k as the exact
+baseline, plus label/bucket blocking for the candidate-bounded path.
+
+Determinism contract: dot products and norms are computed as a LEFT
+FOLD over elements cast to DOUBLE (``F.aggregate`` over ``zip_with``),
+which is bit-identical to a left-associated ``a[1]*b[1] + a[2]*b[2] +
+…`` SQL expression — so cosine values hash-match any engine that
+evaluates the same expression shape. No Python UDFs: these are
+Catalyst higher-order functions, fully codegen'd.
+
+Scale path: brute-force top-k is O(Q·N) — fine for Q small (broadcast
+the queries side: BroadcastNestedLoopJoin, no shuffle of the corpus).
+For large Q use ``blocked_pairs``-style LSH/IVF bucketing so each
+corpus partition only meets its bucket's queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Left-fold dot product in DOUBLE (see module docstring)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_double(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (norm_double(a) * norm_double(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self
+    excluded), deterministic tiebreak on neighbor id. Queries are
+    broadcast; the corpus never shuffles."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def similar_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs within a blocking key whose cosine ≥ threshold —
+    the candidate-bounded near-duplicate path. Equi-join on the block
+    key keeps this a shuffle-hash join instead of a cross product; at
+    scale the block key is an LSH bucket (random-hyperplane signs) or
+    IVF centroid id."""
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+        )
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,320 @@
+"""LLM-training-data pipeline queries over ``documents`` /
+``embeddings`` (beyond-reference surface; BASELINE.json north star):
+text analysis, dedup (exact / MinHash-LSH / SimHash / Jaccard),
+similarity search, multimodal metadata. Each has an exactly-matching
+DuckDB oracle; parity tricks documented in functions/text.py and
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    bpe_ish_token_count,
+    distinct_word_count,
+    fingerprint,
+    simhash16,
+    stopword_count,
+    word_count,
+    words,
+)
+from ..operators.dedup import (
+    exact_dup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from ..operators.multimodal import attach_binary
+from ..operators.similarity import cosine_topk, similar_pairs_blocked
+from ..sources.readers import load_table
+
+SHINGLE_N = 2
+NUM_HASHES = 8
+BANDS = 4
+COSINE_THRESHOLD = 0.35
+TOPK = 5
+QUERY_MOD = 100      # vec_id % 100 == 0 are the similarity-search queries
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------ text analysis
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    ws = words(t)
+    n_words = word_count(t)
+    sum_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    avg_wl = F.when(
+        n_words > 0, F.round(sum_len.cast("double") / n_words, 6)
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        distinct_word_count(t).alias("n_distinct_words"),
+        avg_wl.alias("avg_word_len"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword density) + quality score
+    (stopword ratio and vocabulary diversity blended)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_words = word_count(t)
+    n_stop = stopword_count(t)
+    n_dist = distinct_word_count(t)
+    stop_ratio = n_stop.cast("double") / n_words
+    diversity = n_dist.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.when(n_words > 0, F.when(n_stop * 20 >= n_words, "en").otherwise("unk"))
+         .alias("predicted_lang"),
+        F.when(n_words > 0, F.round(stop_ratio * 0.5 + diversity * 0.5, 6))
+         .alias("quality_score"),
+    )
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bands = minhash_bands(d, shingle_n=SHINGLE_N,
+                          num_hashes=NUM_HASHES, bands=BANDS)
+    return lsh_candidate_pairs(bands)
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH pipeline: candidates → exact bigram-Jaccard verify,
+    keep pairs ≥ 0.2."""
+    d = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_bands(d, shingle_n=SHINGLE_N,
+                      num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    return jaccard_verify(pairs, d, shingle_n=SHINGLE_N).where(
+        F.col("jaccard") >= 0.2
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", simhash16(words(F.col("text"))).alias("simhash")
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk(q, e, k=TOPK)
+
+
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similar_pairs_blocked(
+        _emb(spark, sf_dir), "label", COSINE_THRESHOLD
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_WS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_SW = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(
+        f"{a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE"
+        for i in range(1, dim + 1)
+    )
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for i in range(16):
+        hp, bit = i // 4, i % 4
+        per_word = (
+            f"list_sum(list_transform(ws, w -> "
+            f"((((strpos('0123456789abcdef', substring(md5(w), {hp + 1}, 1)) - 1)"
+            f" // {2 ** bit}) % 2) * 2 - 1)::BIGINT))"
+        )
+        terms.append(f"(CASE WHEN {per_word} > 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_MINHASH_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, {_WS} AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS sh
+  FROM docs WHERE len(ws) >= {SHINGLE_N}
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS m{s}"
+                    for s in range(NUM_HASHES))}
+  FROM sh
+), bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 0 THEN md5(m0 || m1) WHEN 1 THEN md5(m2 || m3)
+              WHEN 2 THEN md5(m4 || m5) ELSE md5(m6 || m7) END AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
+ORACLE = {
+    "doc_text_stats": f"""
+        WITH d AS (SELECT doc_id, text, {_WS} AS ws FROM documents)
+        SELECT doc_id, length(text) AS n_chars, len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct_words,
+               CASE WHEN len(ws) > 0 THEN
+                 round(list_sum(list_transform(ws, w -> length(w)::BIGINT))::DOUBLE
+                       / len(ws), 6) END AS avg_word_len,
+               md5(list_aggregate(ws, 'string_agg', ' ')) AS fingerprint
+        FROM d
+    """,
+    "doc_lang_quality": f"""
+        WITH d AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+        s AS (
+          SELECT doc_id, lang, len(ws) AS n_words,
+                 len(list_filter(ws, w -> list_contains({_SW}, w))) AS n_stop,
+                 len(list_distinct(ws)) AS n_dist
+          FROM d
+        )
+        SELECT doc_id, lang, n_words, n_stop AS n_stopwords,
+               CASE WHEN n_words > 0 THEN
+                 CASE WHEN n_stop * 20 >= n_words THEN 'en' ELSE 'unk' END
+               END AS predicted_lang,
+               CASE WHEN n_words > 0 THEN
+                 round(n_stop::DOUBLE / n_words * 0.5
+                       + n_dist::DOUBLE / n_words * 0.5, 6)
+               END AS quality_score
+        FROM s
+    """,
+    "doc_token_counts": f"""
+        SELECT doc_id, len({_WS}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "minhash_lsh_pairs": _MINHASH_CTE + "SELECT id_a, id_b FROM cand",
+    "ngram_jaccard_dups": _MINHASH_CTE + f""",
+        shs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS s
+          FROM docs
+        )
+        SELECT id_a, id_b, jac AS jaccard FROM (
+          SELECT id_a, id_b,
+                 round(
+                   len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                   / (len(sa.s) + len(sb.s)
+                      - len(list_filter(sa.s, x -> list_contains(sb.s, x)))),
+                   6) AS jac
+          FROM cand
+          JOIN shs sa ON sa.doc_id = id_a
+          JOIN shs sb ON sb.doc_id = id_b
+        ) WHERE jac >= 0.2
+    """,
+    "simhash_fingerprints": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents)
+        SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM d
+    """,
+    "embedding_topk": f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ({_dot('a', 'b')})
+                 / (sqrt({_dot('a', 'a')}) * sqrt({_dot('b', 'b')})) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % {QUERY_MOD} = 0
+        ), ranked AS (
+          SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, round(c, 6) AS cos_sim
+        FROM ranked WHERE rank <= {TOPK}
+    """,
+    "embedding_similar_pairs": f"""
+        SELECT id_a, id_b, round(c, 6) AS cos_sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ({_dot('a', 'b')})
+                 / (sqrt({_dot('a', 'a')}) * sqrt({_dot('b', 'b')})) AS c
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE c >= {COSINE_THRESHOLD}
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, 'application/octet-stream' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "doc_text_stats": doc_text_stats,
+    "doc_lang_quality": doc_lang_quality,
+    "doc_token_counts": doc_token_counts,
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "simhash_fingerprints": simhash_fingerprints,
+    "embedding_topk": embedding_topk,
+    "embedding_similar_pairs": embedding_similar_pairs,
+    "multimodal_meta": multimodal_meta,
+}

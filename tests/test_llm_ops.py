@@ -1,0 +1,71 @@
+"""Tests for the LLM-data-pipeline operators (dedup, similarity,
+text, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from biometric_stream_processing_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    fake_featurize,
+)
+from biometric_stream_processing_spark.operators.similarity import cosine_topk
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z", ""])
+    out = {r.canonical_doc_id: r.n_docs for r in exact_dup_groups(df).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps",
+                       "entirely different words here now"])
+    pairs = lsh_candidate_pairs(minhash_bands(df)).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(spark, ["a b c d e", "a b c d e"])
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = jaccard_verify(pairs, df).collect()
+    assert out[0].jaccard == 1.0
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df.where("vec_id = 0"), df, k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_fake_featurize_deterministic(spark):
+    df = attach_binary(_docs(spark, ["hello world", "hello world", "other"]))
+    feats = {r.doc_id: r.features for r in fake_featurize(df).collect()}
+    assert len(feats[0]) == 8
+    assert feats[0] == feats[1]          # same content → same features
+    assert feats[0] != feats[2]
+    assert all(0.0 <= x < 1.0 for x in feats[0])
+
+
+def test_decode_media_is_stubbed(spark):
+    df = attach_binary(_docs(spark, ["x"]))
+    with pytest.raises(NotImplementedError):
+        decode_media(df)
