@@ -18,6 +18,9 @@ from biometric_stream_processing_spark.plans import (
     events_ops,
 )
 from biometric_stream_processing_spark.session import tune_session
+from biometric_stream_processing_spark.streaming import (
+    pipeline as streaming_pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in {**events_ops.QUERIES, **analytics.QUERIES,
                      **documents_ops.QUERIES}.items():
         q[name] = _wrap(fn)
+    q["streaming_alerts"] = _wrap(streaming_pipeline.biometric_alerts_streaming)
     return q
 
 

@@ -1,0 +1,192 @@
+"""Structured Streaming surface: the biometric alert pipeline as ONE
+declarative streaming query (SURVEY §7.1's primary plan — the Akka
+union-then-window-aggregate shape J4+A1, with Beam's session-based
+throttle T5 chained on top).
+
+Pipeline::
+
+    readStream (file/kafka/memory)
+      → union typed streams (event_type discriminator)
+      → withWatermark(ts, delay)                      [W4]
+      → groupBy(window(ts, L, S), user_id)            [W1/A1]
+          .agg(existential flags)                     [F1 as max(when)]
+      → filter(both flags)
+      → groupBy(session_window(window_time, C+1s), user_id)   [T5/W7]
+          .agg(first qualifying window time)
+      → append-mode sink
+
+Chained stateful ops (windowed agg → session agg) are native in Spark
+3.5+ via ``window_time`` event-time propagation — zero custom state
+code for the gap-throttle semantics. The strict leading-edge throttle
+variant (T2) is in ``state.py``.
+
+Session gap is ``cooldown + 1s``: ``session_window`` starts a new
+session when the time diff is ≥ gap, while the batch twin
+(``throttle_gap``) merges when diff ≤ cooldown; with second-aligned
+window times, gap = C+1 makes both merge exactly on diff ≤ C, so
+streaming output == ``alerts_throttled`` batch output.
+
+Scale: state per (window,user) is two ints (flags), per session one
+timestamp — both watermark-GC'd. At 100 TB/day the knobs are
+``spark.sql.shuffle.partitions`` for the two keyed exchanges and the
+RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass``); nothing here
+holds per-event state (the reference's list-concat flaw, avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.alerting import BP_THRESHOLD, HR_THRESHOLD
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (S1/S4 test stand-in; production
+    would be ``format("kafka")`` — same downstream plan)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def qualifying_windows_stream(
+    events: DataFrame,
+    length_s: int,
+    slide_s: int,
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    hr_pred=None,
+    bp_pred=None,
+) -> DataFrame:
+    """Watermarked sliding-window existential-flag aggregation; emits
+    one row per qualifying (window, user) with the window's event-time
+    (``wt``) for downstream chaining."""
+    hr_q = hr_pred if hr_pred is not None else (
+        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
+    )
+    bp_q = bp_pred if bp_pred is not None else (
+        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
+    )
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(ts_col, f"{length_s} seconds", f"{slide_s} seconds"),
+            user_col,
+        )
+        .agg(
+            F.max(hr_q.cast("int")).alias("has_high_hr"),
+            F.max(bp_q.cast("int")).alias("has_low_bp"),
+        )
+        .where((F.col("has_high_hr") == 1) & (F.col("has_low_bp") == 1))
+        .select(F.col(user_col), F.window_time("window").alias("wt"),
+                F.col("window"))
+    )
+
+
+def alerts_stream(
+    events: DataFrame,
+    length_s: int,
+    slide_s: int,
+    cooldown_s: int,
+    watermark_delay: str = "0 seconds",
+    **kw,
+) -> DataFrame:
+    """Full throttled alert stream (append mode). One alert per
+    episode: qualifying windows ≤ cooldown apart merge into one
+    session; the alert carries the FIRST qualifying window's time."""
+    qual = qualifying_windows_stream(
+        events, length_s, slide_s, watermark_delay, **kw
+    )
+    sessions = (
+        qual.groupBy(
+            F.session_window(F.col("wt"), f"{cooldown_s + 1} seconds"),
+            "user_id",
+        )
+        .agg(F.min("wt").alias("alert_wt"), F.count("*").alias("n_windows"))
+    )
+    return sessions.select(
+        "user_id",
+        F.col("alert_wt").alias("alert_ts"),
+        "n_windows",
+        F.format_string("User %d has a problem", F.col("user_id")).alias("message"),
+    )
+
+
+def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline run through Structured Streaming over the
+    driver's events table (driver-contract entry; rows-only check —
+    append mode only emits episodes whose sessions closed before the
+    final watermark, so the tail differs from the batch twin by
+    design). Output aligns with ``plans.biometric.alerts_throttled``:
+    (user_id, alert_epoch, message)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..plans.biometric import (
+        BP_TYPE,
+        COOLDOWN_S,
+        HR_TYPE,
+        SLIDE_S,
+        WINDOW_S,
+    )
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    alerts = alerts_stream(
+        src,
+        WINDOW_S,
+        SLIDE_S,
+        COOLDOWN_S,
+        watermark_delay="0 seconds",
+        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+    )
+    name = "stream_alerts_" + uuid.uuid4().hex[:8]
+    out = run_stream_to_memory(
+        alerts, name, tempfile.mkdtemp(prefix="bspe_ckpt_")
+    )
+    # alert_wt is the first qualifying window's event-time (end - 1μs);
+    # recover the window START epoch to match the batch twin's shape.
+    return out.select(
+        "user_id",
+        (F.unix_timestamp("alert_ts") + 1 - WINDOW_S).alias("alert_epoch"),
+        "message",
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink
+    (test/driver harness; S7-S9 console sinks become
+    ``format("console")`` in production). Returns the batch result."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)

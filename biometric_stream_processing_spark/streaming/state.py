@@ -1,0 +1,148 @@
+"""Arbitrary keyed state with time-based expiry (SURVEY §2.7, the
+hard 20%): the strict leading-edge alert throttle as a single
+``applyInPandasWithState`` processor over the raw keyed event stream —
+the Spark-native form of ``updateStateByKey``'s
+``(justTriggered, triggerTime, msg)`` machine
+(`BiometricAlertStreamProcessor.scala:67-85`), Akka's
+``statefulMapConcat`` debounce (`Akka...scala:129-151`) and Kafka's
+``Transformer`` + ``KeyValueStore`` (`Kafka...scala:65-104`).
+
+Why raw events: Structured Streaming forbids a Python stateful
+operator AFTER a streaming aggregation in append mode, so the
+processor owns the whole per-user pipeline — window assignment
+(the `Akka...scala:44-56` algebra), existential flags, and the
+cooldown state machine. Like the reference's ``reduceByKeyAndWindow``
+(`Spark.scala:56`), qualifying windows are re-evaluated every
+micro-batch and emission is EAGER (no waiting for window close); the
+cooldown comparison alone dedups re-evaluations — emitting sets
+``last_alert`` to the window start, so any window ≤ ``last_alert +
+cooldown`` (including every previously-emitted one) is suppressed,
+exactly the T1 state transitions.
+
+State per user is (last alert time, bounded recent-event history);
+history is GC'd to the engine watermark minus the window length, so
+state is O(events per window horizon), not O(stream). Arrow batches
+in/out; keys are independent → scales with shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, alert_epoch long, message string"
+# last alert window-start epoch (-1 = never), retained event history as
+# parallel arrays (epoch seconds, is_hr flag)
+STATE_SCHEMA = "last_alert long, ev_es array<long>, ev_hr array<boolean>"
+
+
+def _qualifying_wstarts(
+    es: "list[int]", is_hr: "list[bool]", length_s: int, slide_s: int
+) -> "list[int]":
+    """Window starts whose window contains both a qualifying hr and a
+    qualifying bp event — the same epoch-aligned assignment algebra as
+    operators/windows.py (`Akka...scala:44-56`)."""
+    hr_w: set[int] = set()
+    bp_w: set[int] = set()
+    n = length_s // slide_s
+    for e, h in zip(es, is_hr):
+        last = (e // slide_s) * slide_s
+        target = hr_w if h else bp_w
+        for k in range(n):
+            target.add(last - k * slide_s)
+    return sorted(hr_w & bp_w)
+
+
+def leading_throttle_fn(length_s: int, slide_s: int, cooldown_s: int):
+    """Build the per-group stateful function for
+    ``applyInPandasWithState``."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_alert, ev_es, ev_hr = state.get
+            ev_es, ev_hr = list(ev_es), list(ev_hr)
+        else:
+            last_alert, ev_es, ev_hr = -1, [], []
+
+        # Late-data drop (F6/W4, `Akka...scala:73-76`): the engine only
+        # auto-filters late rows for aggregations/joins, so the
+        # processor enforces the watermark itself.
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        for pdf in pdfs:
+            for es, hq in zip(pdf["es"], pdf["hr_q"]):
+                if wm_s > 0 and es < wm_s:
+                    continue
+                ev_es.append(int(es))
+                ev_hr.append(bool(hq))
+
+        out: list[tuple[int, int, str]] = []
+        uid = key[0]
+        for w in _qualifying_wstarts(ev_es, ev_hr, length_s, slide_s):
+            if last_alert < 0 or w - last_alert > cooldown_s:
+                last_alert = w
+                out.append((uid, w, f"User {uid} has a problem"))
+
+        # GC: an event at es only joins windows starting in
+        # (es - length, es]; once the watermark passes es + length the
+        # event can never change a not-yet-suppressed window.
+        if wm_s > 0:
+            horizon = wm_s - length_s
+            kept = [(e, h) for e, h in zip(ev_es, ev_hr) if e >= horizon]
+            ev_es = [e for e, _ in kept]
+            ev_hr = [h for _, h in kept]
+
+        state.update((last_alert, ev_es, ev_hr))
+        yield pd.DataFrame(out, columns=["user_id", "alert_epoch", "message"])
+
+    return fn
+
+
+def alerts_stream_leading(
+    events: DataFrame,
+    length_s: int,
+    slide_s: int,
+    cooldown_s: int,
+    watermark_delay: str = "0 seconds",
+    hr_pred=None,
+    bp_pred=None,
+) -> DataFrame:
+    """Leading-edge throttled alert stream (T2/T3 exact semantics):
+    one stateful operator, keyed by user. Late events beyond the
+    watermark are dropped by the engine before the operator (F6/W4,
+    `Akka...scala:73-76`)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.alerting import BP_THRESHOLD, HR_THRESHOLD
+
+    hr_q = hr_pred if hr_pred is not None else (
+        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
+    )
+    bp_q = bp_pred if bp_pred is not None else (
+        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
+    )
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            F.unix_timestamp("ts").alias("es"),
+            hr_q.alias("hr_q"),
+            bp_q.alias("bp_q"),
+        )
+        .where(F.col("hr_q") | F.col("bp_q"))
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        leading_throttle_fn(length_s, slide_s, cooldown_s),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,29 @@
+"""Streaming-vs-batch consistency: the streaming pipeline over the
+driver's events table must produce a subset-prefix of the batch twin
+(append mode withholds episodes whose sessions hadn't closed at the
+final watermark), and agree exactly on everything it emits."""
+
+from __future__ import annotations
+
+from biometric_stream_processing_spark.plans import biometric
+from biometric_stream_processing_spark.streaming.pipeline import (
+    biometric_alerts_streaming,
+)
+from tests.conftest import SF_DIR
+
+
+def test_streaming_matches_batch_twin(spark):
+    stream_rows = {
+        (r.user_id, r.alert_epoch)
+        for r in biometric_alerts_streaming(spark, SF_DIR).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.alert_epoch)
+        for r in biometric.alerts_throttled(spark, SF_DIR).collect()
+    }
+    assert stream_rows, "streaming produced no alerts"
+    assert stream_rows <= batch_rows
+    # anything batch-only must be an unflushed tail episode (same user
+    # set, later-or-equal epochs)
+    for u, e in batch_rows - stream_rows:
+        assert all(e >= se for su, se in stream_rows if su == u)
