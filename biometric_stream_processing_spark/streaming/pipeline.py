@@ -120,6 +120,66 @@ def alerts_stream(
     )
 
 
+def alerts_stream_interval(
+    events: DataFrame,
+    tolerance_s: int,
+    cooldown_s: int,
+    watermark_delay: str = "0 seconds",
+    hr_pred=None,
+    bp_pred=None,
+) -> DataFrame:
+    """The ALTERNATE plan (SURVEY §7.2 step 5, the Kafka J2/W5 shape,
+    `KafkaBiometricAlertStreamProcessor.scala:42-51`): stream-stream
+    interval join — qualifying hr×bp pairs with |hr_ts − bp_ts| ≤
+    tolerance per user — then chained session-window episode dedup.
+
+    Equivalence: for second-aligned events, "both in some sliding
+    (L, S) window" ⟺ "|Δts| ≤ L − S", so this plan with
+    ``tolerance_s = L − S`` yields the same alert episodes as
+    ``alerts_stream`` (validated in tests).
+
+    Scale: the join state holds each side for ``tolerance`` +
+    watermark delay (time-bounded buffers, GC'd by the two
+    watermarks); shuffle is on user_id for both sides. Join-then-
+    window-agg chaining is native in Spark 3.5+.
+    """
+    hr_q = hr_pred if hr_pred is not None else (
+        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
+    )
+    bp_q = bp_pred if bp_pred is not None else (
+        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
+    )
+    hr = (
+        events.where(hr_q)
+        .select("user_id", F.col("ts").alias("hr_ts"))
+        .withWatermark("hr_ts", watermark_delay)
+    )
+    bp = (
+        events.where(bp_q)
+        .select(F.col("user_id").alias("bp_user"), F.col("ts").alias("bp_ts"))
+        .withWatermark("bp_ts", watermark_delay)
+    )
+    pairs = hr.join(
+        bp,
+        F.expr(
+            f"user_id = bp_user AND bp_ts BETWEEN "
+            f"hr_ts - INTERVAL {tolerance_s} SECONDS AND "
+            f"hr_ts + INTERVAL {tolerance_s} SECONDS"
+        ),
+        "inner",
+    )
+    sessions = (
+        pairs.groupBy(
+            F.session_window("hr_ts", f"{cooldown_s + 1} seconds"), "user_id"
+        )
+        .agg(F.min("hr_ts").alias("alert_ts"), F.count("*").alias("n_pairs"))
+    )
+    return sessions.select(
+        "user_id", "alert_ts", "n_pairs",
+        F.format_string("User %d has a problem", F.col("user_id")).alias("message"),
+    )
+
+
 def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline run through Structured Streaming over the
     driver's events table (driver-contract entry; rows-only check —

@@ -1,0 +1,101 @@
+"""Property tests (SURVEY §5.2.3): random small event sets checked
+against an independent pure-Python evaluator of the canonical alert
+semantics — (a) alert ⟺ some sliding window contains both qualifying
+events; (b) throttling invariants for both gap and leading variants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.alerting import (
+    qualifying_windows,
+)
+from biometric_stream_processing_spark.operators.throttle import (
+    throttle_gap,
+    throttle_leading,
+)
+
+T0 = datetime(2024, 1, 1)
+BASE = int(T0.timestamp())
+L, S, C = 10, 2, 15
+
+event_st = st.tuples(
+    st.integers(0, 2),            # user
+    st.integers(0, 60),           # offset seconds
+    st.booleans(),                # is_hr
+    st.booleans(),                # qualifying value?
+)
+
+
+def _py_reference(events):
+    """Independent evaluator: window algebra + both throttles."""
+    hr_w, bp_w = {}, {}
+    for u, off, is_hr, q in events:
+        if not q:
+            continue
+        es = BASE + off
+        last = es // S * S
+        for k in range(L // S):
+            (hr_w if is_hr else bp_w).setdefault(u, set()).add(last - k * S)
+    qual = {
+        (u, w)
+        for u in set(hr_w) & set(bp_w)
+        for w in hr_w[u] & bp_w[u]
+    }
+    gap, lead = [], []
+    for u in sorted({u for u, _ in qual}):
+        ws = sorted(w for uu, w in qual if uu == u)
+        prev = last_alert = None
+        for w in ws:
+            if prev is None or w - prev > C:
+                gap.append((u, w))
+            prev = w
+            if last_alert is None or w - last_alert > C:
+                lead.append((u, w))
+                last_alert = w
+    return qual, set(gap), set(lead)
+
+
+def _spark_events(spark, events):
+    # hr qualifies high (>100), bp qualifies LOW (<100)
+    rows = [
+        (T0 + timedelta(seconds=off), "hr" if is_hr else "bp", u,
+         150.0 if is_hr == q else 50.0)
+        for u, off, is_hr, q in events
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(event_st, min_size=1, max_size=12))
+def test_pipeline_matches_reference(spark, events):
+    df = _spark_events(spark, events)
+    qual = qualifying_windows(
+        df,
+        is_hr=F.col("event_type") == "hr",
+        is_bp=F.col("event_type") == "bp",
+        hr_reading=F.col("value"),
+        bp_reading=F.col("value"),
+        length_s=L,
+        slide_s=S,
+    )
+    exp_qual, exp_gap, exp_lead = _py_reference(events)
+    got_qual = {(r.user_id, r.wstart) for r in qual.collect()}
+    assert got_qual == exp_qual
+    got_gap = {
+        (r.user_id, r.wstart)
+        for r in throttle_gap(qual, "wstart", C, ["user_id"]).collect()
+    }
+    assert got_gap == exp_gap
+    got_lead = {
+        (r.user_id, r.wstart)
+        for r in throttle_leading(qual, "wstart", C, ["user_id"]).collect()
+    }
+    assert got_lead == exp_lead

@@ -1,0 +1,45 @@
+"""Interval-join alternate plan (J2): fixture F-C golden + cross-plan
+agreement with the union/sliding-window primary plan."""
+
+from __future__ import annotations
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    alerts_stream,
+    alerts_stream_interval,
+)
+from tests.test_streaming import FIXTURE_A, _run, tmpdir  # noqa: F401
+
+# sentinels that pass the hr/bp filters but can never pair or alert
+HR_SENTINEL = (300, "hr", -1, 200)
+BP_SENTINEL = (400, "bp", -2, 50)
+
+
+def test_fixture_c_kafka_demo(spark, tmpdir):
+    """F-C (`KafkaBiometricAlertStreamProcessor.scala:119-121`): two
+    hr events pair with one bp event within ±15 s; limiter emits one
+    alert."""
+    rows = [
+        (0, "bp", 12345, 92), (0, "hr", 12345, 200), (0, "hr", 12345, 200),
+        HR_SENTINEL, BP_SENTINEL,
+    ]
+    res = _run(spark, tmpdir, [rows], alerts_stream_interval,
+               tolerance_s=15, cooldown_s=15)
+    rows_out = res.collect()
+    assert [(r.user_id, r.message) for r in rows_out] == [
+        (12345, "User 12345 has a problem")
+    ]
+    assert rows_out[0].n_pairs == 2
+
+
+def test_interval_plan_agrees_with_window_plan(spark, tmpdir):
+    """Both physical plans answer the same logical query: with
+    tolerance = L − S the interval-join plan produces the same alerted
+    users/episodes as the sliding-window plan on fixture F-A."""
+    fixture = FIXTURE_A + [HR_SENTINEL, BP_SENTINEL]
+    win = _run(spark, tmpdir, [fixture], alerts_stream,
+               length_s=5, slide_s=1, cooldown_s=15)
+    ij = _run(spark, tmpdir, [fixture], alerts_stream_interval,
+              tolerance_s=4, cooldown_s=15)
+    w_users = sorted(r.user_id for r in win.collect() if r.user_id > 0)
+    i_users = sorted(r.user_id for r in ij.collect() if r.user_id > 0)
+    assert w_users == i_users == [12346]

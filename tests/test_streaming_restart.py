@@ -1,0 +1,68 @@
+"""Exactly-once alert episodes across restarts (SURVEY §7.4): stop a
+streaming query mid-stream, restart from the same checkpoint, and
+assert the cooldown state machine survived — suppression within the
+cooldown, re-arm after it."""
+
+from __future__ import annotations
+
+import uuid
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    alerts_stream,
+    read_events_stream,
+)
+from biometric_stream_processing_spark.streaming.state import (
+    alerts_stream_leading,
+)
+from tests.test_streaming import SCHEMA, SENTINEL, _write_batches, tmpdir  # noqa: F401
+
+L, S, C = 10, 1, 60
+
+
+def _start(spark, indir, ckpt, outdir, builder):
+    """Parquet sink — the fault-tolerant path (memory sinks cannot
+    recover from a checkpoint); `_spark_metadata` gives the
+    exactly-once view of the output."""
+    src = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    out = builder(src, length_s=L, slide_s=S, cooldown_s=C)
+    return (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt)).start()
+    )
+
+
+def _restart_case(spark, tmpdir, builder, second_offset):
+    """Qualifying pair at t=0 (before restart) and at t=second_offset
+    (after restart); returns total alerts across both runs."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    _write_batches(spark, indir, [
+        [(0, "bp", 42, 85), (0, "hr", 42, 150)],
+    ])
+    q = _start(spark, indir, ckpt, outdir, builder)
+    q.processAllAvailable(); q.stop()
+
+    _write_batches(spark, indir, [
+        [(second_offset, "bp", 42, 85), (second_offset, "hr", 42, 150), SENTINEL],
+    ])
+    q = _start(spark, indir, ckpt, outdir, builder)  # same checkpoint
+    q.processAllAvailable(); q.stop()
+    return spark.read.parquet(str(outdir)).count()
+
+
+def test_suppression_survives_restart_stateful(spark, tmpdir):
+    assert _restart_case(spark, tmpdir, alerts_stream_leading, C // 2) == 1
+
+
+def test_rearm_survives_restart_stateful(spark, tmpdir):
+    assert _restart_case(spark, tmpdir, alerts_stream_leading, C + L + 1) == 2
+
+
+def test_suppression_survives_restart_declarative(spark, tmpdir):
+    assert _restart_case(spark, tmpdir, alerts_stream, C // 2) == 1
+
+
+def test_rearm_survives_restart_declarative(spark, tmpdir):
+    assert _restart_case(spark, tmpdir, alerts_stream, C + L + 1) == 2
