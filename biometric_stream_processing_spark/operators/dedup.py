@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 from ..functions.text import minhash_sig, shingles, words
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before CPU-heavy
+    per-row expressions. The test corpus arrives as one parquet file →
+    one partition → single-threaded hashing; at 100 TB the scan is
+    already split and AQE would keep this a no-op-sized shuffle of
+    pointers, so the explicit repartition only guards the small-file
+    degenerate case."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content hash, keep the min id as
@@ -44,7 +54,7 @@ def minhash_bands(
     md5 of the band's concatenated signature rows."""
     rows = num_hashes // bands
     ws = words(F.col(text_col))
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), shingles(ws, shingle_n).alias("_sh")
     ).where(F.size("_sh") > 0)
     sig = sh.select(F.col(id_col), *minhash_sig(F.col("_sh"), num_hashes))
@@ -62,13 +72,25 @@ def minhash_bands(
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct id pairs sharing any (band, bucket)."""
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    """Distinct id pairs sharing any (band, bucket).
+
+    Shaped as ONE aggregation + in-bucket pair expansion rather than a
+    self-join: a self-join would execute the (expensive) signature
+    subtree twice — Catalyst's ReuseExchange can't kick in because the
+    two sides' alias projections differ. Grouping computes signatures
+    once and shuffles only (band, bucket, id); the double explode then
+    expands pairs inside each bucket. Hot buckets are inherently
+    quadratic in either formulation (that's LSH); at scale you bound
+    them by increasing bands/rows, not by join strategy."""
+    members = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        members.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -84,19 +106,20 @@ def jaccard_verify(
     stage). Joins the (small) candidate set back to the corpus twice;
     at scale both joins are shuffle-hash on doc id, and the Jaccard is
     a per-row array expression (codegen, no UDF)."""
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.array_distinct(shingles(words(F.col(text_col)), shingle_n)).alias("_s"),
     )
     out = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a")
-                     .withColumnRenamed("_s", "_sa"), "id_a")
+        _spread(pairs)
+        .join(sh.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("_s", "_sa"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b")
                 .withColumnRenamed("_s", "_sb"), "id_b")
     )
-    n_inter = F.size(F.filter(
-        F.col("_sa"), lambda x: F.array_contains(F.col("_sb"), x)
-    ))
+    # hash-based set intersection (O(n+m)); inputs are distinct arrays,
+    # so the count equals the oracle's list_filter/list_contains scan
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
     n_union = F.size("_sa") + F.size("_sb") - n_inter
     jac = F.when(n_union > 0, n_inter.cast("double") / n_union.cast("double"))
     return out.select(

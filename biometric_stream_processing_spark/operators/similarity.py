@@ -35,6 +35,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_double(a, b) / (norm_double(a) * norm_double(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition before CPU-heavy vector math — guards
+    the single-file/single-partition degenerate case (see
+    dedup._spread); a no-op cost at real scale."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -44,20 +51,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self
     excluded), deterministic tiebreak on neighbor id. Queries are
-    broadcast; the corpus never shuffles."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    broadcast; the corpus never shuffles (beyond the degenerate-case
+    spread). Norms are computed ONCE per row before the join — same
+    left-fold, so the cosine value is bit-identical to the per-pair
+    form — which cuts the per-pair higher-order-function work to the
+    dot product alone."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_double(F.col(vec_col)).alias("_qn"),
+    ))
+    c = _spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_double(F.col(vec_col)).alias("_cn"),
+    ))
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+            (dot_double(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -83,21 +96,22 @@ def similar_pairs_blocked(
     key keeps this a shuffle-hash join instead of a cross product; at
     scale the block key is an LSH bucket (random-hyperplane signs) or
     IVF centroid id."""
-    a = df.select(
+    base = df.select(
         F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm_double(F.col(vec_col)).alias("_n"),  # once per row, not per pair
     )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-    )
+    a = base.select(F.col("_blk"), F.col("_id").alias("id_a"),
+                    F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_blk"), F.col("_id").alias("id_b"),
+                    F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = _spread(a.join(b, "_blk").where(F.col("id_a") < F.col("id_b")))
     return (
-        a.join(b, "_blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+        pairs.select(
+            "id_a", "id_b",
+            (dot_double(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("_cos"),
         )
         .where(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))

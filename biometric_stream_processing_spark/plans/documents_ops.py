@@ -193,11 +193,13 @@ WITH docs AS (
   SELECT doc_id,
          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS sh
   FROM docs WHERE len(ws) >= {SHINGLE_N}
+), hashed AS (
+  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM sh
 ), sig AS (
   SELECT doc_id,
-         {", ".join(f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS m{s}"
+         {", ".join(f"list_min(list_transform(hs, h -> substring(h, {4 * s + 1}, 4))) AS m{s}"
                     for s in range(NUM_HASHES))}
-  FROM sh
+  FROM hashed
 ), bands AS (
   SELECT doc_id, b.band,
          CASE b.band WHEN 0 THEN md5(m0 || m1) WHEN 1 THEN md5(m2 || m3)

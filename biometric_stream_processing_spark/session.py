@@ -35,6 +35,15 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+# Driver heap override hook (local mode = single JVM, driver heap is
+# all the memory). Default JVM sizing measures FASTER here than large
+# heaps for the object-heavy higher-order-function queries (G1 at 8g+
+# was 10x slower on array-intersect workloads — measured), so no
+# default override.
+_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+if _mem:
+    DEFAULT_CONFS["spark.driver.memory"] = _mem
+
 
 def get_spark(
     app_name: str = "biometric_stream_processing_spark",

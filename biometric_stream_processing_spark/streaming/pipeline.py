@@ -204,6 +204,12 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    # State-store overhead scales with partition count; at test scale 8
+    # partitions cut micro-batch commit cost ~3× (a 1000-executor
+    # deployment would raise this with cluster size — it's the state
+    # parallelism knob, locked into the checkpoint at first run).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
     src = (
@@ -222,9 +228,12 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
     )
     name = "stream_alerts_" + uuid.uuid4().hex[:8]
-    out = run_stream_to_memory(
-        alerts, name, tempfile.mkdtemp(prefix="bspe_ckpt_")
-    )
+    try:
+        out = run_stream_to_memory(
+            alerts, name, tempfile.mkdtemp(prefix="bspe_ckpt_")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # alert_wt is the first qualifying window's event-time (end - 1μs);
     # recover the window START epoch to match the batch twin's shape.
     return out.select(
