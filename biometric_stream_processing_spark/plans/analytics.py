@@ -39,6 +39,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(charge, "sum_charge"),
             F.count("*").alias("count_order"),
         )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
     )
 
 
@@ -137,6 +139,81 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def users_with_both_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (§2.8 exposes the full set-op family the
+    reference lacks)."""
+    ev = _t(spark, sf_dir, "events")
+    hr_users = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    bp_users = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    return hr_users.intersect(bp_users)
+
+
+def users_never_purchasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: users with no high-value (> 280) purchase."""
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id").distinct()
+    big = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 280)
+    ).select("user_id").distinct()
+    return all_users.exceptAll(big).distinct()
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family (lag, rank, running frame sums — §2.6
+    note: absent in the reference, our batch-oracle form of the rate
+    limiter uses the same machinery). Running sums accumulate in exact
+    DECIMAL over a total order (o_orderdate, o_orderkey) so the
+    running doubles are engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(run)
+         .cast("double").alias("running_spend"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping flags (grouping-sets family beyond rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL): engines' sketches differ, so the
+    oracle checks the *accuracy contract* — approx within max(3, 10%)
+    of exact — which both engines must satisfy. Output is the exact
+    count plus the boolean bound check."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("_ap"),
+    )
+    tol = F.greatest(F.lit(3.0), F.col("n_exact") * 0.1)
+    return agg.select(
+        "event_type", "n_exact",
+        (F.abs(F.col("_ap") - F.col("n_exact")) <= tol).alias("approx_ok"),
+    )
+
+
 def distinct_user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT surface (§2.8 'no intersect/except anywhere' — distinct
     exposed as the basic set op)."""
@@ -153,7 +230,9 @@ ORACLE = {
                {_DSUM.format(e='l_extendedprice')} AS sum_base_price,
                {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
                {_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-               count(*) AS count_order
+               count(*) AS count_order,
+               {_DSUM.format(e='l_quantity')} / count(*) AS avg_qty,
+               {_DSUM.format(e='l_extendedprice')} / count(*) AS avg_price
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -206,6 +285,43 @@ ORACLE = {
     "distinct_user_type_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    "users_with_both_streams": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    """,
+    "users_never_purchasing": """
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 280
+    """,
+    "customer_running_totals": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_seq,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "status_priority_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "approx_distinct_bounds": """
+        SELECT event_type, count(DISTINCT user_id) AS n_exact,
+               abs(approx_count_distinct(user_id)
+                   - count(DISTINCT user_id))
+                 <= greatest(3.0, count(DISTINCT user_id) * 0.1) AS approx_ok
+        FROM events GROUP BY event_type
+    """,
 }
 
 QUERIES = {
@@ -217,4 +333,9 @@ QUERIES = {
     "order_priority_pivot": order_priority_pivot,
     "top_orders": top_orders,
     "distinct_user_type_pairs": distinct_user_type_pairs,
+    "users_with_both_streams": users_with_both_streams,
+    "users_never_purchasing": users_never_purchasing,
+    "customer_running_totals": customer_running_totals,
+    "status_priority_cube": status_priority_cube,
+    "approx_distinct_bounds": approx_distinct_bounds,
 }

@@ -142,6 +142,31 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cogrouped_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (Beam CoGroupByKey / A2 list-concat shape,
+    `README.md:416-421`, `Spark.scala:25-27`): per-user value list.
+    Values encode as sorted integer cents joined into one string —
+    array-free output so the hash is engine-neutral (double→string
+    formatting differs across engines; double→bigint casts truncate in
+    Spark but round in DuckDB, hence the explicit round)."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(cents)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("values_cents"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ A: stats
 
 def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +248,13 @@ ORACLE = {
                min(es) AS start_es, max(es) AS end_es
         FROM sessions GROUP BY 1, 2
     """,
+    "cogrouped_purchase_values": """
+        SELECT user_id,
+               list_aggregate(list_sort(list(CAST(round(value * 100, 0) AS BIGINT))),
+                              'string_agg', ',') AS values_cents,
+               count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
     "event_type_stats": """
         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
                round(min(value), 2) AS min_value,
@@ -239,5 +271,6 @@ QUERIES = {
     "full_outer_daily": full_outer_daily,
     "tumbling_hourly": tumbling_hourly,
     "user_sessions": user_sessions,
+    "cogrouped_purchase_values": cogrouped_purchase_values,
     "event_type_stats": event_type_stats,
 }

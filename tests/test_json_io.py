@@ -1,0 +1,45 @@
+"""JSON wire-format parity tests (P1-P4): snake_case schemas, unknown
+fields ignored, strict-vs-permissive malformed handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.functions.json_io import (
+    parse_events,
+    parse_json,
+    serialize_json,
+)
+from biometric_stream_processing_spark.schemas import HEART_RATE_SCHEMA
+
+
+def test_parse_snake_case_and_unknown_fields_ignored(spark):
+    """Unknown JSON keys are dropped by schema projection — Jackson's
+    FAIL_ON_UNKNOWN_PROPERTIES=false (`Spark.scala:20`)."""
+    df = spark.createDataFrame(
+        [('{"user_id": 12345, "heart_rate": 200, "junk": "x"}',)], "raw string"
+    )
+    out = parse_events(df, "raw", HEART_RATE_SCHEMA).collect()[0]
+    assert (out.user_id, out.heart_rate, out.timestamp) == (12345, 200, None)
+
+
+def test_permissive_malformed_yields_nulls(spark):
+    df = spark.createDataFrame([("{not json",)], "raw string")
+    out = parse_events(df, "raw", HEART_RATE_SCHEMA).collect()[0]
+    assert out.user_id is None
+
+
+def test_strict_malformed_raises(spark):
+    """FAILFAST matches the reference's throw-on-malformed
+    (`JsonSerde.scala:24-26`)."""
+    df = spark.createDataFrame([("{not json",)], "raw string")
+    strict = df.select(parse_json(F.col("raw"), HEART_RATE_SCHEMA, strict=True))
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        strict.collect()
+
+
+def test_serialize_roundtrip(spark):
+    df = spark.createDataFrame([(12345, 200)], "user_id long, heart_rate int")
+    j = df.select(serialize_json("user_id", "heart_rate").alias("j")).collect()[0].j
+    assert j == '{"user_id":12345,"heart_rate":200}'
