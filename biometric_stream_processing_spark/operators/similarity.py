@@ -84,6 +84,84 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine (deterministic tiebreak on centroid id) — the IVF coarse
+    quantizer. Centroids broadcast (they're small by construction);
+    output (id, vec, cell, probe_rank).
+
+    Scale: this is the step that turns O(Q·N) brute force into
+    O(Q·N/cells·nprobe) — corpus partitioned by cell, queries probe
+    only their nearest cells."""
+    c = F.broadcast(centroids.select(
+        F.col(cid_col).alias("_cid"), F.col(vec_col).alias("_cv"),
+        norm_double(F.col(vec_col)).alias("_cn"),
+    ))
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        norm_double(F.col(vec_col)).alias("_vn"),
+    )
+    scored = v.join(c, F.lit(True)).select(
+        id_col, vec_col,
+        F.col("_cid"),
+        (dot_double(F.col(vec_col), F.col("_cv"))
+         / (F.col("_vn") * F.col("_cn"))).alias("_ccos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, F.col("_cid").alias("cell"), "probe_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest cell; each query probes its ``nprobe`` nearest cells and
+    ranks only those cells' members. The cell equi-join replaces the
+    brute-force cross product."""
+    corpus_cells = ivf_assign(corpus, centroids, 1, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv2"),
+        "cell",
+    ).withColumn("_cn2", norm_double(F.col("_cv2")))
+    query_probes = ivf_assign(queries, centroids, nprobe, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv2"), "cell",
+    ).withColumn("_qn2", norm_double(F.col("_qv2")))
+    scored = (
+        query_probes.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_double(F.col("_qv2"), F.col("_cv2"))
+             / (F.col("_qn2") * F.col("_cn2"))).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def similar_pairs_blocked(
     df: DataFrame,
     block_col: str,

