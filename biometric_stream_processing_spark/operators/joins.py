@@ -67,6 +67,99 @@ def full_outer_keyed(
     return left.join(right, on, "full_outer")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (most recent right row with ``right_ts <= left_ts``
+    per key) — an operator Spark lacks natively, composed from
+    built-ins: tag + union + ``last(..., ignorenulls)`` over a
+    (key, time) window. Right rows sort before left rows at equal
+    timestamps, so the match is inclusive (DuckDB ASOF ``>=``
+    semantics).
+
+    Scale: one shuffle on the key, one sort per partition — the same
+    cost as any windowed analytic; no per-key Python. The right side
+    must be unique per (key, ts) for determinism — pre-aggregate it.
+    """
+    l = left.withColumn("_tag", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in value_cols],
+    )
+    uni = l.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key)
+        .orderBy(left_ts, "_tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = uni.select(
+        "*",
+        F.last(F.when(F.col("_tag") == 0, F.col(left_ts)), ignorenulls=True)
+         .over(w).alias(f"asof_{right_ts}"),
+        *[
+            F.last(F.when(F.col("_tag") == 0, F.col(c)), ignorenulls=True)
+             .over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [c for c in left.columns] + [f"asof_{right_ts}"] + [
+        f"asof_{c}" for c in value_cols
+    ]
+    return filled.where(F.col("_tag") == 1).select(*keep).drop("_tag")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    schema: str,
+) -> DataFrame:
+    """The same as-of join as a cogrouped-Pandas operator
+    (``groupBy().cogroup().applyInPandas`` + ``pd.merge_asof``) — the
+    J3 co-group shape (`README.md:416-421`) carrying real per-group
+    logic. Kept alongside the declarative form to validate both
+    strategies produce identical results (tested); prefer the
+    declarative one at scale (no Python workers)."""
+    import pandas as pd
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = (
+            r.sort_values(right_ts, kind="mergesort")
+            .rename(columns={right_ts: f"asof_{right_ts}"})
+            [[f"asof_{right_ts}"] + value_cols]
+            .rename(columns={c: f"asof_{c}" for c in value_cols})
+        )
+        if r.empty:
+            out = l.copy()
+            out[f"asof_{right_ts}"] = pd.NA
+            for c in value_cols:
+                out[f"asof_{c}"] = pd.NA
+            return out
+        return pd.merge_asof(
+            l, r, left_on=left_ts, right_on=f"asof_{right_ts}",
+            direction="backward", allow_exact_matches=True,
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(lambda l, r: merge(l, r), schema=schema)
+    )
+
+
 def cogroup_lists(
     df: DataFrame, keys: list[str], value_col: str, sorted_output: bool = True
 ) -> DataFrame:

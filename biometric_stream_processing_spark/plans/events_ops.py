@@ -142,6 +142,27 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_latest_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each hr (error) event annotated with the most
+    recent bp (view) reading at or before it, per user (the classic
+    'latest sensor reading' query; DuckDB oracles it with native
+    ASOF LEFT JOIN)."""
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    hr = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("hr_event_id"),
+        epoch_seconds(F.col("ts")).alias("es"),
+    )
+    bp = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", epoch_seconds(F.col("ts")).alias("bp_es"))
+        .agg(F.max(F.round("value", 2)).alias("bp_value"))
+    )
+    return asof_join(hr, bp, "user_id", "es", "bp_es", ["bp_value"])
+
+
 def cogrouped_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (Beam CoGroupByKey / A2 list-concat shape,
     `README.md:416-421`, `Spark.scala:25-27`): per-user value list.
@@ -248,6 +269,21 @@ ORACLE = {
                min(es) AS start_es, max(es) AS end_es
         FROM sessions GROUP BY 1, 2
     """,
+    "asof_latest_reading": """
+        WITH hr AS (
+          SELECT user_id, event_id AS hr_event_id,
+                 epoch_us(ts)//1000000 AS es
+          FROM events WHERE event_type = 'error'
+        ), bp AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS bp_es,
+                 max(round(value, 2)) AS bp_value
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT hr.user_id, hr_event_id, es,
+               bp.bp_es AS asof_bp_es, bp.bp_value AS asof_bp_value
+        FROM hr ASOF LEFT JOIN bp
+          ON hr.user_id = bp.user_id AND hr.es >= bp.bp_es
+    """,
     "cogrouped_purchase_values": """
         SELECT user_id,
                list_aggregate(list_sort(list(CAST(round(value * 100, 0) AS BIGINT))),
@@ -271,6 +307,7 @@ QUERIES = {
     "full_outer_daily": full_outer_daily,
     "tumbling_hourly": tumbling_hourly,
     "user_sessions": user_sessions,
+    "asof_latest_reading": asof_latest_reading,
     "cogrouped_purchase_values": cogrouped_purchase_values,
     "event_type_stats": event_type_stats,
 }

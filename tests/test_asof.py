@@ -1,0 +1,45 @@
+"""As-of join: declarative (union + last-ignore-nulls window) vs
+cogrouped-Pandas (merge_asof) strategies must agree, including
+no-match and exact-match edges."""
+
+from __future__ import annotations
+
+from biometric_stream_processing_spark.operators.joins import (
+    asof_join,
+    asof_join_cogroup,
+)
+
+
+def _frames(spark):
+    hr = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (1, 50, 12), (2, 300, 13), (3, 400, 14)],
+        "user_id long, hr_event_id long, es long",
+    )
+    bp = spark.createDataFrame(
+        [(1, 9, 80.0), (1, 11, 85.0), (2, 20, 90.0)],
+        "user_id long, bp_es long, bp_value double",
+    )
+    return hr, bp
+
+
+def test_asof_strategies_agree(spark):
+    hr, bp = _frames(spark)
+    decl = {
+        tuple(r) for r in asof_join(
+            hr, bp, "user_id", "es", "bp_es", ["bp_value"]
+        ).collect()
+    }
+    schema = ("user_id long, hr_event_id long, es long, "
+              "asof_bp_es long, asof_bp_value double")
+    cg = {
+        tuple(r) for r in asof_join_cogroup(
+            hr, bp, "user_id", "es", "bp_es", ["bp_value"], schema
+        ).collect()
+    }
+    assert decl == cg
+    by_event = {r[1]: r for r in decl}
+    assert by_event[100][3:] == (9, 80.0)    # es=10 → bp@9
+    assert by_event[200][3:] == (11, 85.0)   # exact match inclusive
+    assert by_event[50][3:] == (11, 85.0)    # es=12 → latest bp@11
+    assert by_event[300][3:] == (None, None)  # bp only at 20 > 13
+    assert by_event[400][3:] == (None, None)  # user 3 has no bp
