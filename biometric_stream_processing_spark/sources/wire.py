@@ -1,0 +1,94 @@
+"""Wire-format ingestion (SURVEY §2.1 S1-S6): the reference's inputs
+are JSON lines with snake_case keys, epoch-millis timestamps
+(`{"user_id":12345,"heart_rate":200,"timestamp":1491423892000}` —
+FIXTURES.md §1), fed from in-memory queues or Kafka topics. Spark
+equivalents: JSON file/stream sources with explicit schemas (never
+inference in production) and the Kafka connector.
+
+Kafka constructors are untestable here (no broker or kafka jars in
+the environment) but are the exact production wiring; everything
+downstream of the source is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BLOOD_PRESSURE_SCHEMA, HEART_RATE_SCHEMA
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """epoch-millis ``timestamp`` (`Akka...scala:27-28`) → TimestampType
+    ``ts``; events without one fall back to ingest time (the DStream
+    variant's processing-time semantics, documented divergence)."""
+    ts = F.when(
+        F.col("timestamp").isNotNull(),
+        F.timestamp_millis(F.col("timestamp")),
+    ).otherwise(F.current_timestamp())
+    return df.withColumn("ts", ts).drop("timestamp")
+
+
+def read_heart_rate_json(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """JSON-lines heart-rate source → (user_id, heart_rate, ts)."""
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(HEART_RATE_SCHEMA).json(path)
+    return _with_event_time(raw)
+
+
+def read_blood_pressure_json(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(BLOOD_PRESSURE_SCHEMA).json(path)
+    return _with_event_time(raw)
+
+
+def read_kafka_json(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:  # pragma: no cover - needs a broker + kafka jars
+    """S4 (`KafkaBiometricAlertStreamProcessor.scala:29-30`): Kafka
+    topic → typed event stream. ``value`` bytes are the JSON wire
+    format; parse with the explicit schema (PERMISSIVE; pass
+    mode=FAILFAST via from_json options for `JsonSerde.scala:24-26`
+    strictness)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+    return _with_event_time(parsed)
+
+
+def write_kafka_json(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = "user_id",
+):  # pragma: no cover - needs a broker + kafka jars
+    """S5: typed rows → JSON wire format → Kafka sink (exactly-once
+    via checkpoint; `to_json(struct(*))` is `JsonSerde.scala:40-47`)."""
+    out = df.select(
+        (F.col(key_col).cast("string") if key_col else F.lit(None)).alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Wire-format ingestion tests: the reference's exact JSON lines
+(snake_case, epoch millis, unknown fields) through batch and
+streaming file sources into the alert pipeline."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.alerting import (
+    qualifying_windows,
+    union_streams,
+)
+from biometric_stream_processing_spark.sources.wire import (
+    read_blood_pressure_json,
+    read_heart_rate_json,
+)
+
+T0_MS = 1704067200000  # 2024-01-01T00:00:00Z
+
+HR_LINES = [
+    '{"user_id":12345,"heart_rate":200,"timestamp":%d}' % (T0_MS + 2000),
+    '{"user_id":12346,"heart_rate":101,"timestamp":%d,"extra":"ignored"}'
+    % (T0_MS + 2000),
+]
+BP_LINES = [
+    '{"user_id":12345,"systolic":120,"diastolic":80,"timestamp":%d}' % T0_MS,
+    '{"user_id":12346,"systolic":80,"diastolic":80,"timestamp":%d}' % T0_MS,
+]
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.mkdir()
+    (p / "part-0.json").write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_wire_json_to_alerts(spark, tmp_path):
+    """Fixture F-A over the actual wire format, end to end to
+    qualifying windows."""
+    hr = read_heart_rate_json(spark, _write(tmp_path, "hr", HR_LINES))
+    bp = read_blood_pressure_json(spark, _write(tmp_path, "bp", BP_LINES))
+    assert set(hr.columns) == {"user_id", "heart_rate", "ts"}
+    uni = union_streams(
+        hr.select("user_id", "ts", F.col("heart_rate").cast("double").alias("value")),
+        bp.select("user_id", "ts", F.col("systolic").cast("double").alias("value")),
+    )
+    qual = qualifying_windows(
+        uni,
+        is_hr=F.col("event_type") == "hr",
+        is_bp=F.col("event_type") == "bp",
+        hr_reading=F.col("value"),
+        bp_reading=F.col("value"),
+        length_s=5,
+        slide_s=1,
+    )
+    assert sorted({r.user_id for r in qual.collect()}) == [12346]
+
+
+def test_wire_json_streaming_source(spark, tmp_path):
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+
+    path = _write(tmp_path, "hrs", HR_LINES)
+    src = read_heart_rate_json(spark, path, streaming=True)
+    name = "wire" + uuid.uuid4().hex[:8]
+    out = run_stream_to_memory(
+        src.select("user_id", "heart_rate", "ts"),
+        name, str(tmp_path / "ckpt"),
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {r.user_id for r in rows} == {12345, 12346}
