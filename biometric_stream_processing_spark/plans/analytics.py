@@ -126,6 +126,22 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via ``stack`` — the inverse of ``order_priority_pivot``
+    (wide → long); missing combos survive as explicit zero rows."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return piv.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', O, 'F', F, 'P', P) as (status, n)",
+    )
+
+
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + limit (§2.8): top-20 orders by totalprice, unique
     tiebreak on o_orderkey → deterministic. Spark executes this as
@@ -278,6 +294,15 @@ ORACLE = {
                count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
         FROM orders GROUP BY o_orderpriority
     """,
+    "order_counts_unpivot": """
+        SELECT p.o_orderpriority, s.status, coalesce(c.n, 0) AS n
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        CROSS JOIN (SELECT unnest(['O', 'F', 'P']) AS status) s
+        LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                   FROM orders GROUP BY 1, 2) c
+          ON c.o_orderpriority = p.o_orderpriority
+         AND c.o_orderstatus = s.status
+    """,
     "top_orders": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
@@ -331,6 +356,7 @@ QUERIES = {
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
     "order_priority_pivot": order_priority_pivot,
+    "order_counts_unpivot": order_counts_unpivot,
     "top_orders": top_orders,
     "distinct_user_type_pairs": distinct_user_type_pairs,
     "users_with_both_streams": users_with_both_streams,

@@ -188,6 +188,33 @@ def cogrouped_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def native_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 via the NATIVE batch ``session_window`` operator (Spark 3.2+)
+    — the engine-managed twin of the gaps-and-islands ``user_sessions``
+    query (session starts when the gap ≥ 2 h; islands SQL oracle)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            epoch_seconds(F.col("session_window.start")).alias("start_es"),
+            "n_events",
+        )
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based; both engines use
+    linear interpolation → bit-identical doubles; the approx sketch
+    variant is ``approx_distinct_bounds``-style bounded instead)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
 # ------------------------------------------------------------------ A: stats
 
 def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +296,31 @@ ORACLE = {
                min(es) AS start_es, max(es) AS end_es
         FROM sessions GROUP BY 1, 2
     """,
+    "native_session_stats": f"""
+        WITH e AS (
+          SELECT user_id, ts, epoch_us(ts)//1000000 AS es FROM events
+        ), flagged AS (
+          SELECT user_id, ts, es,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= {SESSION_GAP_S}::BIGINT * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+          SELECT user_id, es,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(es) AS start_es, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM events GROUP BY event_type
+    """,
     "asof_latest_reading": """
         WITH hr AS (
           SELECT user_id, event_id AS hr_event_id,
@@ -307,6 +359,8 @@ QUERIES = {
     "full_outer_daily": full_outer_daily,
     "tumbling_hourly": tumbling_hourly,
     "user_sessions": user_sessions,
+    "native_session_stats": native_session_stats,
+    "value_percentiles": value_percentiles,
     "asof_latest_reading": asof_latest_reading,
     "cogrouped_purchase_values": cogrouped_purchase_values,
     "event_type_stats": event_type_stats,
