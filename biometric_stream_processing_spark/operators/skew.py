@@ -1,0 +1,42 @@
+"""Skew mitigation (100 TB design, SURVEY §4.2 / brief): AQE's skew
+join handles joins (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in session.py); this module covers the aggregation side —
+two-phase salted distinct aggregation, the pattern for `COUNT(DISTINCT
+x)` over keys whose groups are wildly unbalanced.
+
+Phase 1 splits each group into ``n_salts`` sub-groups keyed by a hash
+of the distinct column (so equal values land in the same sub-group —
+exactness preserved), computes per-sub-group partial distincts, and
+phase 2 sums the partials. The hot group's distinct work spreads over
+``n_salts`` reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT distinct_col) per group, skew-spread.
+
+    Salt = hash of the VALUE (not random): every duplicate of a value
+    shares a salt, so per-salt distinct counts partition the global
+    distinct set and their sum is exact.
+    """
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(*group_cols, F.col(distinct_col), salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.countDistinct(distinct_col).alias("_pd"))
+    )
+    return (
+        partial.groupBy(*group_cols)
+        .agg(F.sum("_pd").alias(out_col))
+    )

@@ -188,6 +188,17 @@ def cogrouped_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT) (skew path, operators/skew.py)
+    — oracle is the plain distinct count, proving exactness."""
+    from ..operators.skew import salted_distinct_count
+
+    ev = _events(spark, sf_dir)
+    return salted_distinct_count(
+        ev, ["event_type"], "user_id", n_salts=16, out_col="n_users"
+    )
+
+
 def native_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 via the NATIVE batch ``session_window`` operator (Spark 3.2+)
     — the engine-managed twin of the gaps-and-islands ``user_sessions``
@@ -296,6 +307,10 @@ ORACLE = {
                min(es) AS start_es, max(es) AS end_es
         FROM sessions GROUP BY 1, 2
     """,
+    "salted_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "native_session_stats": f"""
         WITH e AS (
           SELECT user_id, ts, epoch_us(ts)//1000000 AS es FROM events
@@ -359,6 +374,7 @@ QUERIES = {
     "full_outer_daily": full_outer_daily,
     "tumbling_hourly": tumbling_hourly,
     "user_sessions": user_sessions,
+    "salted_distinct_users": salted_distinct_users,
     "native_session_stats": native_session_stats,
     "value_percentiles": value_percentiles,
     "asof_latest_reading": asof_latest_reading,

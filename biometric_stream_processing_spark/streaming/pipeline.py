@@ -133,10 +133,14 @@ def alerts_stream_interval(
     interval join — qualifying hr×bp pairs with |hr_ts − bp_ts| ≤
     tolerance per user — then chained session-window episode dedup.
 
-    Equivalence: for second-aligned events, "both in some sliding
-    (L, S) window" ⟺ "|Δts| ≤ L − S", so this plan with
-    ``tolerance_s = L − S`` yields the same alert episodes as
-    ``alerts_stream`` (validated in tests).
+    Equivalence: for second-aligned events and slide 1 s, "both in
+    some sliding (L, 1) window" ⟺ "|Δts| ≤ L − 1", so this plan with
+    ``tolerance_s = L − 1`` yields the same alert episodes as
+    ``alerts_stream`` (hypothesis-tested). With coarser slides the
+    window plan's reach depends on epoch alignment (between L−S and
+    L−1), while the interval predicate is alignment-free — pick the
+    tolerance to taste; the pairing semantics here match Kafka's
+    ``JoinWindows.of`` exactly.
 
     Scale: the join state holds each side for ``tolerance`` +
     watermark delay (time-bounded buffers, GC'd by the two

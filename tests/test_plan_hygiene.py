@@ -1,0 +1,46 @@
+"""Plan-hygiene regression tests: the physical plans the engine is
+designed around must not silently degrade — filters reach the parquet
+scan, projections prune columns, dim joins broadcast (the brief's
+`.explain` discipline, checked in CI)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from biometric_stream_processing_spark.plans import analytics, biometric
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    p = _plan(analytics.q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read  # unused columns pruned from the scan
+    assert "l_quantity" in read
+
+
+def test_alert_predicate_pushdown(spark):
+    """The composite OR-of-ANDs alert predicate must reach the scan."""
+    p = _plan(biometric.alert_windows(spark, SF_DIR))
+    assert "Or(And(EqualTo(event_type,error),GreaterThan(value,100.0))" in p
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(analytics.regional_revenue_rollup(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global sort+limit must compile to TakeOrderedAndProject, not a
+    full sort."""
+    p = _plan(analytics.top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p

@@ -99,3 +99,35 @@ def test_pipeline_matches_reference(spark, events):
         for r in throttle_leading(qual, "wstart", C, ["user_id"]).collect()
     }
     assert got_lead == exp_lead
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(event_st, min_size=1, max_size=12))
+def test_interval_join_equals_window_plan(spark, events):
+    """J2 ⟺ W1 equivalence: with slide 1 s, a user has a qualifying
+    sliding (L, 1) window iff some hr/bp pair lies within
+    |Δts| ≤ L − 1. (Only exact for slide=1 — coarser slides admit
+    pairs up to Δ = L−1 when favorably aligned, which is why the
+    streaming cross-plan test also uses slide 1.)"""
+    from biometric_stream_processing_spark.operators.joins import interval_join
+
+    df = _spark_events(spark, events)
+    qual = qualifying_windows(
+        df,
+        is_hr=F.col("event_type") == "hr",
+        is_bp=F.col("event_type") == "bp",
+        hr_reading=F.col("value"),
+        bp_reading=F.col("value"),
+        length_s=L,
+        slide_s=1,
+    )
+    window_users = {r.user_id for r in qual.select("user_id").distinct().collect()}
+    es = F.unix_timestamp("ts")
+    hr = df.where((F.col("event_type") == "hr") & (F.col("value") > 100)).select(
+        "user_id", es.alias("hr_es"))
+    bp = df.where((F.col("event_type") == "bp") & (F.col("value") < 100)).select(
+        "user_id", es.alias("bp_es"))
+    pairs = interval_join(hr, bp, "user_id", "hr_es", "bp_es", L - 1)
+    ij_users = {r.user_id for r in pairs.select("user_id").distinct().collect()}
+    assert window_users == ij_users
