@@ -90,6 +90,30 @@ def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_asia_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: region-filtered star join + per-nation revenue
+    over a date range. Region/nation broadcast; the date filter pushes
+    to the orders scan; revenue is exact-decimal."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    star = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        star.groupBy("n_name")
+        .agg(dsum(F.col("o_totalprice"), "revenue"),
+             F.count("*").alias("n_orders"))
+        .select("n_name", F.round("revenue", 2).alias("revenue"), "n_orders")
+    )
+
+
 def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) — customers having ≥1 open order."""
     c = _t(spark, sf_dir, "customer")
@@ -277,6 +301,19 @@ ORACLE = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    "q5_asia_revenue": f"""
+        SELECT n_name,
+               round({_DSUM.format(e='o_totalprice')}, 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
     "customers_with_orders": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -353,6 +390,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "top_customers_per_segment": top_customers_per_segment,
     "regional_revenue_rollup": regional_revenue_rollup,
+    "q5_asia_revenue": q5_asia_revenue,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
     "order_priority_pivot": order_priority_pivot,

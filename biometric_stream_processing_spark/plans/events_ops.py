@@ -188,6 +188,17 @@ def cogrouped_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → MAP type + explode (the map-column surface: Spark's
+    ``from_json`` to ``map<string,int>`` then entry explosion — covers
+    dynamic-key payloads where a fixed struct schema can't)."""
+    ev = _events(spark, sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id", F.explode(m).alias("key", "val")
+    )
+
+
 def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted COUNT(DISTINCT) (skew path, operators/skew.py)
     — oracle is the plain distinct count, proving exactness."""
@@ -307,6 +318,11 @@ ORACLE = {
                min(es) AS start_es, max(es) AS end_es
         FROM sessions GROUP BY 1, 2
     """,
+    "props_map_entries": """
+        SELECT event_id, k AS key,
+               CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val
+        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
     "salted_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
@@ -374,6 +390,7 @@ QUERIES = {
     "full_outer_daily": full_outer_daily,
     "tumbling_hourly": tumbling_hourly,
     "user_sessions": user_sessions,
+    "props_map_entries": props_map_entries,
     "salted_distinct_users": salted_distinct_users,
     "native_session_stats": native_session_stats,
     "value_percentiles": value_percentiles,

@@ -1,0 +1,53 @@
+"""RocksDB state store provider — the state backend a 100 TB
+deployment uses (bounded JVM heap, spill to local SSD, changelog
+checkpointing). The declarative alert pipeline must produce identical
+golden output under it."""
+
+from __future__ import annotations
+
+import uuid
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    alerts_stream,
+    read_events_stream,
+)
+from tests.test_streaming import FIXTURE_A, SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def test_fixture_a_under_rocksdb(spark, tmpdir):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        run = uuid.uuid4().hex[:10]
+        indir = tmpdir / "in" / run
+        _write_batches(spark, indir, [FIXTURE_A])
+        src = read_events_stream(spark, str(indir), SCHEMA,
+                                 max_files_per_trigger=1)
+        out = alerts_stream(src, length_s=5, slide_s=1, cooldown_s=5)
+        name = "rocks" + run
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmpdir / "ckpt" / run))
+            .start()
+        )
+        q.processAllAvailable()
+        # the state store actually in use must be RocksDB
+        assert "RocksDBStateStoreProvider" in q.lastProgress["stateOperators"][0][
+            "customMetrics"
+        ].__str__() or "rocksdb" in str(q.lastProgress).lower()
+        q.stop()
+        rows = spark.table(name).collect()
+        assert [(r.user_id, r.message) for r in rows] == [
+            (12346, "User 12346 has a problem")
+        ]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
