@@ -59,13 +59,19 @@ def fingerprint(col: Column) -> Column:
 
 def shingles(ws: Column, n: int = 2) -> Column:
     """Word n-gram shingles from a words array (1-indexed element_at,
-    mirroring SQL list indexing)."""
+    mirroring SQL list indexing). Documents with fewer than ``n`` words
+    yield an empty array — without the guard, ``F.sequence(1, size-n+1)``
+    would produce a DESCENDING range and ``element_at`` index 0 throws.
+    """
     idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    return F.transform(
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]
         ),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

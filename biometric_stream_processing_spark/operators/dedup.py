@@ -51,7 +51,17 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, bucket) rows: MinHash signature over word
     ``shingle_n``-grams, split into ``bands`` bands whose bucket is the
-    md5 of the band's concatenated signature rows."""
+    md5 of the band's concatenated signature rows.
+
+    Documents with fewer than ``shingle_n`` words have no shingles and
+    drop out here (explode of an empty array emits nothing) — matching
+    the oracle's ``WHERE len(ws) >= shingle_n`` filter."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands}); trailing signature rows would be "
+            "silently dropped, weakening LSH recall"
+        )
     rows = num_hashes // bands
     ws = words(F.col(text_col))
     # Explode-then-aggregate rather than per-row array folds: md5/min
@@ -79,26 +89,61 @@ def minhash_bands(
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", n_groups: int = 8
+) -> DataFrame:
     """Distinct id pairs sharing any (band, bucket).
 
-    Shaped as ONE aggregation + in-bucket pair expansion rather than a
+    Shaped as ONE aggregation + in-cell pair expansion rather than a
     self-join: a self-join would execute the (expensive) signature
     subtree twice — Catalyst's ReuseExchange can't kick in because the
     two sides' alias projections differ. Grouping computes signatures
-    once and shuffles only (band, bucket, id); the double explode then
-    expands pairs inside each bucket. Hot buckets are inherently
-    quadratic in either formulation (that's LSH); at scale you bound
-    them by increasing bands/rows, not by join strategy."""
+    once and shuffles only small (band, bucket, id) rows.
+
+    Skew safety (the 100 TB case): a degenerate hot bucket (thousands
+    of boilerplate near-identical docs sharing a band signature) must
+    not land its O(n) member list — let alone its O(n²) pairs — in one
+    task. Triangle partitioning bounds both: each member gets a
+    deterministic group ``g = xxhash64(id) % G`` and is replicated to
+    every group-pair cell ``(lo, hi)`` with ``lo = min(g, p), hi =
+    max(g, p)``; a pair (a, b) is emitted only by its single owning
+    cell ``(min(ga, gb), max(ga, gb))``, so no pair is duplicated and
+    no pair is missed. Per-cell membership is ≤ ~2n/G and per-cell
+    pair output ~n²/G², distributed over G(G+1)/2 cells — replication
+    costs G× on tiny rows, the classic all-pairs trade. Pick
+    ``n_groups`` ≈ sqrt(max plausible hot-bucket size / target rows
+    per task); the candidate-pair SET is independent of G."""
+    G = n_groups
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
+    m = bands_df.select(
+        "band", "bucket", F.col(id_col).alias("_id"), g.alias("_g")
+    )
+    # Statically unrolled cell list (codegen-friendly; interpreted
+    # higher-order functions are slow in this env for hot columns).
+    cell = F.explode(F.array(*[
+        F.struct(
+            F.least("_g", F.lit(p)).alias("lo"),
+            F.greatest("_g", F.lit(p)).alias("hi"),
+        )
+        for p in range(G)
+    ]))
+    cells = m.select("band", "bucket", "_id", "_g", cell.alias("_c")).select(
+        "band", "bucket", "_id", "_g", "_c.lo", "_c.hi"
+    )
     members = (
-        bands_df.groupBy("band", "bucket")
-        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .where(F.size("_ids") > 1)
+        cells.groupBy("band", "bucket", "lo", "hi")
+        .agg(F.collect_list(F.struct("_g", "_id")).alias("_ms"))
+        .where(F.size("_ms") > 1)
     )
     return (
-        members.select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+        members.select("lo", "hi", F.explode("_ms").alias("_a"), "_ms")
+        .select("lo", "hi", "_a", F.explode("_ms").alias("_b"))
+        .where(
+            (F.col("_a._id") < F.col("_b._id"))
+            & (F.least("_a._g", "_b._g") == F.col("lo"))
+            & (F.greatest("_a._g", "_b._g") == F.col("hi"))
+        )
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
         .distinct()
     )
 

@@ -41,21 +41,51 @@ def interval_join(
     row's bucket is unique). At 100 TB this shuffles on a composite key
     with ~3× left amplification instead of cogrouping entire key
     histories — time-locality bounds each join partition.
+
+    Outer variants can NOT pass ``how`` straight through the exploded
+    join (each unmatched left row would surface 3×, once per bucket);
+    instead the inner match runs first and unmatched originals are
+    unioned back with NULL fills (``unionByName`` with missing
+    columns). Unmatched-left identity uses
+    ``monotonically_increasing_id`` — stable for a deterministic input
+    partitioning, which parquet scans provide.
     """
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"interval_join supports inner/left_outer/full_outer, got {how!r}"
+        )
     lb = (F.col(left_ts) / tolerance_s).cast("long")
     rb = (F.col(right_ts) / tolerance_s).cast("long")
-    l = left.withColumn(
-        "_bkt", F.explode(F.array(lb - 1, lb, lb + 1))
-    )
-    r = right.withColumn("_bkt", rb)
-    cond = (
-        (l[key] == r[key])
-        & (l["_bkt"] == r["_bkt"])
-        & (F.abs(l[left_ts] - r[right_ts]) <= tolerance_s)
-    )
-    out = l.join(r, cond, how).drop("_bkt")
-    # drop the duplicated key column from the right side
-    return out.drop(r[key])
+
+    def _inner(lsrc: DataFrame) -> DataFrame:
+        l = lsrc.withColumn("_bkt", F.explode(F.array(lb - 1, lb, lb + 1)))
+        r = right.withColumn("_bkt", rb)
+        cond = (
+            (l[key] == r[key])
+            & (l["_bkt"] == r["_bkt"])
+            & (F.abs(l[left_ts] - r[right_ts]) <= tolerance_s)
+        )
+        # drop the duplicated key column from the right side
+        return l.join(r, cond, "inner").drop("_bkt").drop(r[key])
+
+    if how == "inner":
+        return _inner(left)
+
+    l0 = left.withColumn("_lid", F.monotonically_increasing_id())
+    inner = _inner(l0)
+    unmatched_l = l0.join(inner.select("_lid"), "_lid", "left_anti")
+    out = inner.unionByName(unmatched_l, allowMissingColumns=True)
+    if how == "full_outer":
+        l = left.withColumn("_bkt", F.explode(F.array(lb - 1, lb, lb + 1)))
+        r = right.withColumn("_bkt", rb)
+        cond = (
+            (r[key] == l[key])
+            & (r["_bkt"] == l["_bkt"])
+            & (F.abs(l[left_ts] - r[right_ts]) <= tolerance_s)
+        )
+        unmatched_r = r.join(l, cond, "left_anti").drop("_bkt")
+        out = out.unionByName(unmatched_r, allowMissingColumns=True)
+    return out.drop("_lid")
 
 
 def full_outer_keyed(
@@ -85,7 +115,24 @@ def asof_join(
     Scale: one shuffle on the key, one sort per partition — the same
     cost as any windowed analytic; no per-key Python. The right side
     must be unique per (key, ts) for determinism — pre-aggregate it.
+
+    NULL caveat: ``last(..., ignorenulls=True)`` skips genuinely-NULL
+    right values and back-fills the previous non-NULL reading — unlike
+    DuckDB ASOF JOIN, which surfaces the NULL. Pre-coalesce right
+    values with a sentinel if NULL readings must win.
     """
+    reserved = set(left.columns) | {"_tag"}
+    clashes = [
+        c for c in (*value_cols, f"asof_{right_ts}",
+                    *[f"asof_{c}" for c in value_cols])
+        if c in reserved
+    ]
+    if "_tag" in left.columns or clashes:
+        raise ValueError(
+            "asof_join name collision with left columns: "
+            f"{clashes or ['_tag']} — unionByName would silently merge "
+            "them and corrupt the fill; rename before joining"
+        )
     l = left.withColumn("_tag", F.lit(1))
     r = right.select(
         F.col(key),

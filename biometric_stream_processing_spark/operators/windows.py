@@ -63,7 +63,7 @@ def tumbling_window_start(ts: Column, length_s: int) -> Column:
 
 def with_session_windows(
     df: DataFrame, ts_col: str, gap_s: int, partition_cols: list[str],
-    out_col: str = "session_id",
+    out_col: str = "session_id", tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch sessionization (W7, `README.md:448-452` Beam
     ``Sessions.withGapDuration``) via gaps-and-islands: a new session
@@ -72,13 +72,19 @@ def with_session_windows(
     streaming uses native ``F.session_window`` instead
     (streaming/pipeline.py).
 
+    ``tiebreak_cols`` should name a unique key (e.g. ``event_id``)
+    whenever duplicate timestamps are possible: without a total order,
+    tied rows straddling a session boundary can land on either side
+    depending on engine/run sort stability.
+
     Scale: one shuffle on the partition keys; both window functions
-    share the same (key, ts) sort order so Catalyst evaluates them in a
-    single Window physical operator.
+    share the same (key, ts, *tiebreak) sort order so Catalyst
+    evaluates them in a single Window physical operator.
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*partition_cols).orderBy(ts_col)
+    order = [ts_col, *(tiebreak_cols or [])]
+    w = W.partitionBy(*partition_cols).orderBy(*order)
     es = epoch_seconds(F.col(ts_col))
     prev = F.lag(es).over(w)
     new_session = (prev.isNull() | ((es - prev) > gap_s)).cast("int")

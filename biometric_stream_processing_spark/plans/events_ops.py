@@ -132,9 +132,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Beam ``Sessions.withGapDuration`` `README.md:448-452`) via
     gaps-and-islands; output one row per session."""
     ev = _events(spark, sf_dir).select(
-        "user_id", "ts", epoch_seconds(F.col("ts")).alias("es")
+        "user_id", "ts", "event_id", epoch_seconds(F.col("ts")).alias("es")
     )
-    sess = with_session_windows(ev, "ts", SESSION_GAP_S, ["user_id"])
+    sess = with_session_windows(
+        ev, "ts", SESSION_GAP_S, ["user_id"], tiebreak_cols=["event_id"]
+    )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("es").alias("start_es"),
@@ -301,16 +303,16 @@ ORACLE = {
     """,
     "user_sessions": f"""
         WITH e AS (
-          SELECT user_id, epoch_us(ts)//1000000 AS es FROM events
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es FROM events
         ), flagged AS (
-          SELECT user_id, es,
+          SELECT user_id, event_id, es,
                  CASE WHEN lag(es) OVER w IS NULL
                        OR es - lag(es) OVER w > {SESSION_GAP_S}
                       THEN 1 ELSE 0 END AS new_s
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
         ), sessions AS (
           SELECT user_id, es,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
           FROM flagged
         )

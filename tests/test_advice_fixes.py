@@ -1,0 +1,158 @@
+"""Regression tests for the round-1 advisor findings: short-doc
+shingles, uneven minhash band splits, interval-join outer semantics,
+as-of join name collisions, and LSH hot-bucket skew bounding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.functions.text import shingles, words
+from biometric_stream_processing_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from biometric_stream_processing_spark.operators.joins import (
+    asof_join,
+    interval_join,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def test_shingles_short_docs_yield_empty_array(spark):
+    df = _docs(spark, ["", "one", "two words", "now three words"])
+    out = df.select(
+        "doc_id", F.size(shingles(words(F.col("text")), 2)).alias("n")
+    ).collect()
+    assert {r.doc_id: r.n for r in out} == {0: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_minhash_pipeline_survives_short_docs(spark):
+    """One empty/1-word doc in the corpus must not kill the LSH
+    pipeline; short docs drop out (matching the oracle's
+    len(ws) >= n filter) and the dup pair is still found."""
+    df = _docs(spark, ["", "one", "same exact text here", "same exact text here"])
+    bands = minhash_bands(df)
+    assert set(r.doc_id for r in bands.select("doc_id").distinct().collect()) == {2, 3}
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(bands).collect()}
+    assert pairs == {(2, 3)}
+
+
+def test_minhash_bands_uneven_split_raises(spark):
+    df = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_bands(df, num_hashes=8, bands=3)
+
+
+# ---------------------------------------------------------- interval_join
+
+def _ij_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 500, "l2"), (2, 100, "l3")],
+        "user_id long, les long, lpay string",
+    )
+    right = spark.createDataFrame(
+        [(1, 105, "r1"), (3, 100, "r2")],
+        "user_id long, res long, rpay string",
+    )
+    return left, right
+
+
+def test_interval_join_left_outer_unmatched_emitted_once(spark):
+    left, right = _ij_frames(spark)
+    out = interval_join(left, right, "user_id", "les", "res", 15,
+                        how="left_outer").collect()
+    rows = {(r.user_id, r.les, r.lpay, r.res, r.rpay) for r in out}
+    assert len(out) == 3  # no 3x duplication from the bucket explode
+    assert rows == {
+        (1, 100, "l1", 105, "r1"),
+        (1, 500, "l2", None, None),
+        (2, 100, "l3", None, None),
+    }
+
+
+def test_interval_join_full_outer(spark):
+    left, right = _ij_frames(spark)
+    out = interval_join(left, right, "user_id", "les", "res", 15,
+                        how="full_outer").collect()
+    rows = {(r.user_id, r.les, r.lpay, r.res, r.rpay) for r in out}
+    assert rows == {
+        (1, 100, "l1", 105, "r1"),
+        (1, 500, "l2", None, None),
+        (2, 100, "l3", None, None),
+        (3, None, None, 100, "r2"),
+    }
+
+
+def test_interval_join_rejects_unsupported_how(spark):
+    left, right = _ij_frames(spark)
+    with pytest.raises(ValueError, match="interval_join supports"):
+        interval_join(left, right, "user_id", "les", "res", 15, how="cross")
+
+
+# --------------------------------------------------------------- asof_join
+
+def test_asof_join_collision_raises(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 1.0)], "user_id long, es long, bp_value double"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 2.0)], "user_id long, bp_es long, bp_value double"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, "user_id", "es", "bp_es", ["bp_value"])
+
+
+# ------------------------------------------------------------ LSH de-skew
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, band int, bucket string")
+
+
+def test_lsh_pairs_invariant_under_group_count(spark):
+    """Triangle partitioning must not change the candidate-pair SET:
+    G=1 (single cell, the naive expansion) == G=8."""
+    rows = (
+        [(i, 0, "hot") for i in range(12)]
+        + [(i, 0, "cold") for i in (20, 21)]
+        + [(30, 0, "solo")]
+        + [(i, 1, "other") for i in (5, 20)]
+    )
+    bands = _bands(spark, rows)
+    p1 = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(bands, n_groups=1).collect()}
+    p8 = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(bands, n_groups=8).collect()}
+    assert p1 == p8
+    assert (20, 21) in p8 and (5, 20) in p8
+    assert all(a < b for a, b in p8)
+    # exact expected set: C(12,2) in-hot + cold pair + cross-band pair
+    expect = {(a, b) for a in range(12) for b in range(12) if a < b}
+    expect |= {(20, 21), (5, 20)}
+    assert p8 == expect
+
+
+def test_lsh_hot_bucket_bounded_and_complete(spark):
+    """A degenerate hot bucket (every doc shares one (band, bucket))
+    must (a) produce all C(n,2) pairs exactly once and (b) never
+    materialize the whole bucket in one task: with G groups, any
+    group-pair cell holds at most the members of 2 groups."""
+    n, G = 2000, 8
+    bands = _bands(spark, [(i, 0, "hot") for i in range(n)])
+    pairs = lsh_candidate_pairs(bands, n_groups=G)
+    assert pairs.count() == n * (n - 1) // 2
+    # probe the cell-membership bound the operator relies on: the
+    # deterministic group assignment splits the bucket ~uniformly,
+    # so 2 groups hold far less than the whole bucket
+    g = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(G))
+    sizes = [
+        r.n for r in bands.groupBy(g.alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == G
+    assert 2 * max(sizes) < n / 2  # any cell sees < 25% of the bucket

@@ -103,13 +103,18 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
-            # show a small diff sample
-            ss = set("|".join(map(_norm, r)) for r in srows)
-            ds = set("|".join(map(_norm, r)) for r in drows)
-            for x in list(ss - ds)[:3]:
-                print(f"        spark-only: {x}")
-            for x in list(ds - ss)[:3]:
-                print(f"        duck-only:  {x}")
+            # show a small diff sample — reorder each engine's values
+            # by sorted column name (same index order value_hash uses)
+            # so column-order differences don't read as false diffs
+            if sorted(scols) == sorted(dcols):
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ss = set("|".join(_norm(r[i]) for i in so) for r in srows)
+                ds = set("|".join(_norm(r[i]) for i in do) for r in drows)
+                for x in list(ss - ds)[:3]:
+                    print(f"        spark-only: {x}")
+                for x in list(ds - ss)[:3]:
+                    print(f"        duck-only:  {x}")
         else:
             print(f"OK    {name}: rows={len(srows)} hash match ({dt:.1f}s)")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
