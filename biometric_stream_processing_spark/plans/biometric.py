@@ -144,4 +144,32 @@ ORACLE = {
                printf('User %d has a problem', user_id) AS message
         FROM gaps WHERE prev IS NULL OR wstart - prev > {COOLDOWN_S}
     """,
+    # Leading-edge debounce is a per-key sequential scan (each emit
+    # re-arms the clock), not expressible with fixed-depth window
+    # functions — in SQL it needs a RECURSIVE CTE advancing all users
+    # one qualifying row per iteration, carrying (last_emit) state.
+    # This is the exact T2 semantics `operators/throttle.throttle_leading`
+    # computes via applyInPandas (`Akka...scala:138-146`).
+    "alerts_leading_debounce": _PIPE_CTE.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + f""",
+        nq AS (
+          SELECT user_id, wstart,
+                 row_number() OVER (PARTITION BY user_id ORDER BY wstart) AS rn
+          FROM qual
+        ),
+        scan AS (
+          SELECT user_id, wstart, rn, TRUE AS emit, wstart AS last_emit
+          FROM nq WHERE rn = 1
+          UNION ALL
+          SELECT n.user_id, n.wstart, n.rn,
+                 n.wstart - s.last_emit > {COOLDOWN_S} AS emit,
+                 CASE WHEN n.wstart - s.last_emit > {COOLDOWN_S}
+                      THEN n.wstart ELSE s.last_emit END AS last_emit
+          FROM scan s JOIN nq n ON n.user_id = s.user_id AND n.rn = s.rn + 1
+        )
+        SELECT user_id, wstart AS alert_epoch,
+               printf('User %d has a problem', user_id) AS message
+        FROM scan WHERE emit
+    """,
 }

@@ -47,6 +47,33 @@ def read_blood_pressure_json(
     return _with_event_time(raw)
 
 
+def parse_kafka_value(
+    raw: DataFrame,
+    schema: T.StructType,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """The broker-independent half of S4: a frame with a binary
+    ``value`` column (Kafka wire shape) → typed event rows with
+    event-time ``ts``. This is the exact chain ``read_kafka_json``
+    applies to the connector's output — unit-testable by synthesizing
+    ``value`` bytes (`JsonSerde.scala:24-26` deserialization)."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), schema, options or {}
+        ).alias("j")
+    ).select("j.*")
+    return _with_event_time(parsed)
+
+
+def to_kafka_records(df: DataFrame, key_col: str | None = "user_id") -> DataFrame:
+    """The broker-independent half of S5: typed rows → (key, value)
+    JSON wire records (`JsonSerde.scala:40-47` serialization)."""
+    return df.select(
+        (F.col(key_col).cast("string") if key_col else F.lit(None)).alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
 def read_kafka_json(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -66,10 +93,7 @@ def read_kafka_json(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("j")
-    ).select("j.*")
-    return _with_event_time(parsed)
+    return parse_kafka_value(raw, schema)
 
 
 def write_kafka_json(
@@ -81,10 +105,7 @@ def write_kafka_json(
 ):  # pragma: no cover - needs a broker + kafka jars
     """S5: typed rows → JSON wire format → Kafka sink (exactly-once
     via checkpoint; `to_json(struct(*))` is `JsonSerde.scala:40-47`)."""
-    out = df.select(
-        (F.col(key_col).cast("string") if key_col else F.lit(None)).alias("key"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
-    )
+    out = to_kafka_records(df, key_col)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -91,6 +91,34 @@ def qualifying_windows_stream(
     )
 
 
+def alert_stream_raw(
+    events: DataFrame,
+    length_s: int,
+    slide_s: int,
+    watermark_delay: str = "0 seconds",
+    **kw,
+) -> DataFrame:
+    """The reference's UNthrottled ``alertStream``
+    (`BiometricAlertStreamProcessor.scala:56-66`): one alert row per
+    (sliding window, user) while the window still contains a
+    qualifying hr×bp pair. Run with ``outputMode("update")`` to get
+    the DStream cadence `README.md:93-131` documents — every
+    micro-batch re-emits the rows it touched, so a user in a
+    persistent alarm state prints again slide after slide; chain the
+    session dedup (``alerts_stream``) for the once-per-episode
+    variant (`README.md:133-159`, the updateStateByKey cure)."""
+    qual = qualifying_windows_stream(
+        events, length_s, slide_s, watermark_delay, **kw
+    )
+    return qual.select(
+        "user_id",
+        F.col("window.start").alias("window_start"),
+        F.format_string(
+            "User %d has a problem", F.col("user_id")
+        ).alias("message"),
+    )
+
+
 def alerts_stream(
     events: DataFrame,
     length_s: int,
@@ -248,13 +276,17 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, checkpoint_dir: str
+    df: DataFrame, name: str, checkpoint_dir: str,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink
     (test/driver harness; S7-S9 console sinks become
-    ``format("console")`` in production). Returns the batch result."""
+    ``format("console")`` in production). Returns the batch result.
+    With ``output_mode="update"`` the table is the full emission LOG
+    (one row per update per micro-batch), i.e. the DStream print
+    cadence, not a deduplicated result."""
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint_dir)
@@ -263,3 +295,28 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.table(name)
+
+
+def run_stream_update_log(
+    df: DataFrame, checkpoint_dir: str
+) -> list[tuple[int, list]]:
+    """Drive a streaming frame in UPDATE mode via ``foreachBatch``,
+    returning the per-micro-batch emission log ``[(batch_id, rows)]``
+    — the exact shape of the reference's per-interval console prints
+    (`README.md:102-131`). Test harness: the capture closure runs on
+    the driver; a production ``foreachBatch`` would write each batch
+    idempotently instead (see ``sinks.py``)."""
+    log: list[tuple[int, list]] = []
+
+    def _capture(bdf: DataFrame, bid: int) -> None:
+        log.append((bid, bdf.collect()))
+
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_capture)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return log

@@ -1,0 +1,68 @@
+"""Exactly-once delivery to external sinks (SURVEY §2.1 S10).
+
+The reference's Kafka Streams variant claims end-to-end exactly-once
+via changelogged state stores + transactional producers
+(`Kafka.scala:67-72`). Structured Streaming's equivalent contract is
+checkpointed offsets/state + an IDEMPOTENT sink: the engine may
+REPLAY a micro-batch whose sink write finished but whose checkpoint
+commit didn't (failure in between), so the sink must make replays
+harmless. For file output the canonical pattern is ``foreachBatch``
+writing each micro-batch to its own ``batch_id=N`` directory with
+OVERWRITE mode — a replayed batch rewrites its own directory instead
+of appending duplicates. (Kafka output gets the same property from
+the transactional producer; files get it from path idempotence.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def idempotent_parquet_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink function: batch → ``out_dir/batch_id=N``,
+    overwritten on replay. Exactly-once output under at-least-once
+    batch execution."""
+
+    def _write(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return _write
+
+
+def naive_append_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """The anti-pattern twin (append blindly, ignore ``batch_id``):
+    duplicates rows when a batch replays. Exists so tests can show the
+    failure mode the idempotent writer prevents."""
+
+    def _write(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    return _write
+
+
+def read_idempotent_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read everything the idempotent sink produced; partition
+    discovery surfaces ``batch_id`` as a column."""
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
+    )
+
+
+def start_with_foreach_batch(
+    df: DataFrame,
+    writer: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Wire a streaming frame to a ``foreachBatch`` sink with a
+    checkpoint — the production shape for any sink Spark lacks a
+    native exactly-once connector for."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(writer)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
