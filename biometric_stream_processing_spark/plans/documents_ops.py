@@ -197,6 +197,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, centroids, nprobe=NPROBE, k=IVF_K)
 
 
+KMEANS_ITER = 2
+
+
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids: Lloyd's k-means (KMEANS_ITER
+    iterations, cosine metric, deterministic seeds = first
+    N_CENTROIDS vectors) refines the coarse quantizer, then every
+    vector is assigned to its final cell. Output (vec_id, cell) —
+    the index layout a production ANN build ships. Closes the
+    "first-8-vectors stand-in" gap in ``embedding_ivf_topk``'s
+    centroid story."""
+    from ..operators.kmeans import assign_cells, kmeans_centroids
+
+    e = _emb(spark, sf_dir)
+    seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    cents = kmeans_centroids(e, seeds, n_iter=KMEANS_ITER, dim=64)
+    return assign_cells(e, cents)
+
+
 # -------------------------------------------------------------- multimodal
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +254,50 @@ def _simhash_sql() -> str:
         )
         terms.append(f"(CASE WHEN {per_word} > 0 THEN {2 ** i} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _kmeans_cells_sql(k: int, n_iter: int, dim: int = 64) -> str:
+    """DuckDB twin of ``embedding_kmeans_cells``: the Lloyd loop
+    unrolled into CTE layers (assignment → decimal-exact component
+    means → next centroids), ending with the final assignment. The
+    round(x,6)→DECIMAL(28,10) mean recipe is what makes the floats
+    hash-identical across engines (see operators/kmeans.py)."""
+    def _cos(cent: str) -> str:
+        return (f"({_dot('e', 'c')}) / (sqrt({_dot('e', 'e')})"
+                f" * sqrt({_dot('c', 'c')}))")
+
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, embedding FROM embeddings"
+        f" WHERE vec_id < {k})"
+    ]
+    for it in range(n_iter):
+        ctes.append(f"""sc{it} AS (
+          SELECT e.vec_id, c.cid, {_cos(f'cent{it}')} AS ccos
+          FROM embeddings e CROSS JOIN cent{it} c)""")
+        ctes.append(f"""asg{it} AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) AS rn
+            FROM sc{it}) WHERE rn = 1)""")
+        means = ", ".join(
+            f"CAST(sum(CAST(round(CAST(e.embedding[{i}] AS DOUBLE), 6)"
+            f" AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS s{i}"
+            for i in range(1, dim + 1)
+        )
+        arr = "[" + ", ".join(f"s{i}" for i in range(1, dim + 1)) + "]"
+        ctes.append(f"""cent{it + 1} AS (
+          SELECT cell AS cid, {arr} AS embedding FROM (
+            SELECT a.cell, {means}
+            FROM asg{it} a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY a.cell))""")
+    ctes.append(f"""scf AS (
+      SELECT e.vec_id, c.cid, {_cos(f'cent{n_iter}')} AS ccos
+      FROM embeddings e CROSS JOIN cent{n_iter} c)""")
+    return ("WITH " + ",\n".join(ctes) + """
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cid AS cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn
+        FROM scf) WHERE rn = 1""")
 
 
 _MINHASH_CTE = f"""
@@ -409,6 +474,7 @@ ORACLE = {
           JOIN embeddings b ON b.vec_id = cb.vec_id
         ) WHERE c >= {COSINE_THRESHOLD}
     """,
+    "embedding_kmeans_cells": None,  # filled below (generated SQL)
     "multimodal_meta": """
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -416,6 +482,10 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
+    N_CENTROIDS, KMEANS_ITER
+)
 
 QUERIES = {
     "doc_text_stats": doc_text_stats,
@@ -429,5 +499,6 @@ QUERIES = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "embedding_similar_pairs_bucketed": embedding_similar_pairs_bucketed,
+    "embedding_kmeans_cells": embedding_kmeans_cells,
     "multimodal_meta": multimodal_meta,
 }

@@ -1,0 +1,82 @@
+"""Lloyd's k-means for the IVF coarse quantizer: convergence sanity
+(training must not worsen the quantizer) and the determinism contract
+the DuckDB oracle depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.kmeans import (
+    assign_cells,
+    kmeans_centroids,
+)
+from biometric_stream_processing_spark.operators.similarity import (
+    cosine,
+)
+from biometric_stream_processing_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+K = 8
+DIM = 64
+
+
+def _seeds(e):
+    return e.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+
+
+def _seed_model(e):
+    return sorted(
+        (r.cid, [float(x) for x in r.embedding])
+        for r in _seeds(e).collect()
+    )
+
+
+def _mean_assignment_cos(spark, vectors, cents) -> float:
+    """Mean cosine between each vector and its assigned centroid —
+    the (cosine-metric) analog of k-means inertia, higher is better."""
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cell long, _c array<double>",
+    )
+    scored = (
+        assign_cells(vectors, cents)
+        .join(vectors.select("vec_id", F.col("embedding").alias("_v")),
+              "vec_id")
+        .join(cdf, "cell")
+        .select(cosine(F.col("_v"), F.col("_c")).alias("_cos"))
+    )
+    return scored.agg(F.avg("_cos")).collect()[0][0]
+
+
+def test_training_improves_quantizer(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    trained = kmeans_centroids(e, _seeds(e), n_iter=2, dim=DIM)
+    before = _mean_assignment_cos(spark, e, _seed_model(e))
+    after = _mean_assignment_cos(spark, e, trained)
+    assert after >= before
+    assert len(trained) <= K
+
+
+def test_more_iterations_never_worse(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    one = _mean_assignment_cos(
+        spark, e, kmeans_centroids(e, _seeds(e), 1, DIM)
+    )
+    two = _mean_assignment_cos(
+        spark, e, kmeans_centroids(e, _seeds(e), 2, DIM)
+    )
+    assert two >= one - 1e-9
+
+
+def test_assignment_deterministic_across_runs(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+
+    def run():
+        cents = kmeans_centroids(e, _seeds(e), n_iter=2, dim=DIM)
+        return sorted(
+            (r.vec_id, r.cell) for r in assign_cells(e, cents).collect()
+        )
+
+    assert run() == run()
