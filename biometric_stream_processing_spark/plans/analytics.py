@@ -261,9 +261,113 @@ def distinct_user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type").distinct()
 
 
+def late_shipment_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS correlated subquery: count orders per
+    priority having at least one line shipped > 30 days after the
+    order date. Expressed as a LEFT SEMI join with a non-equi
+    residual predicate — the decorrelated plan Catalyst produces for
+    EXISTS, written directly; the fact-fact join shuffles both sides
+    on orderkey once, nothing else."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated SCALAR subquery (per-group average
+    compared against each row): parts priced > 1.05x their brand's
+    average (prices sit in a tight 900-1000 band, so 1.05x is the
+    discriminating tail). Decorrelated to groupBy + broadcast join (what Catalyst
+    rewrites the subquery to); the brand average uses the exact-
+    decimal ``dsum`` so both engines agree bitwise."""
+    p = _t(spark, sf_dir, "part")
+    stats = p.groupBy(F.col("p_brand").alias("_b")).agg(
+        dsum(F.col("p_retailprice"), "_s"),
+        F.count("*").alias("_n"),
+    ).select("_b", (F.col("_s") / F.col("_n")).alias("_avg"))
+    return (
+        p.join(F.broadcast(stats), p["p_brand"] == stats["_b"])
+        .where(F.col("p_retailprice") > 1.05 * F.col("_avg"))
+        .select(
+            "p_partkey", "p_brand",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.round("_avg", 2).alias("brand_avg"),
+        )
+    )
+
+
+def dormant_customers_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — EXISTS + NOT EXISTS: customers active before
+    the cutoff with no order on/after it, rolled up per segment with
+    their total balance. Semi + anti joins on the same key share one
+    shuffle partitioning of orders."""
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderdate"] < cutoff),
+        "left_semi",
+    )
+    dormant = active.join(
+        o,
+        (active["c_custkey"] == o["o_custkey"])
+        & (o["o_orderdate"] >= cutoff),
+        "left_anti",
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 ORACLE = {
+    "late_shipment_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "parts_above_brand_avg": f"""
+        SELECT p_partkey, p_brand,
+               round(p_retailprice, 2) AS retail_price,
+               round(avg_price, 2) AS brand_avg
+        FROM (
+          SELECT p_partkey, p_brand, p_retailprice,
+                 (SELECT {_DSUM.format(e='p2.p_retailprice')} / count(*)
+                  FROM part p2 WHERE p2.p_brand = p.p_brand) AS avg_price
+          FROM part p)
+        WHERE p_retailprice > 1.05 * avg_price
+    """,
+    "dormant_customers_by_segment": f"""
+        SELECT c_mktsegment, count(*) AS n_customers,
+               {_DSUM.format(e='c_acctbal')} AS total_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+          AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_DSUM.format(e='l_quantity')} AS sum_qty,
@@ -388,6 +492,9 @@ ORACLE = {
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "late_shipment_priority_counts": late_shipment_priority_counts,
+    "parts_above_brand_avg": parts_above_brand_avg,
+    "dormant_customers_by_segment": dormant_customers_by_segment,
     "top_customers_per_segment": top_customers_per_segment,
     "regional_revenue_rollup": regional_revenue_rollup,
     "q5_asia_revenue": q5_asia_revenue,

@@ -44,3 +44,29 @@ def test_topk_uses_take_ordered(spark):
     full sort."""
     p = _plan(analytics.top_orders(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
+
+
+def test_bucketed_near_dup_is_equi_join_on_cell(spark):
+    """The scale-true near-dup variant must pair vectors through an
+    EQUI-join on the IVF cell — never a nested-loop/cartesian pair
+    enumeration (the 100 TB guarantee of bucket blocking)."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.embedding_similar_pairs_bucketed(spark, SF_DIR))
+    joins = [l for l in p.splitlines() if "Join" in l]
+    # the centroid-scoring broadcasts are nested-loop by design (tiny
+    # side); the pair join itself must be hash-partitioned on _blk
+    assert any("SortMergeJoin" in l or "ShuffledHashJoin" in l
+               or ("BroadcastHashJoin" in l) for l in joins), p
+    assert "_blk" in p
+
+
+def test_exists_shapes_compile_to_semi_anti(spark):
+    """Correlated-subquery shapes must stay semi/anti joins — no
+    row-per-match blowup, no cartesian."""
+    p = _plan(analytics.late_shipment_priority_counts(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "Cartesian" not in p
+    p = _plan(analytics.dormant_customers_by_segment(spark, SF_DIR))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Cartesian" not in p
