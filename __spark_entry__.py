@@ -46,12 +46,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **documents_ops.QUERIES}.items():
         q[name] = _wrap(fn)
     q["streaming_alerts"] = _wrap(streaming_pipeline.biometric_alerts_streaming)
+    q["streaming_alert_windows_update"] = _wrap(
+        streaming_pipeline.alert_windows_update_stream
+    )
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(biometric.ORACLE)
+    # update-mode emission log over a single-micro-batch source ==
+    # the batch alert_windows relation (cadence is golden-tested)
+    o["streaming_alert_windows_update"] = biometric.ORACLE["alert_windows"]
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
     o.update(documents_ops.ORACLE)

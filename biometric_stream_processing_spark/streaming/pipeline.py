@@ -275,6 +275,55 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def alert_windows_update_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-contract entry for the UPDATE-mode surface: the raw
+    (unthrottled) alert stream run through the streaming engine in
+    update mode over the events table. With the single-file source
+    the whole table is one micro-batch, so the emission log contains
+    each qualifying (window, user) exactly once — the same relation
+    as the batch ``alert_windows`` query, which is therefore its
+    DuckDB oracle (multi-batch cadence — re-emission per touched
+    slide — is golden-tested in test_streaming_update_mode.py).
+    Output (wstart, user_id) epoch-seconds, matching the oracle."""
+    import tempfile
+    import uuid
+
+    from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    raw = alert_stream_raw(
+        src, WINDOW_S, SLIDE_S,
+        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+    )
+    name = "upd_alerts_" + uuid.uuid4().hex[:8]
+    try:
+        out = run_stream_to_memory(
+            raw, name, tempfile.mkdtemp(prefix="bspe_upd_"),
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.select(
+        F.unix_timestamp("window_start").alias("wstart"), "user_id"
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, checkpoint_dir: str,
     output_mode: str = "append",
