@@ -71,3 +71,41 @@ def fake_featurize(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform frame/window sampling — the EXPLODE-shaped media op
+    (video → sampled frames, audio → fixed windows): one row in,
+    ``n_frames`` rows out through ``mapInPandas``. The "decoder" is a
+    deterministic fake (equal byte slices of the payload, stride =
+    ``octet_length // n_frames``); a real frame grabber changes only
+    the slicing loop — batch iteration, multi-row emission, schema and
+    Arrow transfer are the production shape. Payloads shorter than
+    ``n_frames`` yield empty trailing frames (kept, like a padded
+    decode), so output cardinality is exactly ``n_frames`` per row."""
+    schema = (f"{id_col} long, frame_idx int, frame_bytes binary, "
+              f"frame_md5 string")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fbs, mds = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    fb = b[i * step: (i + 1) * step]
+                    ids.append(did)
+                    idxs.append(i)
+                    fbs.append(fb)
+                    mds.append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame({
+                id_col: ids, "frame_idx": idxs,
+                "frame_bytes": fbs, "frame_md5": mds,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(sample, schema=schema)

@@ -220,6 +220,24 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- multimodal
 
+N_FRAMES = 4
+
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas plumbing, oracled:
+    the deterministic fake decoder slices the payload into N_FRAMES
+    equal strides, so DuckDB can replay it with substring/md5 over the
+    same UTF-8 bytes — proving the Python batch path emits exactly the
+    declared rows (binary payloads stay out of the hashed output;
+    frame md5 + index carry the check)."""
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    d = attach_binary(_docs(spark, sf_dir))
+    return sample_frames(d, n_frames=N_FRAMES).select(
+        "doc_id", "frame_idx", "frame_md5"
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary(_docs(spark, sf_dir))
     return d.select(
@@ -475,6 +493,18 @@ ORACLE = {
         ) WHERE c >= {COSINE_THRESHOLD}
     """,
     "embedding_kmeans_cells": None,  # filled below (generated SQL)
+    # DuckDB's md5/substring are VARCHAR-only; the documents corpora
+    # are verified pure-ASCII (octet_length == length for every row at
+    # every SF), so char slicing == the operator's byte slicing. The
+    # operator itself is byte-true for any payload.
+    "multimodal_frame_samples": f"""
+        SELECT doc_id, i AS frame_idx,
+               md5(substring(text, i * step + 1, step)) AS frame_md5
+        FROM (SELECT doc_id, text,
+                     greatest(1, octet_length(encode(text)) // {N_FRAMES}) AS step
+              FROM documents)
+        CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) t
+    """,
     "multimodal_meta": """
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -501,4 +531,5 @@ QUERIES = {
     "embedding_similar_pairs_bucketed": embedding_similar_pairs_bucketed,
     "embedding_kmeans_cells": embedding_kmeans_cells,
     "multimodal_meta": multimodal_meta,
+    "multimodal_frame_samples": multimodal_frame_samples,
 }

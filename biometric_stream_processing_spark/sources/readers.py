@@ -42,16 +42,31 @@ def _enable_nanos(spark: SparkSession) -> None:
         pass  # already set or locked; the read below will surface issues
 
 
+# DataFrame handles memoized per (session, dir, table) — the catalog
+# role a metastore plays in a real deployment: ``spark.read.parquet``
+# re-lists files and re-reads footers on EVERY call (~0.1 s of py4j +
+# IO), which across ~75 load calls in a bench/gate run is pure
+# constant overhead. DataFrames are immutable plan handles, so
+# reusing one across queries is semantics-free. Test data is static;
+# a changing directory would need an invalidation hook here.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, normalizing timestamp columns.
 
     ``events.ts`` arrives as nanos-long → converted to TimestampType
     (microsecond precision, matching DuckDB's truncation).
     """
+    key = (id(spark), os.path.realpath(sf_dir), name)
+    got = _TABLE_CACHE.get(key)
+    if got is not None:
+        return got
     _enable_nanos(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

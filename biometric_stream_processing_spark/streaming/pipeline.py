@@ -148,6 +148,51 @@ def alerts_stream(
     )
 
 
+def interval_pairs_stream(
+    events: DataFrame,
+    tolerance_s: int,
+    watermark_delay: str = "0 seconds",
+    hr_pred=None,
+    bp_pred=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream time-range join of the hr and bp slices — the
+    Kafka Streams ``JoinWindows`` pairing (J2/W5). ``how`` supports
+    the reference's ``outerJoin`` too (`README.md` Kafka section):
+    with ``left_outer``/``full_outer``, an unmatched row is held in
+    the join state until BOTH watermarks pass its match window, then
+    emitted once with nulls — Spark's state-cleanup-driven null
+    emission, golden-tested in test_streaming_outer_join.py.
+
+    Scale: each side's state is time-bounded (tolerance + watermark
+    delay) and GC'd; both sides shuffle once on user_id."""
+    hr_q = hr_pred if hr_pred is not None else (
+        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
+    )
+    bp_q = bp_pred if bp_pred is not None else (
+        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
+    )
+    hr = (
+        events.where(hr_q)
+        .select("user_id", F.col("ts").alias("hr_ts"))
+        .withWatermark("hr_ts", watermark_delay)
+    )
+    bp = (
+        events.where(bp_q)
+        .select(F.col("user_id").alias("bp_user"), F.col("ts").alias("bp_ts"))
+        .withWatermark("bp_ts", watermark_delay)
+    )
+    return hr.join(
+        bp,
+        F.expr(
+            f"user_id = bp_user AND bp_ts BETWEEN "
+            f"hr_ts - INTERVAL {tolerance_s} SECONDS AND "
+            f"hr_ts + INTERVAL {tolerance_s} SECONDS"
+        ),
+        how,
+    )
+
+
 def alerts_stream_interval(
     events: DataFrame,
     tolerance_s: int,
@@ -175,30 +220,8 @@ def alerts_stream_interval(
     watermarks); shuffle is on user_id for both sides. Join-then-
     window-agg chaining is native in Spark 3.5+.
     """
-    hr_q = hr_pred if hr_pred is not None else (
-        (F.col("event_type") == "hr") & (F.col("value") > HR_THRESHOLD)
-    )
-    bp_q = bp_pred if bp_pred is not None else (
-        (F.col("event_type") == "bp") & (F.col("value") < BP_THRESHOLD)
-    )
-    hr = (
-        events.where(hr_q)
-        .select("user_id", F.col("ts").alias("hr_ts"))
-        .withWatermark("hr_ts", watermark_delay)
-    )
-    bp = (
-        events.where(bp_q)
-        .select(F.col("user_id").alias("bp_user"), F.col("ts").alias("bp_ts"))
-        .withWatermark("bp_ts", watermark_delay)
-    )
-    pairs = hr.join(
-        bp,
-        F.expr(
-            f"user_id = bp_user AND bp_ts BETWEEN "
-            f"hr_ts - INTERVAL {tolerance_s} SECONDS AND "
-            f"hr_ts + INTERVAL {tolerance_s} SECONDS"
-        ),
-        "inner",
+    pairs = interval_pairs_stream(
+        events, tolerance_s, watermark_delay, hr_pred, bp_pred
     )
     sessions = (
         pairs.groupBy(

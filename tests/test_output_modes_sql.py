@@ -1,0 +1,99 @@
+"""Rounds out two surfaces:
+
+* COMPLETE output mode — the third Structured Streaming emission
+  discipline (append and update are covered elsewhere): the sink
+  receives the ENTIRE result relation every micro-batch, the DStream
+  ``print()``-a-full-table analog.
+* The SQL API — every DataFrame plan here is reachable through
+  ``spark.sql`` over registered views (`sources/readers.register_views`);
+  parity-checked against the DataFrame form.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.plans import analytics
+from biometric_stream_processing_spark.sources.readers import (
+    register_views,
+)
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+)
+from tests.conftest import SF_DIR
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+
+def test_complete_mode_reemits_full_relation(spark, tmpdir):
+    """Two micro-batches of per-user counts in COMPLETE mode: batch 2's
+    table must contain every key (even untouched ones) with cumulative
+    values — distinguishing it from update mode, which re-emits only
+    touched keys."""
+    name = "c" + uuid.uuid4().hex[:12]
+    indir = tmpdir / "in" / name
+    _write_batches(spark, indir, [
+        [(0, "hr", 1, 150.0), (1, "hr", 2, 151.0)],
+        [(2, "hr", 2, 152.0)],          # touches only user 2
+    ])
+    src = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    counts = src.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    log: list[tuple[int, dict]] = []
+
+    def _capture(bdf, bid):
+        log.append((bid, {r.user_id: r.n for r in bdf.collect()}))
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(_capture)
+        .option("checkpointLocation", str(tmpdir / "ckpt" / name))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batches = dict(log)
+    assert batches[0] == {1: 1, 2: 1}
+    # complete mode: user 1 re-emitted unchanged, user 2 cumulative
+    assert batches[1] == {1: 1, 2: 2}
+
+
+def test_sql_surface_parity(spark):
+    """The engine's relations are first-class through spark.sql —
+    same Catalyst plans, same results as the DataFrame API."""
+    register_views(spark, SF_DIR)
+    df_rows = sorted(
+        map(tuple, analytics.q5_asia_revenue(spark, SF_DIR).collect())
+    )
+    sql_rows = sorted(map(tuple, spark.sql("""
+        SELECT n_name,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                     AS DOUBLE), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        GROUP BY n_name
+    """).collect()))
+    assert df_rows == sql_rows
+
+
+def test_sql_exists_subquery_parity(spark):
+    """Correlated EXISTS through the SQL surface matches the
+    decorrelated semi-join DataFrame plan."""
+    register_views(spark, SF_DIR)
+    df_rows = sorted(map(tuple, analytics.late_shipment_priority_counts(
+        spark, SF_DIR).collect()))
+    sql_rows = sorted(map(tuple, spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        GROUP BY o_orderpriority
+    """).collect()))
+    assert df_rows == sql_rows

@@ -1,0 +1,50 @@
+"""Partitioned storage layout — the other half of the 100 TB storage
+story next to bucketing: ``partitionBy`` at write time turns predicate
+columns into directory structure, and a filtered read must show
+PartitionFilters in the scan (touching only matching directories)
+instead of scanning everything and filtering rows."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    part = spark.read.parquet(out)
+    q = part.where(F.col("event_type") == "error").groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    plan = _plan(q)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in scan  # predicate became a directory filter
+    # data filters must NOT contain the partition predicate anymore
+    assert not any(
+        "PushedFilters" in l and "event_type" in l for l in plan.splitlines()
+    )
+    # and results equal the unpartitioned path
+    want = {
+        (r.user_id, r.n)
+        for r in ev.where(F.col("event_type") == "error")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {(r.user_id, r.n) for r in q.collect()}
+    assert got == want and got

@@ -1,0 +1,71 @@
+"""Stream-stream OUTER interval join (the Kafka Streams ``outerJoin``
+the reference's Kafka variant builds on — `README.md` Kafka section):
+matched pairs emit immediately; an unmatched left row must be HELD
+until both watermarks pass its match window, then emit exactly once
+with nulls. This is the subtle stream-join semantics Spark implements
+via state-cleanup-driven null emission."""
+
+from __future__ import annotations
+
+import uuid
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    interval_pairs_stream,
+    read_events_stream,
+    run_stream_to_memory,
+)
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+TOL = 5
+
+
+def _run(spark, tmpdir, batches, how):
+    name = "oj" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    _write_batches(spark, indir, batches)
+    src = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    out = interval_pairs_stream(src, TOL, how=how)
+    return run_stream_to_memory(out, name, str(tmpdir / "ckpt" / name))
+
+
+# user 1: hr(2) matches bp(0) within ±5s. user 2: hr(10), no bp ever.
+B1 = [(0, "bp", 1, 85.0), (2, "hr", 1, 150.0), (10, "hr", 2, 160.0)]
+# Sentinels must QUALIFY on each side (pre-watermark filters would
+# drop them and the side's watermark — hence the global minimum —
+# would never advance) but use non-colliding users so they match
+# nothing. Second sentinel batch triggers the eviction pass that
+# emits held null rows (watermarks advance at END of the batch that
+# read the sentinel — the engine's documented one-batch lag).
+B2 = [(100, "hr", -1, 150.0), (100, "bp", -2, 85.0)]
+B3 = [(101, "hr", -1, 150.0), (101, "bp", -2, 85.0)]
+
+
+def _real(rows):
+    return [r for r in rows if r.user_id is not None and r.user_id >= 0]
+
+
+def test_inner_drops_unmatched(spark, tmpdir):
+    rows = _real(_run(spark, tmpdir, [B1, B2], "inner").collect())
+    assert [(r.user_id, r.bp_user) for r in rows] == [(1, 1)]
+
+
+def test_left_outer_emits_null_after_watermark(spark, tmpdir):
+    rows = sorted(
+        _real(_run(spark, tmpdir, [B1, B2, B3], "left_outer").collect()),
+        key=lambda r: r.user_id,
+    )
+    # matched pair intact …
+    assert (rows[0].user_id, rows[0].bp_user) == (1, 1)
+    # … unmatched hr emitted exactly once, with null right side, only
+    # after the watermark passed its window
+    assert rows[1].user_id == 2
+    assert rows[1].bp_user is None and rows[1].bp_ts is None
+    assert len(rows) == 2
+
+
+def test_left_outer_holds_before_watermark(spark, tmpdir):
+    """Without the watermark-advancing batches, the unmatched row
+    stays in state — nothing but the match emits (no premature
+    nulls)."""
+    rows = _real(_run(spark, tmpdir, [B1], "left_outer").collect())
+    assert [(r.user_id, r.bp_user) for r in rows] == [(1, 1)]
