@@ -55,6 +55,13 @@ def main() -> None:
     # otherwise be billed to that query alone).
     qs["alerts_throttled"](spark, sf_dir).count()
     qs["alerts_leading_debounce"](spark, sf_dir).count()
+    # Streaming machinery (incremental planner, state store provider,
+    # commit/offset logs, memory sink) cold-starts at ~7 s on its
+    # first query in a JVM; warm it on the tiny SF so the timed
+    # streaming queries measure steady-state micro-batch cost.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        qs["streaming_alerts"](spark, warm_sf).count()
 
     # Mark the shared LSH candidate-pair stage cacheable — LAZILY: no
     # action here, so the first LSH query pays the whole compute on

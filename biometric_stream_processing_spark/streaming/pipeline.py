@@ -259,12 +259,13 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    # State-store overhead scales with partition count; at test scale 8
-    # partitions cut micro-batch commit cost ~3× (a 1000-executor
-    # deployment would raise this with cluster size — it's the state
-    # parallelism knob, locked into the checkpoint at first run).
+    # State-store overhead scales with partition count; at test scale 4
+    # partitions minimize micro-batch commit cost (measured: 4 ≈ 2.1 s,
+    # 8 ≈ 2.7 s, 32 ≈ 3x worse at sf0.1 — a 1000-executor deployment
+    # would raise this with cluster size; it's the state parallelism
+    # knob, locked into the checkpoint at first run).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
     src = (
@@ -320,7 +321,7 @@ def alert_windows_update_stream(
     except Exception:
         pass
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
     src = (
