@@ -63,13 +63,20 @@ def minhash_bands(
             "silently dropped, weakening LSH recall"
         )
     rows = num_hashes // bands
-    ws = words(F.col(text_col))
     # Explode-then-aggregate rather than per-row array folds: md5/min
     # stay inside whole-stage codegen (interpreted higher-order
     # functions measured 3.4x slower), and the groupBy gets a map-side
     # partial min so the shuffle carries 8 short strings per doc.
-    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(shingles(ws, shingle_n)).alias("_s")
+    # The words array is MATERIALIZED in its own projection first:
+    # inlining words(text) into shingles() would re-evaluate the
+    # filter(split(text)) under every element_at of the transform
+    # lambda (Catalyst doesn't CSE inside lambdas) — measured 2x on
+    # this stage.
+    tokenized = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    )
+    exploded = tokenized.select(
+        F.col(id_col), F.explode(shingles(F.col("_ws"), shingle_n)).alias("_s")
     )
     hashed = exploded.select(F.col(id_col), F.md5("_s").alias("_h"))
     sig = hashed.groupBy(id_col).agg(
@@ -160,8 +167,10 @@ def jaccard_verify(
     at scale both joins are shuffle-hash on doc id, and the Jaccard is
     a per-row array expression (codegen, no UDF)."""
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    ).select(
         F.col(id_col),
-        F.array_distinct(shingles(words(F.col(text_col)), shingle_n)).alias("_s"),
+        F.array_distinct(shingles(F.col("_ws"), shingle_n)).alias("_s"),
     )
     out = (
         _spread(pairs)

@@ -14,10 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     EN_STOPWORDS,
     bpe_ish_token_count,
-    distinct_word_count,
-    fingerprint,
     simhash16,
-    stopword_count,
     word_count,
     words,
 )
@@ -50,10 +47,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ text analysis
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
-    ws = words(t)
-    n_words = word_count(t)
+    # words(text) materialized ONCE per row (own projection) — every
+    # downstream measure references the array column; inlining the
+    # filter(split(text)) expression into each measure re-evaluates it
+    # per reference (no CSE inside lambdas). Same values, ~2x faster.
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars"),
+        words(F.col("text")).alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n_words = F.size(ws)
     sum_len = F.aggregate(
         F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
     )
@@ -62,22 +65,25 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.length(t).alias("n_chars"),
+        "n_chars",
         n_words.alias("n_words"),
-        distinct_word_count(t).alias("n_distinct_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
         avg_wl.alias("avg_word_len"),
-        fingerprint(t).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", ws)).alias("fingerprint"),
     )
 
 
 def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword density) + quality score
     (stopword ratio and vocabulary diversity blended)."""
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
-    n_words = word_count(t)
-    n_stop = stopword_count(t)
-    n_dist = distinct_word_count(t)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    n_dist = F.size(F.array_distinct(ws))
     stop_ratio = n_stop.cast("double") / n_words
     diversity = n_dist.cast("double") / n_words
     return d.select(
@@ -135,9 +141,11 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    )
     return d.select(
-        "doc_id", simhash16(words(F.col("text"))).alias("simhash")
+        "doc_id", simhash16(F.col("_ws")).alias("simhash")
     )
 
 

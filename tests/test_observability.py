@@ -1,0 +1,67 @@
+"""Pipeline observability — ``DataFrame.observe`` + the streaming
+progress API: the production replacement for the reference's
+console-print monitoring (`README.md` prints every batch). Metrics
+ride the job itself (no second pass over the data) and surface
+per-micro-batch through StreamingQueryProgress."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.plans import biometric
+from biometric_stream_processing_spark.streaming.pipeline import (
+    alert_stream_raw,
+    read_events_stream,
+)
+from tests.conftest import SF_DIR
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+
+def test_batch_observe_rides_the_job(spark):
+    """Row counts and value bounds collected in the SAME action that
+    computes the result — no extra scan."""
+    obs = Observation("alerts")
+    df = biometric.alerts_throttled(spark, SF_DIR).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_alerts"),
+        F.min("alert_epoch").alias("first_epoch"),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["n_alerts"] == n > 0
+    assert got["first_epoch"] is not None
+
+
+def test_streaming_observe_per_batch(spark, tmpdir):
+    """Observed metrics appear in each micro-batch's progress event —
+    the alert-count-per-interval the reference reads off its console
+    sink, machine-readable."""
+    name = "ob" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    _write_batches(spark, indir, [
+        [(0, "bp", 1, 85.0), (2, "hr", 1, 150.0)],
+        [(10, "bp", 2, 85.0), (12, "hr", 2, 150.0)],
+    ])
+    src = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    raw = alert_stream_raw(src, length_s=5, slide_s=1).observe(
+        "per_batch", F.count(F.lit(1)).alias("n_alert_rows")
+    )
+    q = (
+        raw.writeStream.outputMode("update").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmpdir / "ckpt" / name))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [
+        p.observedMetrics["per_batch"].n_alert_rows
+        for p in q.recentProgress
+        if p.observedMetrics and "per_batch" in p.observedMetrics
+    ]
+    q.stop()
+    # each user alarms in 3 consecutive slides (L=5, events 2s apart)
+    assert sum(progress) == spark.table(name).count() == 6
+    assert len(progress) >= 2  # metrics arrived per micro-batch
