@@ -333,9 +333,38 @@ def dormant_customers_by_segment(
     )
 
 
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family beyond row_number (§2.6 windows):
+    ntile/percent_rank/cume_dist per market segment over order price,
+    unique tiebreak on o_orderkey so every rank is deterministic.
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    small-integer ratios — identical doubles in any engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return j.select(
+        "c_mktsegment", "o_orderkey",
+        F.ntile(10).over(w).alias("price_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 ORACLE = {
+    "order_price_deciles": """
+        SELECT c_mktsegment, o_orderkey,
+               ntile(10) OVER w AS price_decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
     "late_shipment_priority_counts": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o
@@ -495,6 +524,7 @@ QUERIES = {
     "late_shipment_priority_counts": late_shipment_priority_counts,
     "parts_above_brand_avg": parts_above_brand_avg,
     "dormant_customers_by_segment": dormant_customers_by_segment,
+    "order_price_deciles": order_price_deciles,
     "top_customers_per_segment": top_customers_per_segment,
     "regional_revenue_rollup": regional_revenue_rollup,
     "q5_asia_revenue": q5_asia_revenue,

@@ -9,7 +9,7 @@ docstring for the timestamp/precision rules).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.json_io import serialize_json
@@ -254,9 +254,43 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (§2.6 window family): per user, the
+    rolling 1-hour sum of event values — ``RANGE BETWEEN 3600
+    PRECEDING AND CURRENT ROW`` over epoch seconds, the time-based
+    sliding aggregate ROWS frames can't express (peers at the same
+    timestamp are all included, so no tiebreak is needed for
+    determinism). Values sum as integer cents (round-then-cast) —
+    exact in any accumulation order."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        epoch_seconds(F.col("ts")).alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "es",
+        F.sum("_cents").over(w).alias("rolling_1h_cents"),
+        F.count("*").over(w).alias("rolling_1h_n"),
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
+    "user_value_rolling_1h": """
+        SELECT user_id, event_id, es,
+               sum(cents) OVER w AS rolling_1h_cents,
+               count(*) OVER w AS rolling_1h_n
+        FROM (SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "parse_props_json": """
         SELECT event_id, user_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -399,4 +433,5 @@ QUERIES = {
     "asof_latest_reading": asof_latest_reading,
     "cogrouped_purchase_values": cogrouped_purchase_values,
     "event_type_stats": event_type_stats,
+    "user_value_rolling_1h": user_value_rolling_1h,
 }
