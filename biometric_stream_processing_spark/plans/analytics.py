@@ -333,6 +333,31 @@ def dormant_customers_by_segment(
     )
 
 
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive OR-of-ANDs predicate spanning a
+    join: revenue from lineitems matching any of three (brand, size,
+    quantity) condition triples. The brand/size legs prune the
+    broadcast part side; the OR evaluates post-join in one codegen
+    stage — the query pattern that punishes engines lacking good
+    boolean-expression handling."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25)
+           & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 50))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(cond).agg(
+        dsum(disc_price, "revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-function family beyond row_number (§2.6 windows):
     ntile/percent_rank/cume_dist per market segment over order price,
@@ -356,6 +381,14 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 ORACLE = {
+    "disjunctive_revenue": f"""
+        SELECT {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 50)
+    """,
     "order_price_deciles": """
         SELECT c_mktsegment, o_orderkey,
                ntile(10) OVER w AS price_decile,
@@ -525,6 +558,7 @@ QUERIES = {
     "parts_above_brand_avg": parts_above_brand_avg,
     "dormant_customers_by_segment": dormant_customers_by_segment,
     "order_price_deciles": order_price_deciles,
+    "disjunctive_revenue": disjunctive_revenue,
     "top_customers_per_segment": top_customers_per_segment,
     "regional_revenue_rollup": regional_revenue_rollup,
     "q5_asia_revenue": q5_asia_revenue,
