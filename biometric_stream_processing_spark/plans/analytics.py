@@ -358,6 +358,39 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — one fact feeding TWO independent dimension
+    paths: lineitem revenue rolled up by (customer nation, supplier
+    nation) pairs, customers via orders, suppliers directly. Both
+    nation lookups broadcast under different aliases; the fact side
+    shuffles only for the join with orders (its one non-broadcast
+    edge) and the final pair aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cust_n = n.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cust_n), c["c_nationkey"] == F.col("_cnk"))
+        .join(F.broadcast(supp_n), s["s_nationkey"] == F.col("_snk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        dsum(disc_price, "volume"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-function family beyond row_number (§2.6 windows):
     ntile/percent_rank/cume_dist per market segment over order price,
@@ -388,6 +421,19 @@ ORACLE = {
         WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
            OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 40)
            OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "nation_pair_volume": f"""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS volume,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY cn.n_name, sn.n_name
     """,
     "order_price_deciles": """
         SELECT c_mktsegment, o_orderkey,
@@ -559,6 +605,7 @@ QUERIES = {
     "dormant_customers_by_segment": dormant_customers_by_segment,
     "order_price_deciles": order_price_deciles,
     "disjunctive_revenue": disjunctive_revenue,
+    "nation_pair_volume": nation_pair_volume,
     "top_customers_per_segment": top_customers_per_segment,
     "regional_revenue_rollup": regional_revenue_rollup,
     "q5_asia_revenue": q5_asia_revenue,
