@@ -283,7 +283,10 @@ def user_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE = {
     "user_value_rolling_1h": """
         SELECT user_id, event_id, es,
-               sum(cents) OVER w AS rolling_1h_cents,
+               -- CAST: DuckDB integer sums return HUGEINT, which the
+               -- driver's Arrow/pandas fetch renders as float64 ("3.0")
+               -- while Spark emits BIGINT ("3") — hash mismatch.
+               CAST(sum(cents) OVER w AS BIGINT) AS rolling_1h_cents,
                count(*) OVER w AS rolling_1h_n
         FROM (SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
                      CAST(round(value * 100) AS BIGINT) AS cents
@@ -346,8 +349,11 @@ ORACLE = {
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
         ), sessions AS (
           SELECT user_id, es,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- CAST: HUGEINT window sum reaches the output projection
+                 -- (session_id) → float64 via Arrow/pandas in the driver.
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, count(*) AS n_events,

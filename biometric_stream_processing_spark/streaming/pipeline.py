@@ -348,6 +348,60 @@ def alert_windows_update_stream(
     )
 
 
+def alert_windows_complete_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-contract entry for the COMPLETE-mode surface (the third
+    output mode, `README.md:93-131` cadence family): the raw alert
+    aggregation run in complete mode, where every micro-batch re-emits
+    the ENTIRE result table (the memory sink keeps the latest full
+    snapshot). With the single-file source the snapshot after the one
+    micro-batch IS the full qualifying-windows relation — the same
+    relation as batch ``alert_windows``, which is therefore its DuckDB
+    oracle (multi-batch full-table re-emission cadence is golden-tested
+    in test_output_modes_sql.py). Output (wstart, user_id).
+
+    Scale note: complete mode retains ALL aggregation state forever by
+    design (no watermark GC) — correct for bounded-cardinality
+    dashboards, a deliberate non-choice for the 100 TB event firehose
+    where update/append + watermark is the scalable mode."""
+    import tempfile
+    import uuid
+
+    from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    raw = alert_stream_raw(
+        src, WINDOW_S, SLIDE_S,
+        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+    )
+    name = "cmp_alerts_" + uuid.uuid4().hex[:8]
+    try:
+        out = run_stream_to_memory(
+            raw, name, tempfile.mkdtemp(prefix="bspe_cmp_"),
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.select(
+        F.unix_timestamp("window_start").alias("wstart"), "user_id"
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, checkpoint_dir: str,
     output_mode: str = "append",

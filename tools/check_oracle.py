@@ -95,10 +95,14 @@ def main() -> int:
                 failures.append(name)
                 continue
             extra = sset - brows
+            held_rows = brows - sset
+            emitted_users = {u for (u, _, _) in sset}
+            # every held row must postdate something that user DID emit;
+            # a user with held rows but zero emissions is a silent drop
             tail_ok = all(
-                e >= se
-                for (u, e, _) in brows - sset
-                for (su, se, _) in sset if su == u
+                u in emitted_users
+                and all(e >= se for (su, se, _) in sset if su == u)
+                for (u, e, _) in held_rows
             )
             if extra or not sset or not tail_ok:
                 print(f"FAIL  {name}: batch-parity "
@@ -117,12 +121,28 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            dtypes = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
         dt = time.time() - t0
         problems = []
+        # Parity-rule audit: DuckDB HUGEINT (un-cast integer-sum) output
+        # columns reach the driver's Arrow/pandas fetch as float64/
+        # decimal128 and hash-mismatch Spark's BIGINT even though
+        # fetchall() sees plain ints. Fail loudly here so the local gate
+        # catches what the driver would.
+        for c, t in dtypes.items():
+            tu = t.upper()
+            if "HUGEINT" in tu or tu.startswith("DECIMAL"):
+                problems.append(
+                    f"oracle col {c} is {t} (un-cast aggregate?) — "
+                    f"CAST it to BIGINT/DOUBLE in the oracle SQL"
+                )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
