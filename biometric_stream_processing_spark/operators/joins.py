@@ -46,9 +46,18 @@ def interval_join(
     join (each unmatched left row would surface 3×, once per bucket);
     instead the inner match runs first and unmatched originals are
     unioned back with NULL fills (``unionByName`` with missing
-    columns). Unmatched-left identity uses
-    ``monotonically_increasing_id`` — stable for a deterministic input
-    partitioning, which parquet scans provide.
+    columns). Unmatched-left identity is CONTENT-derived —
+    ``xxhash64`` over every left column — so it is stable under any
+    re-evaluation or repartitioning (a ``monotonically_increasing_id``
+    would be re-assigned independently in the inner and anti branches
+    after a non-deterministic shuffle and silently drop/duplicate
+    rows). Identical-content duplicates share an id but also match
+    identically (same key/bucket/timestamp), so the anti-join keeps or
+    drops them together — exactly outer-join semantics. The residual
+    caveat is a 64-bit hash collision between two DIFFERENT rows of
+    the same DataFrame (~n²/2⁶⁴): a collision could misclassify one
+    row; at that probability this is the standard trade for a
+    content-derived key.
     """
     if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
@@ -71,7 +80,9 @@ def interval_join(
     if how == "inner":
         return _inner(left)
 
-    l0 = left.withColumn("_lid", F.monotonically_increasing_id())
+    l0 = left.withColumn(
+        "_lid", F.xxhash64(*[F.col(c) for c in left.columns])
+    )
     inner = _inner(l0)
     unmatched_l = l0.join(inner.select("_lid"), "_lid", "left_anti")
     out = inner.unionByName(unmatched_l, allowMissingColumns=True)

@@ -49,7 +49,10 @@ def _enable_nanos(spark: SparkSession) -> None:
 # constant overhead. DataFrames are immutable plan handles, so
 # reusing one across queries is semantics-free. Test data is static;
 # a changing directory would need an invalidation hook here.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): after a session is stopped
+# and garbage-collected, CPython can reuse its id() for a NEW session,
+# which would hand out DataFrames bound to the dead session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,7 +61,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` arrives as nanos-long → converted to TimestampType
     (microsecond precision, matching DuckDB's truncation).
     """
-    key = (id(spark), os.path.realpath(sf_dir), name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+    )
     got = _TABLE_CACHE.get(key)
     if got is not None:
         return got

@@ -17,6 +17,11 @@ server over protobuf; this container lacks a working
 ``google.protobuf``, so the path cannot execute here
 (``HAS_TWS_RUNTIME`` below; tests skip on it). The code is the real
 production shape and runs wherever protobuf is installed.
+Definitively closed in this environment (re-verified): the ``google``
+package is entirely absent from site-packages, ``pip download``
+returns nothing (no network egress), and package installation is out
+of scope for this build — the ``applyInPandasWithState`` twin carries
+the runtime-proven semantics.
 """
 
 from __future__ import annotations

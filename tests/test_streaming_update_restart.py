@@ -1,0 +1,56 @@
+"""Update-mode state survives a checkpoint restart: the windowed
+flag-aggregation state written before a stop (here: the low-bp flag)
+must still be live after restarting from the same checkpoint, so a
+later hr event re-qualifies the shared window and re-emits its alert
+(the DStream re-print cadence, `README.md:93-131`, continuing across
+a process restart). A lost state store would leave the window with
+only the hr flag → no emission at all. Mirrors
+test_streaming_restart.py for the update-mode surface."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    alert_stream_raw,
+    read_events_stream,
+    run_stream_update_log,
+)
+from tests.test_streaming_update_mode import (  # noqa: F401
+    BATCH_1,
+    BATCH_2,
+    SCHEMA,
+    _write_batches,
+    indirs,
+)
+
+L, S = 5, 1
+
+
+def test_update_emissions_survive_restart(spark, indirs):  # noqa: F811
+    name = "ur" + uuid.uuid4().hex[:10]
+    indir, ckpt = indirs / "in" / name, indirs / "ckpt" / name
+
+    # run 1: bp@5 + hr@7 → qualifying window starts {3, 4, 5}
+    _write_batches(spark, indir, [BATCH_1])
+    src = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    raw = alert_stream_raw(src, length_s=L, slide_s=S).withColumn(
+        "ws", F.unix_timestamp("window_start")
+    )
+    log1 = run_stream_update_log(raw, str(ckpt))
+    ws1 = sorted({r.ws for _, rows in log1 for r in rows})
+    assert [w - ws1[0] for w in ws1] == [0, 1, 2]
+
+    # run 2, SAME checkpoint: hr@9 touches window starts 5..9, but only
+    # start=5 also holds the PRE-RESTART bp@5 flag — its re-emission is
+    # only possible if the window state store was recovered.
+    _write_batches(spark, indir, [BATCH_2])
+    src2 = read_events_stream(spark, str(indir), SCHEMA, max_files_per_trigger=1)
+    raw2 = alert_stream_raw(src2, length_s=L, slide_s=S).withColumn(
+        "ws", F.unix_timestamp("window_start")
+    )
+    log2 = run_stream_update_log(raw2, str(ckpt))
+    emitted2 = {(r.user_id, r.ws) for _, rows in log2 for r in rows}
+    assert emitted2 == {(12346, ws1[-1])}
