@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders",  # anti-join beside users_never_purchasing
         "nation_pair_volume",        # second two-dim star beside q5/q7
         "customer_running_totals",   # ROWS frame beside time-RANGE frame
+        "dormant_customers_by_segment",  # NOT-EXISTS beside Q22 shape
+        "users_with_both_streams",   # INTERSECT beside semi-join twin
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

@@ -85,6 +85,8 @@ def main() -> None:
         qs["ngram_jaccard_dups"](spark, warm_sf).count()
         qs["embedding_ivf_topk"](spark, warm_sf).count()
         qs["embedding_kmeans_cells"](spark, warm_sf).count()
+        qs["simhash_dup_pairs"](spark, warm_sf).count()
+        qs["doc_winnow_fingerprints"](spark, warm_sf).count()
 
     # Mark the shared LSH candidate-pair and IVF cell-assignment
     # stages cacheable — LAZILY: no action here, so the first consumer

@@ -97,7 +97,11 @@ def minhash_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str = "doc_id", n_groups: int = 8
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    n_groups: int = 8,
+    payload: str | None = None,
+    pair_pred=None,
 ) -> DataFrame:
     """Distinct id pairs sharing any (band, bucket).
 
@@ -119,11 +123,22 @@ def lsh_candidate_pairs(
     pair output ~n²/G², distributed over G(G+1)/2 cells — replication
     costs G× on tiny rows, the classic all-pairs trade. Pick
     ``n_groups`` ≈ sqrt(max plausible hot-bucket size / target rows
-    per task); the candidate-pair SET is independent of G."""
+    per task); the candidate-pair SET is independent of G.
+
+    ``payload``: optionally carry one small column through the
+    expansion (exposed as ``payload_a``/``payload_b``), and
+    ``pair_pred(payload_a, payload_b) -> Column`` filters pairs
+    BEFORE the distinct — essential when buckets are dense and most
+    in-bucket pairs fail the verify (simhash): filtering first keeps
+    the distinct's shuffle at true-pair size instead of
+    candidate-multiset size (measured 4× on ``simhash_dup_pairs``).
+    Without ``payload`` the output contract is unchanged:
+    (id_a, id_b) distinct."""
     G = n_groups
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
+    pay = [F.col(payload).alias("_pay")] if payload else []
     m = bands_df.select(
-        "band", "bucket", F.col(id_col).alias("_id"), g.alias("_g")
+        "band", "bucket", F.col(id_col).alias("_id"), g.alias("_g"), *pay
     )
     # Statically unrolled cell list (codegen-friendly; interpreted
     # higher-order functions are slow in this env for hot columns).
@@ -134,15 +149,19 @@ def lsh_candidate_pairs(
         )
         for p in range(G)
     ]))
-    cells = m.select("band", "bucket", "_id", "_g", cell.alias("_c")).select(
-        "band", "bucket", "_id", "_g", "_c.lo", "_c.hi"
+    member_struct = F.struct("_g", "_id", *(("_pay",) if payload else ()))
+    paycols = ["_pay"] if payload else []
+    cells = m.select(
+        "band", "bucket", "_id", "_g", *paycols, cell.alias("_c")
+    ).select(
+        "band", "bucket", "_id", "_g", *paycols, "_c.lo", "_c.hi",
     )
     members = (
         cells.groupBy("band", "bucket", "lo", "hi")
-        .agg(F.collect_list(F.struct("_g", "_id")).alias("_ms"))
+        .agg(F.collect_list(member_struct).alias("_ms"))
         .where(F.size("_ms") > 1)
     )
-    return (
+    pairs = (
         members.select("lo", "hi", F.explode("_ms").alias("_a"), "_ms")
         .select("lo", "hi", "_a", F.explode("_ms").alias("_b"))
         .where(
@@ -150,7 +169,144 @@ def lsh_candidate_pairs(
             & (F.least("_a._g", "_b._g") == F.col("lo"))
             & (F.greatest("_a._g", "_b._g") == F.col("hi"))
         )
-        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
+    )
+    if pair_pred is not None:
+        pairs = pairs.where(pair_pred(F.col("_a._pay"), F.col("_b._pay")))
+    out_cols = [
+        F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
+    ]
+    if payload:
+        out_cols += [
+            F.col("_a._pay").alias("payload_a"),
+            F.col("_b._pay").alias("payload_b"),
+        ]
+    return pairs.select(*out_cols).distinct()
+
+
+def simhash_blocked_pairs(
+    sims: DataFrame,
+    simhash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_blocks: int = 4,
+    hamming_max: int = 3,
+    n_groups: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (id_a, id_b) whose simhash
+    Hamming distance is ≤ ``hamming_max``, found EXACTLY via
+    multi-index pigeonhole blocking — splitting the ``bits``-wide
+    fingerprint into ``n_blocks`` equal blocks guarantees any pair
+    differing in ≤ n_blocks − 1 bits shares at least one intact block,
+    so blocking on (block position, block value) loses no true pair;
+    the ``bit_count(xor)`` verify then makes the set exact (the
+    Manku/Jain/Sarma WWW'07 simhash-dedup scheme, re-expressed as an
+    equi-join).
+
+    The block rows feed the SAME triangle-partitioned pair expansion
+    as MinHash LSH (``lsh_candidate_pairs`` — block position is the
+    band, block value the bucket), inheriting its hot-bucket safety.
+    That matters here more than for MinHash: a 16-bit simhash has only
+    2^(bits/n_blocks) distinct values per block (16 at these
+    defaults), so at corpus scale EVERY bucket is hot — a production
+    deployment uses a 64-bit simhash (16-bit blocks → 65 536 buckets)
+    and keeps this exact shape.
+    """
+    if hamming_max > n_blocks - 1:
+        raise ValueError(
+            f"pigeonhole completeness needs hamming_max ({hamming_max}) "
+            f"<= n_blocks - 1 ({n_blocks - 1}); raise n_blocks"
+        )
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    block_arr = F.array(*[
+        F.struct(
+            F.lit(p).alias("band"),
+            F.shiftright(F.col(simhash_col), p * width)
+            .bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for p in range(n_blocks)
+    ])
+    bands = sims.select(
+        F.col(id_col), F.col(simhash_col), F.explode(block_arr).alias("_b")
+    ).select(
+        id_col, simhash_col,
+        F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"),
+    )
+    # The simhash travels WITH each member so the Hamming verify runs
+    # inside the pair expansion, BEFORE the distinct: dense blocks
+    # (2^width values) generate mostly-failing candidates, and
+    # filtering first keeps the distinct at true-pair size (measured
+    # 4x at sf0.1 vs expand → distinct → join-back → verify).
+    cand = lsh_candidate_pairs(
+        bands, id_col=id_col, n_groups=n_groups,
+        payload=simhash_col,
+        pair_pred=lambda a, b: F.bit_count(a.bitwiseXOR(b)) <= hamming_max,
+    )
+    return cand.select(
+        "id_a", "id_b",
+        F.bit_count(
+            F.col("payload_a").bitwiseXOR(F.col("payload_b"))
+        ).alias("hamming"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local-fingerprinting algorithm): hash every
+    word ``k``-gram, slide a ``w``-hash window, select each window's
+    MINIMUM hash; the distinct selected hashes are the document's
+    sketch. Winnowing's coverage guarantee: any shared run of at least
+    ``k + w - 1`` words between two documents yields at least one
+    shared fingerprint, so overlapping-passage detection is an
+    equi-join on ``fp`` — the rolling-hash fingerprint family the
+    md5-whole-document ``fingerprint()`` can't provide.
+
+    Hashes are the first 8 hex chars of md5 (engine-neutral;
+    lexicographic min == unsigned numeric min on equal-width hex).
+    Formulated posexplode-THEN-hash → sliding-frame ``min``: md5 runs
+    as a codegen'd column function over exploded gram rows (an md5
+    inside an array ``transform`` is interpreted — the measured slow
+    path, see ``minhash_bands``), and WindowExec computes the
+    per-window min JVM-side after one (id, pos) sort.
+
+    Scale: one shuffle on id (the window partition); fingerprints
+    travel as 8-char strings; no cross product. Docs shorter than
+    ``k + w - 1`` words have no full window and drop out.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    )
+    grams = toks.where(F.size("_ws") >= k + w - 1).select(
+        F.col(id_col), F.posexplode(shingles(F.col("_ws"), k)).alias("_pos", "_g")
+    )
+    hashed = grams.select(
+        F.col(id_col), "_pos", F.substring(F.md5("_g"), 1, 8).alias("_h")
+    )
+    wmin = (
+        W.partitionBy(id_col).orderBy("_pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    wall = (
+        W.partitionBy(id_col).orderBy("_pos")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        hashed.select(
+            F.col(id_col), "_pos",
+            F.min("_h").over(wmin).alias("fp"),
+            F.max("_pos").over(wall).alias("_last"),
+        )
+        # full windows only: starts 0 .. m-w (posexplode is 0-based)
+        .where(F.col("_pos") <= F.col("_last") - (w - 1))
+        .select(F.col(id_col), "fp")
         .distinct()
     )
 

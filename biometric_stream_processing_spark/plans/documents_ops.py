@@ -23,6 +23,8 @@ from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_bands,
+    simhash_blocked_pairs,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import attach_binary
 from ..operators.similarity import cosine_topk, similar_pairs_blocked
@@ -159,6 +161,80 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", simhash16(F.col("_ws")).alias("simhash")
+    )
+
+
+# Hamming ≤ 1 over a 16-bit simhash with two 8-bit pigeonhole blocks:
+# a 16-bit fingerprint is coarse (C(16,≤3)/2^16 ≈ 1% of RANDOM pairs
+# pass hamming ≤ 3 — at sf0.1 that "near-dup" set is 1.5M pairs, 30%
+# of all pairs, semantically useless), so the meaningful radius here
+# is 1; the 8-bit blocks give 256 bucket values per band, keeping the
+# candidate expansion sparse. A 64-bit production simhash widens both
+# (hamming ≤ 3, 16-bit blocks) with the identical plan shape.
+HAMMING_MAX = 1
+SIMHASH_BLOCKS = 2
+
+WINNOW_K = 3   # fingerprint k-gram width
+WINNOW_W = 4   # winnowing window (hashes per selection window)
+
+QUALITY_MIN = 0.3  # clean-corpus quality floor
+
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup DETECTION (completing the fingerprint-only
+    ``simhash_fingerprints``): exact Hamming ≤ HAMMING_MAX pairs via
+    pigeonhole blocking + verify (operators/dedup.py). The oracle is
+    the O(n²) brute force — completeness of the blocked plan IS the
+    property under test."""
+    return simhash_blocked_pairs(
+        simhash_fingerprints(spark, sf_dir),
+        n_blocks=SIMHASH_BLOCKS, hamming_max=HAMMING_MAX,
+        n_groups=LSH_GROUPS, bits=16,
+    )
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): the
+    distinct selected k-gram hashes per document — the
+    overlap-detection sketch a plagiarism / contamination checker
+    joins on."""
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus materialization — the filter chain a
+    pretraining pipeline runs before tokenization, composed from the
+    operators above: keep each exact-duplicate group's canonical doc
+    (min doc_id per content hash), drop verified near-duplicate losers
+    (the higher doc_id of every Jaccard ≥ 0.2 LSH pair), drop
+    low-quality docs (score < QUALITY_MIN). Output carries the token
+    count the tokenizer budget needs.
+
+    Scale: three joins on doc_id (semi, anti, inner) after the dedup/
+    quality subplans — every stage is the already-scale-audited
+    operator; nothing new shuffles more than (id, small columns)."""
+    d = _docs(spark, sf_dir)
+    canon = exact_dup_groups(d).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    losers = ngram_jaccard_dups(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    quality = doc_lang_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    tokens = doc_token_counts(spark, sf_dir).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return (
+        d.select("doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .where(F.col("quality_score") >= QUALITY_MIN)
+        .join(tokens, "doc_id")
     )
 
 
@@ -440,6 +516,35 @@ ORACLE = {
         WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents)
         SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM d
     """,
+    # brute-force O(n²) twin: the blocked Spark plan must find EXACTLY
+    # the pairs the exhaustive scan finds (pigeonhole completeness)
+    "simhash_dup_pairs": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        s AS (SELECT doc_id, ({_simhash_sql()})::BIGINT AS sh FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
+    """,
+    "doc_winnow_fingerprints": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(ws) - {WINNOW_K - 2}),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+          FROM d WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(grams, x -> substring(md5(x), 1, 8)) AS hs
+          FROM g
+        ), f AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                                       i -> list_min(hs[i:i+{WINNOW_W - 1}]))) AS fp
+          FROM h
+        )
+        SELECT DISTINCT doc_id, fp FROM f
+    """,
     "embedding_topk": f"""
         WITH scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -550,14 +655,43 @@ ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
     N_CENTROIDS, KMEANS_ITER
 )
 
+# Clean-corpus twin: same filter chain, with the near-dup loser set
+# embedded as a parenthesized CTE subquery (the ngram oracle verbatim).
+ORACLE["documents_clean_corpus"] = f"""
+    WITH q AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CASE WHEN len(ws) > 0 THEN
+               round(len(list_filter(ws, w -> list_contains({_SW}, w)))::DOUBLE
+                       / len(ws) * 0.5
+                     + len(list_distinct(ws))::DOUBLE / len(ws) * 0.5, 6)
+             END AS quality_score
+      FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), losers AS (
+      SELECT DISTINCT id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _nd
+    )
+    SELECT d.doc_id, q.quality_score,
+           len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_tokens
+    FROM documents d
+    JOIN canon USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+      AND q.quality_score >= {QUALITY_MIN}
+"""
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_lang_quality": doc_lang_quality,
     "doc_token_counts": doc_token_counts,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_dup_pairs": simhash_dup_pairs,
+    "documents_clean_corpus": documents_clean_corpus,
     "embedding_topk": embedding_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,

@@ -91,3 +91,101 @@ def test_decode_media_is_stubbed(spark):
     df = attach_binary(_docs(spark, ["x"]))
     with pytest.raises(NotImplementedError):
         decode_media(df)
+
+
+# ----------------------------- simhash blocking / winnowing / corpus
+
+
+def test_simhash_blocked_equals_brute_force(spark):
+    """Pigeonhole completeness: the blocked plan finds EXACTLY the
+    brute-force Hamming ≤ 3 pair set, including an adversarial cluster
+    that floods one block value (the hot-bucket case)."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        simhash_blocked_pairs,
+    )
+
+    # synthetic simhashes: a hot cluster all sharing low nibbles, plus
+    # scattered values at various Hamming distances
+    vals = [0x0000, 0x0001, 0x0003, 0x0007, 0x000F, 0x00FF,
+            0x1234, 0x1235, 0x9234, 0xFFFF, 0x0000, 0x8001]
+    sims = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_blocked_pairs(sims).collect()
+    }
+    want = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a in range(len(vals))
+        for b in range(a + 1, len(vals))
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want and len(want) >= 8
+
+
+def test_simhash_blocked_rejects_uncoverable_hamming(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        simhash_blocked_pairs,
+    )
+
+    sims = spark.createDataFrame([(0, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_blocked_pairs(sims, n_blocks=4, hamming_max=4)
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """Two docs sharing a run of >= k + w - 1 words must share at
+    least one fingerprint; disjoint-vocabulary docs share none."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 = k + w - 1
+    df = _docs(spark, [
+        f"one two three {shared} four five",
+        f"uno dos tres {shared} quatro",
+        "totally unrelated vocabulary content here padding words extra",
+    ])
+    fps = winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
+def test_winnowing_short_docs_drop(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = _docs(spark, ["a b c d e", ""])  # 5 words < k + w - 1 = 6
+    assert winnow_fingerprints(df, k=3, w=4).count() == 0
+
+
+def test_clean_corpus_filters_compose(spark, tmp_path):
+    """documents_clean_corpus keeps only canonical, non-near-dup,
+    quality-passing docs (checked against independently recomputed
+    member sets on the sf0.001 corpus)."""
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        QUALITY_MIN,
+        doc_lang_quality,
+        documents_clean_corpus,
+        ngram_jaccard_dups,
+    )
+    from biometric_stream_processing_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id for r in documents_clean_corpus(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    canon = {
+        r.m for r in docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("m")).collect()
+    }
+    losers = {r.id_b for r in ngram_jaccard_dups(spark, sf).collect()}
+    quality = {
+        r.doc_id for r in doc_lang_quality(spark, sf).collect()
+        if r.quality_score is not None and r.quality_score >= QUALITY_MIN
+    }
+    assert out == (canon - losers) & quality and out
