@@ -70,3 +70,35 @@ def test_exists_shapes_compile_to_semi_anti(spark):
     p = _plan(analytics.dormant_customers_by_segment(spark, SF_DIR))
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "Cartesian" not in p
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """The blocked simhash plan must never materialize the O(n²)
+    cross product its brute-force oracle runs — pairs form only inside
+    (band, bucket) groups via the aggregated-members expansion."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.simhash_dup_pairs(spark, SF_DIR))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "HashAggregate" in p  # the per-cell member aggregation
+
+
+def test_winnowing_single_id_shuffle(spark):
+    """Winnowing is one shuffle (the per-doc window sort) plus the
+    distinct — no joins at all in the sketch build."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.doc_winnow_fingerprints(spark, SF_DIR))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_clean_corpus_joins_stay_keyed(spark):
+    """The corpus filter chain must compose as keyed semi/anti/inner
+    joins on doc_id — no cartesian anywhere, including inside the
+    embedded LSH near-dup subplan."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.documents_clean_corpus(spark, SF_DIR))
+    assert "Cartesian" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
