@@ -131,3 +131,73 @@ def test_interval_join_equals_window_plan(spark, events):
     pairs = interval_join(hr, bp, "user_id", "hr_es", "bp_es", L - 1)
     ij_users = {r.user_id for r in pairs.select("user_id").distinct().collect()}
     assert window_users == ij_users
+
+
+# ---------------- winnowing / simhash blocking vs independent evaluators
+
+word_st = st.text(alphabet="abcde", min_size=1, max_size=3)
+
+
+def _py_winnow(texts, k=3, w=4):
+    """Independent pure-Python winnowing (same md5-prefix hashes)."""
+    import hashlib
+
+    out = set()
+    for doc_id, text in enumerate(texts):
+        ws = [x for x in text.split(" ") if x]
+        if len(ws) < k + w - 1:
+            continue
+        grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+        for i in range(len(hs) - w + 1):
+            out.add((doc_id, min(hs[i:i + w])))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(word_st, min_size=0, max_size=14).map(" ".join),
+                min_size=1, max_size=6))
+def test_winnowing_matches_python_reference(spark, texts):
+    from biometric_stream_processing_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.fp) for r in winnow_fingerprints(df).collect()}
+    assert got == _py_winnow(texts)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 0xFFFF), min_size=2, max_size=24),
+       st.integers(1, 3))
+def test_simhash_blocking_matches_brute_force(spark, vals, hamming_max):
+    """Blocked pair detection == brute force for every radius the
+    pigeonhole split supports (n_blocks = hamming_max + 1)."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        simhash_blocked_pairs,
+    )
+
+    n_blocks = hamming_max + 1
+    if 16 % n_blocks:  # block widths must tile the fingerprint
+        n_blocks = 4
+    sims = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_blocked_pairs(
+            sims, n_blocks=n_blocks, hamming_max=min(hamming_max, n_blocks - 1)
+        ).collect()
+    }
+    hm = min(hamming_max, n_blocks - 1)
+    want = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a in range(len(vals))
+        for b in range(a + 1, len(vals))
+        if bin(vals[a] ^ vals[b]).count("1") <= hm
+    }
+    assert got == want
