@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_totals",   # ROWS frame beside time-RANGE frame
         "dormant_customers_by_segment",  # NOT-EXISTS beside Q22 shape
         "users_with_both_streams",   # INTERSECT beside semi-join twin
+        "embedding_similar_pairs",   # label-blocked demo; the scale-true
+                                     # IVF-bucketed variant keeps its slot
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

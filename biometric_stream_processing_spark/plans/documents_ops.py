@@ -203,6 +203,43 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 10        # doc_id % EVAL_MOD == 0 plays the held-out eval set
+MAX_FP_DF = 20       # drop fingerprints in more docs (boilerplate/idf cut)
+MIN_SHARED_FPS = 2   # overlap threshold to report a contamination pair
+
+
+def contamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the production use of the
+    winnowing sketch: (train doc, eval doc) pairs sharing ≥
+    MIN_SHARED_FPS fingerprints, i.e. likely overlapping passages of
+    ≥ WINNOW_K + WINNOW_W − 1 words between the training corpus and a
+    held-out eval slice. Fingerprints appearing in > MAX_FP_DF
+    documents are dropped first (the idf cut): it de-noises the report
+    AND bounds the fp-join fan-out to ≤ MAX_FP_DF² rows per
+    fingerprint — the skew guard that keeps this an equi-join at
+    corpus scale (a boilerplate fingerprint shared by a million docs
+    must never become a join key)."""
+    fps = doc_winnow_fingerprints(spark, sf_dir)
+    keep = (
+        fps.groupBy("fp").agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= MAX_FP_DF)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    train = kept.where(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    ev = kept.where(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "fp"
+    )
+    return (
+        train.join(ev, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= MIN_SHARED_FPS)
+    )
+
+
 def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus materialization — the filter chain a
     pretraining pipeline runs before tokenization, composed from the
@@ -655,6 +692,19 @@ ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
     N_CENTROIDS, KMEANS_ITER
 )
 
+# Contamination twin: same winnow sketch (embedded verbatim), idf cut,
+# and overlap count.
+ORACLE["contamination_overlaps"] = f"""
+    WITH fps AS ({ORACLE["doc_winnow_fingerprints"]}),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {MAX_FP_DF}),
+    f2 AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM keep))
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           count(*) AS n_shared
+    FROM f2 t JOIN f2 e ON t.fp = e.fp
+    WHERE e.doc_id % {EVAL_MOD} = 0 AND t.doc_id % {EVAL_MOD} <> 0
+    GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED_FPS}
+"""
+
 # Clean-corpus twin: same filter chain, with the near-dup loser set
 # embedded as a parenthesized CTE subquery (the ngram oracle verbatim).
 ORACLE["documents_clean_corpus"] = f"""
@@ -686,6 +736,7 @@ QUERIES = {
     "doc_lang_quality": doc_lang_quality,
     "doc_token_counts": doc_token_counts,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "contamination_overlaps": contamination_overlaps,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,

@@ -189,3 +189,38 @@ def test_clean_corpus_filters_compose(spark, tmp_path):
         if r.quality_score is not None and r.quality_score >= QUALITY_MIN
     }
     assert out == (canon - losers) & quality and out
+
+
+def test_contamination_overlaps_match_recompute(spark):
+    """Contamination pairs recomputed in Python from the fingerprint
+    sets must match the query exactly (idf cut + threshold included)."""
+    from collections import Counter
+
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        EVAL_MOD,
+        MAX_FP_DF,
+        MIN_SHARED_FPS,
+        contamination_overlaps,
+        doc_winnow_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fps = [(r.doc_id, r.fp)
+           for r in doc_winnow_fingerprints(spark, sf).collect()]
+    df_count = Counter(fp for _, fp in fps)
+    kept = [(d, fp) for d, fp in fps if df_count[fp] <= MAX_FP_DF]
+    shared = Counter()
+    by_fp = {}
+    for d, fp in kept:
+        by_fp.setdefault(fp, []).append(d)
+    for fp, docs in by_fp.items():
+        ev = [d for d in docs if d % EVAL_MOD == 0]
+        tr = [d for d in docs if d % EVAL_MOD != 0]
+        for e in ev:
+            for t in tr:
+                shared[(t, e)] += 1
+    want = {(t, e, n) for (t, e), n in shared.items()
+            if n >= MIN_SHARED_FPS}
+    got = {(r.train_id, r.eval_id, r.n_shared)
+           for r in contamination_overlaps(spark, sf).collect()}
+    assert got == want and got

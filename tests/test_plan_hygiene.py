@@ -102,3 +102,13 @@ def test_clean_corpus_joins_stay_keyed(spark):
     p = _plan(documents_ops.documents_clean_corpus(spark, SF_DIR))
     assert "Cartesian" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_contamination_join_is_fp_equi(spark):
+    """The contamination check must stay an equi-join on fp with the
+    idf cut applied — no cartesian, and an aggregation (the df filter)
+    must precede the pair join."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.contamination_overlaps(spark, SF_DIR))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
