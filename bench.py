@@ -57,6 +57,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from biometric_stream_processing_spark.plans.documents_ops import (
+        doc_winnow_fingerprints,
         minhash_lsh_pairs,
         shared_ivf_cells,
     )
@@ -97,6 +98,8 @@ def main() -> None:
     pairs.persist()
     cells = shared_ivf_cells(spark, sf_dir)
     cells.persist()
+    fps = doc_winnow_fingerprints(spark, sf_dir)
+    fps.persist()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -108,6 +111,7 @@ def main() -> None:
         total += dt
     pairs.unpersist()
     cells.unpersist()
+    fps.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
