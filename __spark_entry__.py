@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_alert_windows_complete"] = _wrap(
         streaming_pipeline.alert_windows_complete_stream
     )
+    all_q["streaming_dedup_canonicals"] = _wrap(
+        streaming_pipeline.streaming_dedup_canonicals
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -65,7 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "streaming_alerts", "streaming_alert_windows_update",
-        "streaming_alert_windows_complete",
+        "streaming_alert_windows_complete", "streaming_dedup_canonicals",
         "embedding_kmeans_cells", "multimodal_meta",
         "multimodal_frame_samples",
     ]
@@ -81,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_with_both_streams",   # INTERSECT beside semi-join twin
         "embedding_similar_pairs",   # label-blocked demo; the scale-true
                                      # IVF-bucketed variant keeps its slot
+        "order_price_deciles",       # ntile beside the rank-family query
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -96,6 +100,9 @@ def oracle_sql() -> dict[str, str]:
     # complete mode's final full-table snapshot over one micro-batch ==
     # the same batch relation (full-table cadence is golden-tested)
     o["streaming_alert_windows_complete"] = biometric.ORACLE["alert_windows"]
+    # streaming exact-dedup registry over one micro-batch == the batch
+    # dedup relation (incremental fold-in is golden-tested)
+    o["streaming_dedup_canonicals"] = documents_ops.ORACLE["dedup_exact"]
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
     o.update(documents_ops.ORACLE)

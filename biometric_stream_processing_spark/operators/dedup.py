@@ -1,6 +1,7 @@
-"""Deduplication operators for training-data pipelines
-(beyond-reference surface): exact, MinHash+LSH, SimHash, n-gram
-Jaccard, embedding-cosine near-dup (the last via
+"""Deduplication and fingerprinting operators for training-data
+pipelines (beyond-reference surface): exact, MinHash+LSH, simhash
+Hamming pairs (pigeonhole blocking), n-gram Jaccard, MOSS winnowing
+fingerprints, embedding-cosine near-dup (the last via
 ``similarity.similar_pairs_blocked``).
 
 Scale design: every stage is a groupBy/join on content-derived keys —

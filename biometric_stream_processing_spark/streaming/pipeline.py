@@ -402,6 +402,52 @@ def alert_windows_complete_stream(
     )
 
 
+def streaming_dedup_canonicals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming TRAINING-DATA ingestion dedup (the LLM-pipeline
+    operators run through the streaming engine, not just batch): the
+    documents table read as a stream, grouped by content hash with
+    canonical-id/count aggregation in complete mode — the incremental
+    form of ``operators/dedup.exact_dup_groups``. With the single-file
+    source the final snapshot equals the batch relation, which is the
+    DuckDB oracle; multi-batch incremental behavior (a duplicate
+    arriving in a later batch folds into its group) is golden-tested
+    in test_streaming_dedup.py.
+
+    Scale: state is one (hash → min-id, count) entry per DISTINCT
+    content — the md5 shuffles, never the text. Complete mode is the
+    bounded-output choice here (the dedup registry IS the result); an
+    unbounded-output deployment would switch to update mode +
+    ``foreachBatch`` merge into the registry table with the identical
+    plan."""
+    import tempfile
+    import uuid
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = src.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+    name = "dedup_stream_" + uuid.uuid4().hex[:8]
+    try:
+        out = run_stream_to_memory(
+            agg, name, tempfile.mkdtemp(prefix="bspe_ddp_"),
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, checkpoint_dir: str,
     output_mode: str = "append",

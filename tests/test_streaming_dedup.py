@@ -58,3 +58,37 @@ def test_late_redelivery_still_not_duplicated(spark, tmpdir):
         [e],                       # redelivery far past the horizon: late
     ], delay="10 seconds").collect()
     assert len([r for r in rows if r.user_id == 1]) == 1
+
+
+def test_complete_mode_registry_folds_across_batches(spark, tmpdir):
+    """The streaming dedup REGISTRY (groupBy content-hash, complete
+    mode — `streaming_dedup_canonicals`' shape): a duplicate arriving
+    in a LATER micro-batch must fold into its group (count grows,
+    canonical id stays the min) in the final snapshot."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    name = "reg" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    for batch in (
+        [(0, "aaa"), (1, "bbb")],
+        [(2, "aaa"), (3, "ccc")],   # doc 2 duplicates doc 0's content
+    ):
+        spark.createDataFrame(
+            batch, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+        time.sleep(1.1)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(indir))
+    )
+    agg = src.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical"), F.count("*").alias("n")
+    )
+    out = run_stream_to_memory(
+        agg, name, str(tmpdir / "ckpt" / name), output_mode="complete"
+    )
+    got = {(r.canonical, r.n) for r in out.collect()}
+    assert got == {(0, 2), (1, 1), (3, 1)}
