@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs",   # label-blocked demo; the scale-true
                                      # IVF-bucketed variant keeps its slot
         "order_price_deciles",       # ntile beside the rank-family query
+        "order_priority_pivot",      # pivot; its unpivot twin is tail too
+        "customers_with_orders",     # semi-join beside the anti twin
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

@@ -278,6 +278,72 @@ def user_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern (funnel / CEP-family) operator: per user, the
+    earliest view, the earliest click AT OR AFTER that view, and the
+    earliest purchase at or after that click — the MATCH_RECOGNIZE-ish
+    ordered-sequence semantics Spark has no native operator for,
+    composed as chained conditional minima (each stage joins the
+    previous stage's anchor and minimizes events past it). Users who
+    complete only a prefix keep NULL tail steps; ``stage`` counts
+    completed steps. Three keyed equi-joins on user_id — co-partitioned
+    after the first shuffle at scale, no cross product."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", epoch_seconds(F.col("ts")).alias("es")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("es").alias("v_es"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("es") >= F.col("v_es"))
+        .groupBy("user_id").agg(F.min("es").alias("c_es"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("es") >= F.col("c_es"))
+        .groupBy("user_id").agg(F.min("es").alias("p_es"))
+    )
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select(
+            "user_id", "v_es", "c_es", "p_es",
+            (F.lit(1)
+             + F.col("c_es").isNotNull().cast("int")
+             + F.col("p_es").isNotNull().cast("int")).alias("stage"),
+        )
+    )
+
+
+APPROX_PCT_ACC = 100          # approx_percentile accuracy knob
+APPROX_PCT_TOL = 25.0         # |approx − exact| tolerance (value units)
+
+
+def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch with a BOUNDED-error oracle (the
+    t-digest/KLL analogue of ``approx_distinct_bounds``): engines'
+    sketches differ, so the oracled value is the boolean "approx within
+    tolerance of exact", not the sketch output itself."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        (
+            F.abs(
+                F.expr(f"approx_percentile(value, 0.5, {APPROX_PCT_ACC})")
+                - F.percentile("value", 0.5)
+            ) <= APPROX_PCT_TOL
+        ).alias("p50_ok"),
+        (
+            F.abs(
+                F.expr(f"approx_percentile(value, 0.9, {APPROX_PCT_ACC})")
+                - F.percentile("value", 0.9)
+            ) <= APPROX_PCT_TOL
+        ).alias("p90_ok"),
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
@@ -394,6 +460,31 @@ ORACLE = {
                quantile_cont(value, 0.9) AS p90
         FROM events GROUP BY event_type
     """,
+    "funnel_view_click_purchase": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts)//1000000 AS es FROM events
+        ), v AS (
+          SELECT user_id, min(es) AS v_es FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(es) AS c_es
+          FROM e JOIN v ON e.user_id = v.user_id AND e.es >= v.v_es
+          WHERE event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(es) AS p_es
+          FROM e JOIN c ON e.user_id = c.user_id AND e.es >= c.c_es
+          WHERE event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT v.user_id, v_es, c_es, p_es,
+               1 + (c_es IS NOT NULL)::INT + (p_es IS NOT NULL)::INT AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    # sketches differ across engines — the oracle asserts the BOUND
+    "approx_percentile_bounds": """
+        SELECT event_type, true AS p50_ok, true AS p90_ok
+        FROM events GROUP BY event_type
+    """,
     "asof_latest_reading": """
         WITH hr AS (
           SELECT user_id, event_id AS hr_event_id,
@@ -440,4 +531,6 @@ QUERIES = {
     "cogrouped_purchase_values": cogrouped_purchase_values,
     "event_type_stats": event_type_stats,
     "user_value_rolling_1h": user_value_rolling_1h,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "approx_percentile_bounds": approx_percentile_bounds,
 }
