@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles",       # ntile beside the rank-family query
         "order_priority_pivot",      # pivot; its unpivot twin is tail too
         "customers_with_orders",     # semi-join beside the anti twin
+        "users_never_purchasing",    # Q22 cousin of dormant (tail) shape
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

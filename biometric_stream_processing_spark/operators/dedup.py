@@ -312,6 +312,82 @@ def winnow_fingerprints(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    cluster step that turns pairwise near-duplicates into dedup
+    GROUPS (keep one doc per component, not one per pair): iterative
+    min-label propagation to a driver-checked fixpoint. Output
+    (node, cluster_id) where cluster_id is the component's minimum
+    node id; only nodes appearing in ``pairs`` are emitted (isolated
+    docs are their own trivial cluster by definition).
+
+    Execution shape: each iteration is one keyed aggregation over the
+    symmetrized edge list joined to current labels (two shuffles on
+    node id), converging in ≤ component-diameter iterations —
+    near-dup components are clique-dense, so 2-3 in practice. Like
+    k-means (`operators/kmeans.py`), the driver holds only the loop
+    CONTROL (a changed-row count per iteration, via one `count()`);
+    labels and edges never leave the executors — the standard
+    iterate-to-fixpoint shape for graph algorithms on Spark.
+    ``localCheckpoint`` truncates each iteration's lineage so the
+    plan doesn't grow exponentially with iterations.
+
+    Determinism: min-label is order-independent; the fixpoint is the
+    unique transitive closure — bit-exact against the oracle's
+    recursive CTE regardless of execution order.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges_sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges_sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges_sym.join(labels, edges_sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — component diameter exceeds the bound"
+        )
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     df: DataFrame,

@@ -203,6 +203,22 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    LSH pair graph — pairwise dedup under-deletes (a keeps b, b keeps
+    c, but a~c were never compared); the component gives one canonical
+    per transitive group, which is what a real corpus dedup ships.
+    Iterative min-label propagation (operators/dedup.py); the DuckDB
+    oracle computes the same closure with a recursive CTE, so the
+    fixpoint itself is hash-checked."""
+    from ..operators.dedup import connected_components
+
+    pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 EVAL_MOD = 10        # doc_id % EVAL_MOD == 0 plays the held-out eval set
 MAX_FP_DF = 20       # drop fingerprints in more docs (boilerplate/idf cut)
 MIN_SHARED_FPS = 2   # overlap threshold to report a contamination pair
@@ -692,6 +708,26 @@ ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
     N_CENTROIDS, KMEANS_ITER
 )
 
+# Cluster twin: the transitive closure the iterative Spark loop
+# converges to, computed directly with a recursive CTE.
+ORACLE["near_dup_clusters"] = f"""
+    WITH RECURSIVE prs AS (
+      SELECT id_a, id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _p
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
 # Contamination twin: same winnow sketch (embedded verbatim), idf cut,
 # and overlap count.
 ORACLE["contamination_overlaps"] = f"""
@@ -740,6 +776,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "near_dup_clusters": near_dup_clusters,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_dup_pairs": simhash_dup_pairs,
     "documents_clean_corpus": documents_clean_corpus,

@@ -256,3 +256,38 @@ def test_contamination_idf_cut_excludes_boilerplate(spark):
         fp for d, fp in kept if d == n
     } & {fp for d, fp in kept if d == n + 1}
     assert rare_shared  # the rare passage survives the cut
+
+
+def test_connected_components_chains_and_isolates(spark):
+    """Min-label propagation must reach the end of a long CHAIN (multi-
+    iteration transitive closure, the case pairwise dedup misses) and
+    keep disjoint components separate."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from biometric_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=2)
