@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_alerts", "streaming_alert_windows_update",
         "streaming_alert_windows_complete", "streaming_dedup_canonicals",
         "embedding_kmeans_cells", "multimodal_meta",
-        "multimodal_frame_samples",
+        "multimodal_frame_samples", "multimodal_features",
     ]
     tail = [
         "order_counts_unpivot",      # inverse of order_priority_pivot
@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_pivot",      # pivot; its unpivot twin is tail too
         "customers_with_orders",     # semi-join beside the anti twin
         "users_never_purchasing",    # Q22 cousin of dormant (tail) shape
+        "approx_distinct_bounds",    # HLL bound; the percentile-sketch
+                                     # bound entry keeps its slot
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

@@ -400,6 +400,25 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media FEATURE-EXTRACTION surface through the real
+    mapInPandas Arrow path (operators/multimodal.fake_featurize):
+    binary payload in, dim-float vector out, one row per doc. The
+    deterministic sha256-derived stand-in features let DuckDB replay
+    the exact math (hex slice → uint32 → /2^32 → float32), so the
+    Python batch path is value-hash-checked end-to-end — a real codec
+    embedding model changes only the inner function. Features project
+    to scalar float columns (array outputs hash engine-differently)."""
+    from ..operators.multimodal import FEATURE_DIM, fake_featurize
+
+    d = attach_binary(_docs(spark, sf_dir))
+    feats = fake_featurize(d)
+    return feats.select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary(_docs(spark, sf_dir))
     return d.select(
@@ -702,6 +721,13 @@ ORACLE = {
                md5(text) AS content_md5
         FROM documents
     """,
+    # sha256 hex slices → uint32 → /2^32 → float32: the exact math the
+    # mapInPandas featurizer runs (IEEE-deterministic both engines)
+    "multimodal_features": "SELECT doc_id, " + ", ".join(
+        f"CAST(('0x' || substring(sha256(text), {8 * i + 1}, 8))::BIGINT"
+        f" / 4294967296.0 AS FLOAT) AS f{i}"
+        for i in range(8)
+    ) + " FROM documents",
 }
 
 ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
@@ -787,4 +813,5 @@ QUERIES = {
     "embedding_kmeans_cells": embedding_kmeans_cells,
     "multimodal_meta": multimodal_meta,
     "multimodal_frame_samples": multimodal_frame_samples,
+    "multimodal_features": multimodal_features,
 }
