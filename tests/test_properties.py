@@ -201,3 +201,40 @@ def test_simhash_blocking_matches_brute_force(spark, vals, hamming_max):
         if bin(vals[a] ^ vals[b]).count("1") <= hm
     }
     assert got == want
+
+
+def _py_components(pairs):
+    """Independent union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+        lambda p: p[0] != p[1]
+    ).map(lambda p: (min(p), max(p))),
+    min_size=1, max_size=20, unique=True,
+))
+def test_connected_components_match_union_find(spark, pairs):
+    from biometric_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.cluster_id
+           for r in connected_components(df).collect()}
+    assert got == _py_components(pairs)
