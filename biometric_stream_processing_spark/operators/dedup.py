@@ -353,6 +353,7 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             edges_sym.join(labels, edges_sym["src"] == labels["node"])
@@ -369,15 +370,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # labels can only DECREASE, so the total strictly drops on any
+        # change — one aggregation over the just-checkpointed frame
+        # replaces a join + count as the convergence probe
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
