@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_never_purchasing",    # Q22 cousin of dormant (tail) shape
         "approx_distinct_bounds",    # HLL bound; the percentile-sketch
                                      # bound entry keeps its slot
+        "value_percentiles",         # exact percentiles; sketch-bound
+                                     # variants carry the novel signal
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

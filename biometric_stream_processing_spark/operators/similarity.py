@@ -215,6 +215,40 @@ def ivf_topk(
     )
 
 
+def srp_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-random-
+    projection (SRP / random-hyperplane LSH, Charikar STOC'02):
+    components derived from md5 of (plane, index) so the SAME
+    constants can be inlined into any engine's SQL — no RNG state to
+    ship. Uniform in [-1, 1); direction quality matches a seeded
+    uniform sample for bucketing purposes."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"srp-{p}-{i}".encode()).digest()[:4], "big"
+            ) / 2**31 - 1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bucket id: bit ``p`` is ``dot(vec, plane_p) >= 0``; vectors
+    in the same bucket agree on every hyperplane side — collision
+    probability per plane is ``1 − θ/π`` (angle-sensitive), so near
+    neighbors co-bucket with high probability. ``2^n_planes`` buckets;
+    the dot is the same left-fold as every other cosine here."""
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot_fold(vec, arr) >= 0).cast("long")
+        acc = acc + bit * (2 ** p)
+    return acc
+
+
 def similar_pairs_blocked(
     df: DataFrame,
     block_col: str,

@@ -344,6 +344,29 @@ def embedding_similar_pairs_bucketed(
     )
 
 
+SRP_PLANES = 6
+
+
+def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked by RANDOM-HYPERPLANE LSH (sign random
+    projection) — the third blocking strategy beside the label demo
+    and the IVF cell: no training step at all, just 2^SRP_PLANES sign
+    buckets from fixed hyperplanes (operators/similarity.srp_bucket).
+    The bucketing is angle-sensitive (near vectors co-bucket with
+    probability (1 − θ/π)^planes), so like any single-table LSH it
+    trades recall for candidate sparsity; production stacks several
+    tables. Deterministic md5-derived hyperplanes let DuckDB compute
+    identical buckets, so the whole pipeline hash-checks."""
+    from ..operators.similarity import srp_bucket, srp_hyperplanes
+
+    planes = srp_hyperplanes(SRP_PLANES, 64)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding",
+        srp_bucket(F.col("embedding"), planes).alias("srp"),
+    )
+    return similar_pairs_blocked(e, "srp", COSINE_THRESHOLD)
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the scale path): vectors with vec_id <
     N_CENTROIDS act as deterministic coarse centroids (a production
@@ -703,6 +726,7 @@ ORACLE = {
         ) WHERE c >= {COSINE_THRESHOLD}
     """,
     "embedding_kmeans_cells": None,  # filled below (generated SQL)
+    "embedding_srp_pairs": None,     # filled below (generated SQL)
     # DuckDB's md5/substring are VARCHAR-only; the documents corpora
     # are verified pure-ASCII (octet_length == length for every row at
     # every SF), so char slicing == the operator's byte slicing. The
@@ -733,6 +757,39 @@ ORACLE = {
 ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
     N_CENTROIDS, KMEANS_ITER
 )
+
+
+def _srp_pairs_sql() -> str:
+    """SRP twin: identical md5-derived hyperplane constants inlined as
+    double literals (Python repr round-trips exactly; SQL parse is
+    correctly rounded → same bits), same left-associated dots."""
+    from ..operators.similarity import srp_hyperplanes
+
+    planes = srp_hyperplanes(SRP_PLANES, 64)
+    bucket = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"e.embedding[{i + 1}]::DOUBLE * {plane[i]!r}"
+            for i in range(64)
+        )
+        + f") >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({bucket})::BIGINT AS srp
+          FROM embeddings e
+        )
+        SELECT id_a, id_b, round(c, 6) AS cos_sim FROM (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 ({_dot('x', 'y')})
+                 / (sqrt({_dot('x', 'x')}) * sqrt({_dot('y', 'y')})) AS c
+          FROM b x JOIN b y ON x.srp = y.srp AND x.vec_id < y.vec_id
+        ) WHERE c >= {COSINE_THRESHOLD}
+    """
+
+
+ORACLE["embedding_srp_pairs"] = _srp_pairs_sql()
 
 # Cluster twin: the transitive closure the iterative Spark loop
 # converges to, computed directly with a recursive CTE.
@@ -810,6 +867,7 @@ QUERIES = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "embedding_similar_pairs_bucketed": embedding_similar_pairs_bucketed,
+    "embedding_srp_pairs": embedding_srp_pairs,
     "embedding_kmeans_cells": embedding_kmeans_cells,
     "multimodal_meta": multimodal_meta,
     "multimodal_frame_samples": multimodal_frame_samples,

@@ -291,3 +291,35 @@ def test_connected_components_raises_past_max_iter(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_srp_pairs_exact_on_reported_and_finds_identicals(spark):
+    """SRP-blocked pairs: identical vectors always co-bucket (every
+    hyperplane sign agrees) so exact duplicates are never missed, and
+    every reported pair is a TRUE pair (subset of brute force with
+    correct cosines)."""
+    from biometric_stream_processing_spark.operators.similarity import (
+        similar_pairs_blocked,
+        srp_bucket,
+        srp_hyperplanes,
+    )
+
+    import random
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (0, base), (1, list(base)),                       # exact dup
+        (2, [x + rng.uniform(-0.01, 0.01) for x in base]),  # near dup
+        (3, [rng.uniform(-1, 1) for _ in range(64)]),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = srp_hyperplanes(6, 64)
+    e = df.select(
+        "vec_id", "embedding",
+        srp_bucket(F.col("embedding"), planes).alias("srp"),
+    )
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in similar_pairs_blocked(e, "srp", 0.9).collect()}
+    assert (0, 1) in got and abs(got[(0, 1)] - 1.0) < 1e-6
+    # no false positives: every reported cosine clears the threshold
+    assert all(v >= 0.9 for v in got.values())
