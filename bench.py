@@ -9,11 +9,13 @@ Session tuning (bench-scale, not test-scale): sf0.1 shuffles carry a
 few MB, so ``spark.sql.shuffle.partitions`` drops to 4 — task-launch
 overhead dominates otherwise (measured: 4 beats 8 by ~8% on the
 sub-second set, heavies neutral); on a real cluster this knob scales
-with executor cores, the plans are unchanged. Two shared subtrees are
-marked ``persist()`` LAZILY — the LSH candidate pairs
-(``minhash_lsh_pairs`` + ``ngram_jaccard_dups``) and the IVF cell
-assignment (``embedding_ivf_topk`` + ``embedding_similar_pairs_
-bucketed``): the first consumer pays the full compute inside its
+with executor cores, the plans are unchanged. Three shared subtrees
+are marked ``persist()`` LAZILY — the LSH candidate pairs
+(``minhash_lsh_pairs`` + ``ngram_jaccard_dups`` + downstream corpus/
+cluster queries), the IVF cell assignment (``embedding_ivf_topk`` +
+``embedding_similar_pairs_bucketed``), and the winnow sketch
+(``doc_winnow_fingerprints`` + ``contamination_overlaps``): the
+first consumer pays the full compute inside its
 timed window (nothing is pre-computed off the clock), the second
 reuses the cached stage — pipeline behavior, not bench gaming: any
 real run computing both queries would cache the common stage. Warmup
