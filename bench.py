@@ -116,12 +116,22 @@ def main() -> None:
     fps.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver keeps only the last ~2.2 KB of stdout; a 67-query
+    # timing dict (~3.5 KB) on the final line truncated round 3's
+    # headline number (BENCH_r03 "parsed": null). Emit the full
+    # per-query dict on its OWN line first, then a short summary
+    # object as the FINAL line so the driver's tail parse always
+    # sees complete JSON.
+    print(json.dumps({"queries": timings, "sf": sf_val}))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "sf": sf_val,
     }))
 
 

@@ -235,13 +235,60 @@ def alerts_stream_interval(
     )
 
 
+#: Reserved sentinel identity: a user_id no real fixture row uses and
+#: an event_type matching neither biometric predicate, so the sentinel
+#: advances the watermark without ever producing a qualifying window.
+SENTINEL_USER_ID = -1
+#: Far-future event time (nanos ≈ year 2191, well inside int64/Spark
+#: timestamp range and past any fixture ts + window + cooldown).
+SENTINEL_TS_NANOS = 7_000_000_000_000_000_000
+
+
+def _staged_events_dir_with_sentinel(sf_dir: str) -> str:
+    """Stage a temp streaming-source dir holding (a) a symlink to the
+    real ``events.parquet`` and (b) a one-row far-future sentinel file
+    with the identical Arrow schema. Reading BOTH in the first
+    micro-batch pushes the final watermark past every real session's
+    end + gap, so append mode flushes ALL episodes — the watermark-
+    flush sentinel that makes the streaming output equal the batch
+    relation exactly (no held-back tail sessions)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = tempfile.mkdtemp(prefix="bspe_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(staged, "events.parquet"),
+    )
+    sentinel = pa.table({
+        "event_id": pa.array([-1], pa.int64()),
+        "ts": pa.array([SENTINEL_TS_NANOS], pa.timestamp("ns")),
+        "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
+        "event_type": pa.array(["__sentinel__"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(sentinel, os.path.join(staged, "zz_sentinel.parquet"))
+    return staged
+
+
 def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline run through Structured Streaming over the
-    driver's events table (driver-contract entry; rows-only check —
-    append mode only emits episodes whose sessions closed before the
-    final watermark, so the tail differs from the batch twin by
-    design). Output aligns with ``plans.biometric.alerts_throttled``:
-    (user_id, alert_epoch, message)."""
+    driver's events table. A watermark-flush sentinel (one synthetic
+    far-future event for the reserved ``SENTINEL_USER_ID``, matching
+    neither biometric predicate) rides along in the first micro-batch:
+    after it, the no-data flush batch closes every session, so append
+    mode emits exactly the batch ``alerts_throttled`` relation — which
+    is therefore this entry's DuckDB hash oracle. Output
+    (user_id, alert_epoch, message).
+
+    The sentinel never reaches the output: its event_type matches
+    neither the hr nor the bp predicate, so no (window, sentinel-user)
+    row survives the existential-flag filter; a belt-and-braces
+    user_id filter guards the contract anyway."""
     import tempfile
     import uuid
 
@@ -268,10 +315,14 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
+    # No maxFilesPerTrigger: both files (events + sentinel) must land
+    # in ONE micro-batch — were the sentinel processed first on its
+    # own, the watermark would jump ahead and drop every real event as
+    # late.
     src = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_staged_events_dir_with_sentinel(sf_dir))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     alerts = alerts_stream(
@@ -292,7 +343,7 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # alert_wt is the first qualifying window's event-time (end - 1μs);
     # recover the window START epoch to match the batch twin's shape.
-    return out.select(
+    return out.where(F.col("user_id") != SENTINEL_USER_ID).select(
         "user_id",
         (F.unix_timestamp("alert_ts") + 1 - WINDOW_S).alias("alert_epoch"),
         "message",

@@ -79,41 +79,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
-        if name == "streaming_alerts":
-            # Not SQL-expressible (stateful streaming) — but provable
-            # against the batch twin: append mode must emit a subset of
-            # `alerts_throttled` (tail episodes unflushed at the final
-            # watermark stay held) and agree exactly on what it emits.
-            try:
-                bdf = qs["alerts_throttled"](spark, sf_dir)
-                brows = {(r.user_id, r.alert_epoch, r.message)
-                         for r in bdf.collect()}
-                sset = {(r.user_id, r.alert_epoch, r.message)
-                        for r in sdf.collect()}
-            except Exception as e:
-                print(f"FAIL  {name}: parity error: {e}")
-                failures.append(name)
-                continue
-            extra = sset - brows
-            held_rows = brows - sset
-            emitted_users = {u for (u, _, _) in sset}
-            # every held row must postdate something that user DID emit;
-            # a user with held rows but zero emissions is a silent drop
-            tail_ok = all(
-                u in emitted_users
-                and all(e >= se for (su, se, _) in sset if su == u)
-                for (u, e, _) in held_rows
-            )
-            if extra or not sset or not tail_ok:
-                print(f"FAIL  {name}: batch-parity "
-                      f"(stream-only={len(extra)}, empty={not sset}, "
-                      f"tail_ok={tail_ok})")
-                failures.append(name)
-            else:
-                held = len(brows - sset)
-                print(f"OK~   {name}: rows={len(srows)} batch-twin parity "
-                      f"(exact on emitted; {held} tail held)")
-            continue
+        # (streaming_alerts previously needed a batch-parity special
+        # case here; the watermark-flush sentinel now makes its append
+        # output equal the batch relation exactly, so it runs through
+        # the ordinary hash path against the alerts_throttled oracle.)
         if name not in oracles:
             print(f"OK*   {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
