@@ -274,7 +274,12 @@ def winnow_fingerprints(
     as a codegen'd column function over exploded gram rows (an md5
     inside an array ``transform`` is interpreted — the measured slow
     path, see ``minhash_bands``), and WindowExec computes the
-    per-window min JVM-side after one (id, pos) sort.
+    per-window min JVM-side after one (id, pos) sort. The
+    full-window-only bound rides along as a pre-explode gram count
+    (``_n``), so the plan has a SINGLE window expression — round 3
+    computed ``max(_pos)`` with a second unbounded frame over the same
+    sort, an entire extra WindowExec pass for a value already known
+    before the explode.
 
     Scale: one shuffle on id (the window partition); fingerprints
     travel as 8-char strings; no cross product. Docs shorter than
@@ -286,27 +291,26 @@ def winnow_fingerprints(
         F.col(id_col), words(F.col(text_col)).alias("_ws")
     )
     grams = toks.where(F.size("_ws") >= k + w - 1).select(
-        F.col(id_col), F.posexplode(shingles(F.col("_ws"), k)).alias("_pos", "_g")
+        F.col(id_col),
+        (F.size("_ws") - (k - 1)).alias("_n"),
+        F.posexplode(shingles(F.col("_ws"), k)).alias("_pos", "_g"),
     )
     hashed = grams.select(
-        F.col(id_col), "_pos", F.substring(F.md5("_g"), 1, 8).alias("_h")
+        F.col(id_col), "_n", "_pos",
+        F.substring(F.md5("_g"), 1, 8).alias("_h"),
     )
     wmin = (
         W.partitionBy(id_col).orderBy("_pos")
         .rowsBetween(W.currentRow, w - 1)
     )
-    wall = (
-        W.partitionBy(id_col).orderBy("_pos")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
     return (
         hashed.select(
-            F.col(id_col), "_pos",
+            F.col(id_col), "_n", "_pos",
             F.min("_h").over(wmin).alias("fp"),
-            F.max("_pos").over(wall).alias("_last"),
         )
-        # full windows only: starts 0 .. m-w (posexplode is 0-based)
-        .where(F.col("_pos") <= F.col("_last") - (w - 1))
+        # full windows only: starts 0 .. m-w (posexplode is 0-based,
+        # m = _n grams per doc)
+        .where(F.col("_pos") <= F.col("_n") - w)
         .select(F.col(id_col), "fp")
         .distinct()
     )

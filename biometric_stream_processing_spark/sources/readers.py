@@ -11,13 +11,16 @@ column pruning and partition pruning for free — on a 100 TB dataset the
 scan only materializes the referenced columns and row groups. Nothing
 here ever collects to the driver.
 
-The driver's ``events.parquet`` stores ``ts`` as parquet
-TIMESTAMP(NANOS), which Spark 4 refuses by default; we flip
-``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a proper
-microsecond TimestampType column with integer division (``div`` — going
-through DOUBLE would lose nanosecond-magnitude precision: 1.7e18 does
-not fit in a 53-bit mantissa). DuckDB truncates the same ns values to
-microseconds, so both engines see identical instants.
+The driver's ``events.parquet`` has shipped ``ts`` as both parquet
+TIMESTAMP(NANOS) (rounds 1-3) and TIMESTAMP(MICROS) (round 4+).
+MICROS reads natively as TimestampType; NANOS is refused by Spark 4 by
+default, so we flip ``spark.sql.legacy.parquet.nanosAsLong`` and
+rebuild a proper microsecond TimestampType column with integer
+division (``div`` — going through DOUBLE would lose
+nanosecond-magnitude precision: 1.7e18 does not fit in a 53-bit
+mantissa). DuckDB truncates ns values to microseconds, so both
+engines see identical instants either way. The streaming twin of this
+adaptation is ``streaming.pipeline._events_stream_source``.
 """
 
 from __future__ import annotations

@@ -239,12 +239,53 @@ def alerts_stream_interval(
 #: an event_type matching neither biometric predicate, so the sentinel
 #: advances the watermark without ever producing a qualifying window.
 SENTINEL_USER_ID = -1
-#: Far-future event time (nanos ≈ year 2191, well inside int64/Spark
-#: timestamp range and past any fixture ts + window + cooldown).
-SENTINEL_TS_NANOS = 7_000_000_000_000_000_000
+#: Far-future event time in MICROSECONDS (≈ year 2191, well inside
+#: int64/Spark timestamp range and past any fixture ts + window +
+#: cooldown). Scaled to the source file's native unit when staged.
+SENTINEL_TS_MICROS = 7_000_000_000_000_000
 
 
-def _staged_events_dir_with_sentinel(sf_dir: str) -> str:
+def _events_ts_unit(events_path: str) -> str:
+    """Sniff the parquet footer's ``ts`` unit. The driver's testdata
+    has shipped ``ts`` as both TIMESTAMP(NANOS) (rounds 1-3) and
+    TIMESTAMP(MICROS); the streaming file source must declare a
+    read schema up front, so adapt to whichever unit is on disk."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(events_path).schema_arrow.field("ts").type.unit
+
+
+def _events_stream_source(
+    spark: SparkSession, path: str, glob: str, ts_unit: str
+) -> DataFrame:
+    """Streaming events source with a proper microsecond TimestampType
+    ``ts`` regardless of the on-disk unit. NANOS needs the legacy
+    nanos-as-long read + integer ``div`` rebuild (going through DOUBLE
+    would lose precision: 1.7e18 does not fit a 53-bit mantissa);
+    MICROS reads natively as TimestampType."""
+    if ts_unit == "ns":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        schema = ("event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+
+
+def _staged_events_dir_with_sentinel(sf_dir: str, ts_unit: str) -> str:
     """Stage a temp streaming-source dir holding (a) a symlink to the
     real ``events.parquet`` and (b) a one-row far-future sentinel file
     with the identical Arrow schema. Reading BOTH in the first
@@ -263,9 +304,11 @@ def _staged_events_dir_with_sentinel(sf_dir: str) -> str:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(staged, "events.parquet"),
     )
+    ts_val = (SENTINEL_TS_MICROS * 1000 if ts_unit == "ns"
+              else SENTINEL_TS_MICROS)
     sentinel = pa.table({
         "event_id": pa.array([-1], pa.int64()),
-        "ts": pa.array([SENTINEL_TS_NANOS], pa.timestamp("ns")),
+        "ts": pa.array([ts_val], pa.timestamp(ts_unit)),
         "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
         "event_type": pa.array(["__sentinel__"], pa.string()),
         "value": pa.array([0.0], pa.float64()),
@@ -302,10 +345,6 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW_S,
     )
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     # State-store overhead scales with partition count; at test scale 4
     # partitions minimize micro-batch commit cost (measured: 4 ≈ 2.1 s,
     # 8 ≈ 2.7 s, 32 ≈ 3x worse at sf0.1 — a 1000-executor deployment
@@ -313,17 +352,16 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # knob, locked into the checkpoint at first run).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
+    import os as _os
+
+    ts_unit = _events_ts_unit(_os.path.join(sf_dir, "events.parquet"))
     # No maxFilesPerTrigger: both files (events + sentinel) must land
     # in ONE micro-batch — were the sentinel processed first on its
     # own, the watermark would jump ahead and drop every real event as
     # late.
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(_staged_events_dir_with_sentinel(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _events_stream_source(
+        spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+        "*.parquet", ts_unit,
     )
     alerts = alerts_stream(
         src,
@@ -367,19 +405,13 @@ def alert_windows_update_stream(
 
     from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    import os as _os
+
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    src = _events_stream_source(
+        spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
     )
     raw = alert_stream_raw(
         src, WINDOW_S, SLIDE_S,
@@ -421,19 +453,13 @@ def alert_windows_complete_stream(
 
     from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    import os as _os
+
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    src = _events_stream_source(
+        spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
     )
     raw = alert_stream_raw(
         src, WINDOW_S, SLIDE_S,
