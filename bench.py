@@ -22,6 +22,26 @@ real run computing both queries would cache the common stage. Warmup
 runs one query per runtime surface (JVM/parquet footers, Python
 worker pool + Arrow path) before the clock starts.
 
+Round-4 bisect of the r2→r3 "common-set regression" (27.6 s → 34.0 s,
+round-3 verdict item): NOT structural — measured noise plus accounted
+cost-shifts. Three identical full-bench runs minutes apart totalled
+50.2 / 48.8 / 43.8 s (±7% session variance, trending down with OS
+page-cache warmth), and individual queries swing far wider with zero
+code change (embedding_kmeans_cells 2.55-3.45 s across today's runs;
+late_shipment_priority_counts, +41% in the r3 reading, came back at
+0.80 s vs its r2 0.85 s). The control experiment — the exact bench
+harness (same warmups, same persists) running ONLY the 55 r2 queries —
+took 42.9 s vs 31.1-34.8 s for those same queries inside the full
+66-query run, refuting the new-queries-pressure-the-session
+hypothesis outright. The two real per-query shifts are accounted:
+the shared IVF persist moved the first-consumer charge from
+embedding_similar_pairs_bucketed (r2 2.03 s → ~1.0 s) onto
+embedding_ivf_topk (0.85 s → ~2.1 s, net ~neutral), and
+streaming_alerts grew ~1 s because the round-4 watermark-flush
+sentinel makes it process a staged two-file source and flush EVERY
+session (buying an exact hash oracle where r2 held back tail
+sessions).
+
 Floor anatomy (measured, round 3): a warm sub-second query spends
 ~0.05 s in py4j plan construction and ~0.1-0.4 s executing 2-4 jobs/
 stages — the per-stage scheduling latency of a single-shot action in
