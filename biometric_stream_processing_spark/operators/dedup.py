@@ -284,6 +284,16 @@ def winnow_fingerprints(
     Scale: one shuffle on id (the window partition); fingerprints
     travel as 8-char strings; no cross product. Docs shorter than
     ``k + w - 1`` words have no full window and drop out.
+
+    Measured dead end (round 4): a shuffle-free all-in-array
+    formulation — ``transform(sequence(...), i -> array_min(slice(
+    hashes, i, w)))`` + ``array_distinct`` — produces the identical
+    relation with ZERO exchanges but runs ~300x slower at sf0.1
+    (360 s vs 0.8-1.2 s): each interpreted ``slice`` materializes a
+    fresh w-element array per position, and higher-order-function
+    evaluation is per-element interpreted. The explode → codegen md5 →
+    single WindowExec shape stays the design; its one id-shuffle is
+    the cheapest correct plan found.
     """
     from pyspark.sql import Window as W
 
@@ -313,6 +323,43 @@ def winnow_fingerprints(
         .where(F.col("_pos") <= F.col("_n") - w)
         .select(F.col(id_col), "fp")
         .distinct()
+    )
+
+
+def contamination_pairs(
+    fps: DataFrame,
+    eval_pred,
+    max_fp_df: int,
+    min_shared: int,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Train/eval contamination pairs over a (id, fingerprint)
+    relation: rows whose ``eval_pred`` holds form the held-out side;
+    report (train_id, eval_id, n_shared) for every pair sharing ≥
+    ``min_shared`` fingerprints, after dropping fingerprints present
+    in more than ``max_fp_df`` documents (the idf cut — it de-noises
+    the report AND bounds the fp-join fan-out to ≤ max_fp_df² rows per
+    fingerprint, the skew guard that keeps this an equi-join at corpus
+    scale: a boilerplate fingerprint shared by a million docs must
+    never become a join key)."""
+    keep = (
+        fps.groupBy(fp_col).agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_fp_df)
+        .select(fp_col)
+    )
+    kept = fps.join(keep, fp_col)
+    train = kept.where(~eval_pred).select(
+        F.col(id_col).alias("train_id"), fp_col
+    )
+    ev = kept.where(eval_pred).select(
+        F.col(id_col).alias("eval_id"), fp_col
+    )
+    return (
+        train.join(ev, fp_col)
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

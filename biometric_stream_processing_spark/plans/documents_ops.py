@@ -235,24 +235,13 @@ def contamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — the skew guard that keeps this an equi-join at
     corpus scale (a boilerplate fingerprint shared by a million docs
     must never become a join key)."""
-    fps = doc_winnow_fingerprints(spark, sf_dir)
-    keep = (
-        fps.groupBy("fp").agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= MAX_FP_DF)
-        .select("fp")
-    )
-    kept = fps.join(keep, "fp")
-    train = kept.where(F.col("doc_id") % EVAL_MOD != 0).select(
-        F.col("doc_id").alias("train_id"), "fp"
-    )
-    ev = kept.where(F.col("doc_id") % EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_id"), "fp"
-    )
-    return (
-        train.join(ev, "fp")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= MIN_SHARED_FPS)
+    from ..operators.dedup import contamination_pairs
+
+    return contamination_pairs(
+        doc_winnow_fingerprints(spark, sf_dir),
+        eval_pred=F.col("doc_id") % EVAL_MOD == 0,
+        max_fp_df=MAX_FP_DF,
+        min_shared=MIN_SHARED_FPS,
     )
 
 

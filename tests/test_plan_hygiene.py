@@ -112,3 +112,22 @@ def test_contamination_join_is_fp_equi(spark):
 
     p = _plan(documents_ops.contamination_overlaps(spark, SF_DIR))
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_funnel_shuffles_only_on_user_id(spark):
+    """The funnel's chained conditional-minima joins must keep every
+    shuffle on the funnel key: each Exchange hash-partitions on
+    user_id (co-location at scale — one key, no re-keying between
+    stages) and no join degenerates to a nested-loop/cartesian pair
+    enumeration. At test scale AQE broadcasts the tiny per-user
+    aggregates; the Exchange-key assertion is the part that survives a
+    100 TB events table, where those broadcasts become co-partitioned
+    SortMergeJoins over these same exchanges."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.funnel_view_click_purchase(spark, SF_DIR))
+    parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
+    assert parts, p  # the aggregations must shuffle somewhere
+    assert all("user_id" in l for l in parts), parts
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -238,3 +238,74 @@ def test_connected_components_match_union_find(spark, pairs):
     got = {r.node: r.cluster_id
            for r in connected_components(df).collect()}
     assert got == _py_components(pairs)
+
+
+# --- contamination: full independent evaluator (tokenize → k-gram md5
+# → winnow sliding min → idf cut → pair count), nothing shared with
+# the Spark implementation but the constants ---
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[str]:
+    import hashlib
+
+    ws = [t for t in text.split(" ") if t != ""]
+    if len(ws) < k + w - 1:
+        return set()
+    grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+
+def _py_contamination(texts, k, w, eval_mod, max_fp_df, min_shared):
+    from collections import Counter
+
+    fps = [(i, fp) for i, t in enumerate(texts)
+           for fp in _py_winnow(t, k, w)]
+    dfc = Counter(fp for _, fp in fps)
+    kept = [(d, fp) for d, fp in fps if dfc[fp] <= max_fp_df]
+    by_fp: dict[str, list[int]] = {}
+    for d, fp in kept:
+        by_fp.setdefault(fp, []).append(d)
+    shared: Counter = Counter()
+    for fp, docs in by_fp.items():
+        for e in (d for d in docs if d % eval_mod == 0):
+            for t in (d for d in docs if d % eval_mod != 0):
+                shared[(t, e)] += 1
+    return {(t, e, n) for (t, e), n in shared.items() if n >= min_shared}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=14)
+    .map(" ".join),
+    min_size=2, max_size=10,
+))
+def test_contamination_pairs_match_independent_evaluator(spark, texts):
+    """The operator chain (winnow_fingerprints → contamination_pairs)
+    vs a from-scratch Python evaluator — random corpora from a tiny
+    vocabulary so shared passages, boilerplate-hot fingerprints
+    (low max_fp_df exercises the idf cut), and sub-threshold pairs
+    all occur."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        contamination_pairs,
+        winnow_fingerprints,
+    )
+
+    K, W, EVAL_MOD, MAX_DF, MIN_SHARED = 2, 3, 2, 3, 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.train_id, r.eval_id, r.n_shared)
+        for r in contamination_pairs(
+            winnow_fingerprints(df, k=K, w=W),
+            eval_pred=(F.col("doc_id") % EVAL_MOD == 0),
+            max_fp_df=MAX_DF,
+            min_shared=MIN_SHARED,
+        ).collect()
+    }
+    want = _py_contamination(texts, K, W, EVAL_MOD, MAX_DF, MIN_SHARED)
+    assert got == want
