@@ -81,10 +81,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles", "order_priority_pivot",
         "customers_with_orders", "users_never_purchasing",
         "approx_distinct_bounds", "value_percentiles",
+        # --- new in round 4 (need first verdicts) ---
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments", "near_dup_representatives",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
-        # round 4 — safe to rotate out for exactly one round.
+        # round 4 — safe to rotate out for exactly one round. The
+        # four r4-new front entries displace four more r3-green
+        # unchanged entries here to keep the verdict-bearing prefix
+        # at the driver's ~50-entry cap.
+        "asof_latest_reading", "cogrouped_purchase_values",
+        "event_type_stats", "funnel_view_click_purchase",
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",

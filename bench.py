@@ -122,6 +122,11 @@ def main() -> None:
     cells.persist()
     fps = doc_winnow_fingerprints(spark, sf_dir)
     fps.persist()
+    # (The cluster table — shared by near_dup_clusters and
+    # near_dup_representatives — cannot be persisted here: the
+    # connected-components loop is EAGER, so building the frame would
+    # run the whole closure off the clock. It is memoized inside
+    # plans/documents_ops instead; the FIRST timed consumer pays.)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -326,6 +326,49 @@ def winnow_fingerprints(
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Per-cluster representative selection — the step after
+    ``connected_components`` in a real corpus dedup: instead of
+    blindly keeping each cluster's min id, keep its BEST member
+    (highest score, ties broken by min id so the choice is
+    deterministic). Output (cluster_id, rep_doc_id, score, n_members).
+
+    Scale: an equi-join on id (clusters are tiny relative to the
+    corpus — only near-dup members appear) followed by ONE window pass
+    partitioned by cluster; rows carry (ids, one double). Cluster
+    sizes are bounded by the upstream verify threshold, so no hot
+    partition: a pathological million-member cluster would mean the
+    Jaccard cut admitted a near-identical crowd, and the idf-style
+    answer is tightening the threshold, not re-sharding this select.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    joined = clusters.join(scores, id_col)
+    return (
+        joined.select(
+            F.col(cluster_col), F.col(id_col), F.col(score_col),
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(W.partitionBy(cluster_col)).alias("n_members"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("rep_doc_id"),
+            score_col,
+            "n_members",
+        )
+    )
+
+
 def contamination_pairs(
     fps: DataFrame,
     eval_pred,

@@ -1,0 +1,151 @@
+"""Deterministic corpus splitting and sampling operators for
+large-scale training-data pipelines (beyond-reference surface, same
+family as ``operators/dedup.py``).
+
+Reproducibility is the design constraint: a 100 TB corpus is split
+and sampled by CONTENT-DERIVED hashes, never by ``rand()`` — the same
+document lands in the same split on every run, on any cluster layout,
+regardless of partitioning or task retries (Spark's ``rand()`` is
+seeded per-partition, so a repartition or a speculative re-execution
+reshuffles the sample; md5 of the id is stable by construction).
+Parity: hashes are md5 hex (identical across engines); ordering
+comparisons happen on the hex STRING (lexicographic == numeric for
+equal-width hex), and bucket arithmetic decodes only the first 8 hex
+chars into a BIGINT, exactly representable everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, salt: str, n_buckets: int) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets): the first 8 hex
+    chars of ``md5(id || salt)`` decoded to a BIGINT, mod n_buckets.
+    32 bits of hash for at most ~1e5 buckets keeps the modulo bias
+    under 2^-15; the salt isolates independent bucketings (split vs
+    sample vs sharding) so they don't correlate."""
+    h = F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(h, 16, 10).cast("long") % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = ":split",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket =
+    ``hash_bucket(id, salt)``, split = the weight band the bucket
+    falls in (weights in bucket counts, summing to ``n_buckets``).
+
+    Scale: a pure narrow projection — NO shuffle, no state; filters
+    like ``split = 'train'`` push into downstream scans, so reading
+    one split of a 100 TB corpus costs one predicate, not a
+    materialized copy per split."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != n_buckets:
+        raise ValueError(
+            f"split weights {weights} must sum to n_buckets ({n_buckets})"
+        )
+    b = hash_bucket(F.col(id_col), salt, n_buckets)
+    edge = 0
+    expr = None
+    for name, wt in weights.items():
+        edge += wt
+        cond = b < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.select(
+        F.col(id_col), b.alias("bucket"), expr.alias("split")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing — the pre-tokenization batching step of
+    a pretraining pipeline: within each shard, walk documents in
+    deterministic ``id`` order and start a new pack whenever adding
+    the next document would exceed ``budget`` tokens (documents are
+    never split; an oversized document occupies its own pack). Output
+    (shard, id, n_tokens, pack_id), pack ids 0-based per shard.
+
+    The fold is inherently SEQUENTIAL (each pack boundary depends on
+    every earlier one — not a prefix sum, because the running total
+    RESETS at boundaries), so this is one of the few operators where
+    ``applyInPandas`` is the honest plan: built-in window functions
+    cannot express the recurrence. Scale contract: the shard is the
+    parallelism unit (same as any groupBy-apply) — shards are
+    independent, one Exchange on the shard key, and each worker folds
+    its shard in Arrow batches; a shard must fit a worker, which is
+    the same contract sharded training-data writers (one output file
+    stream per shard) already impose. The DuckDB oracle replays the
+    identical recurrence as a recursive CTE, so the fixpoint is
+    hash-checked.
+    """
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        packs = []
+        pack, cur = 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if cur > 0 and cur + t > budget:
+                pack += 1
+                cur = 0
+            cur += t
+            packs.append(pack)
+        pdf["pack_id"] = packs
+        return pdf[[shard_col, id_col, tokens_col, "pack_id"]]
+
+    schema = (f"{shard_col} string, {id_col} long, "
+              f"{tokens_col} long, pack_id long")
+    return (
+        df.select(shard_col, id_col, tokens_col)
+        .groupBy(shard_col)
+        .applyInPandas(_pack, schema)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_stratum: int = 5,
+    salt: str = ":sample",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``n_per_stratum`` rows
+    with the smallest ``md5(id || salt)`` in each stratum — a
+    reproducible uniform sample (md5 is uniform on ids) with an exact
+    per-stratum size, the shape a balanced-mixture training run needs.
+    Output (stratum, id, sample_rank), rank 1-based in hash order.
+
+    Scale: one shuffle on the stratum key + a per-stratum sort of ONLY
+    (id, 32-char hash) pairs — payload columns join back after
+    selection. A degenerate hot stratum (billions of rows in one
+    source) serializes its sort into one task; the production
+    mitigation is hash-threshold pruning — pre-filter to
+    ``hash < (n_per_stratum / stratum_count) * margin`` using the
+    per-stratum counts (md5 uniformity makes the survivor set tiny and
+    a margin of ~4x makes underflow probability negligible; re-run the
+    stratum unpruned iff it underflows), then rank the survivors. Not
+    wired here because the test strata are small and the fallback
+    branch would be dead code; the knob is this docstring.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = W.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(F.col(strata_col), F.col(id_col), h.alias("_h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+        .select(strata_col, id_col, "sample_rank")
+    )

@@ -203,6 +203,17 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized cluster tables per (session, dir): connected_components is
+# EAGER (the fixpoint loop runs jobs at call time), so the usual
+# lazy-persist sharing the other common subtrees use cannot apply —
+# two consumers (near_dup_clusters, near_dup_representatives) would
+# each re-run the whole iterative closure. The memo hands both the
+# same final-labels frame (lineage = last localCheckpoint, cheap to
+# re-scan); the first caller pays the closure. Keyed by applicationId
+# like readers._TABLE_CACHE (id() reuse after session GC).
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     LSH pair graph — pairwise dedup under-deletes (a keeps b, b keeps
@@ -211,12 +222,19 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation (operators/dedup.py); the DuckDB
     oracle computes the same closure with a recursive CTE, so the
     fixpoint itself is hash-checked."""
+    import os
+
     from ..operators.dedup import connected_components
 
-    pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = _CLUSTERS_CACHE.get(key)
+    if got is None:
+        pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
+        got = connected_components(pairs).select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
+        _CLUSTERS_CACHE[key] = got
+    return got
 
 
 EVAL_MOD = 10        # doc_id % EVAL_MOD == 0 plays the held-out eval set
@@ -242,6 +260,64 @@ def contamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_pred=F.col("doc_id") % EVAL_MOD == 0,
         max_fp_df=MAX_FP_DF,
         min_shared=MIN_SHARED_FPS,
+    )
+
+
+SPLIT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+SAMPLE_PER_SOURCE = 5
+PACK_BUDGET = 512    # tokens per training sequence pack
+
+
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split over the corpus
+    (operators/sampling.hash_split): content-derived, so every run and
+    every cluster layout assigns identically — the reproducibility
+    contract ``rand()``-based splitting cannot give."""
+    from ..operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), weights=SPLIT_WEIGHTS)
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample (operators/sampling
+    .stratified_sample): the SAMPLE_PER_SOURCE docs with smallest
+    salted md5 per source — exact per-stratum sizes for a balanced
+    inspection/eval slice."""
+    from ..operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), n_per_stratum=SAMPLE_PER_SOURCE
+    )
+
+
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing per source shard
+    (operators/sampling.pack_greedy): documents fold into
+    PACK_BUDGET-token packs in deterministic doc_id order — the
+    batching step between corpus cleaning and tokenization. The
+    recurrence (running total resets at pack boundaries) is
+    sequential, so the operator is an honest ``applyInPandas``; the
+    oracle replays it as a recursive CTE."""
+    from ..operators.sampling import pack_greedy
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_greedy(d, budget=PACK_BUDGET)
+
+
+def near_dup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster
+    (operators/dedup.cluster_representatives over
+    ``near_dup_clusters`` × ``doc_lang_quality``): keep each cluster's
+    highest-quality member (tie → min doc_id) — what a production
+    dedup ships instead of blind min-id canonicals."""
+    from ..operators.dedup import cluster_representatives
+
+    return cluster_representatives(
+        near_dup_clusters(spark, sf_dir),
+        doc_lang_quality(spark, sf_dir).select("doc_id", "quality_score"),
     )
 
 
@@ -839,6 +915,89 @@ ORACLE["documents_clean_corpus"] = f"""
       AND q.quality_score >= {QUALITY_MIN}
 """
 
+# Split twin: same md5(id || salt) first-8-hex-chars bucket, decoded
+# with the engine-neutral strpos digit trick (16^(8-i) place values
+# are exact in the 53-bit double mantissa, then cast back to BIGINT).
+_SPLIT_HASH = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "((strpos('0123456789abcdef', h[i]) - 1) * (16 ** (8 - i)))::BIGINT"
+    "))::BIGINT"
+)
+ORACLE["doc_split_assignment"] = f"""
+    WITH h AS (
+      SELECT doc_id, substring(md5(doc_id::VARCHAR || ':split'), 1, 8) AS h
+      FROM documents
+    ), b AS (SELECT doc_id, {_SPLIT_HASH} % 100 AS bucket FROM h)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {SPLIT_WEIGHTS["train"]} THEN 'train'
+                WHEN bucket < {SPLIT_WEIGHTS["train"] + SPLIT_WEIGHTS["val"]}
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+# Sample twin: ranking happens on the md5 hex STRING (lexicographic ==
+# numeric for equal-width hex), so no decode is needed.
+ORACLE["doc_stratified_sample"] = f"""
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':sample'), doc_id)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {SAMPLE_PER_SOURCE}
+"""
+
+# Representative twin: clusters oracle embedded verbatim; same
+# quality expression as doc_lang_quality; same (score DESC NULLS
+# LAST, id) tiebreak window.
+ORACLE["near_dup_representatives"] = f"""
+    WITH clusters AS ({ORACLE["near_dup_clusters"]}),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) > 0 THEN
+               round(len(list_filter(ws, w -> list_contains({_SW}, w)))::DOUBLE
+                       / len(ws) * 0.5
+                     + len(list_distinct(ws))::DOUBLE / len(ws) * 0.5, 6)
+             END AS quality_score
+      FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, quality_score, n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC NULLS LAST, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN q USING (doc_id)
+    ) WHERE rk = 1
+"""
+
+# Packing twin: the same greedy fold replayed as a recursive CTE —
+# all shards advance one row per recursion level (join on rn + 1).
+# The `cur > 0` guard matches the operator exactly: an oversized
+# document starting a pack stays in that pack; only a NON-empty
+# running pack rolls over.
+ORACLE["doc_pack_assignments"] = f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+               AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec(source, rn, doc_id, n_tokens, pack_id, cur) AS (
+      SELECT source, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN r.cur > 0 AND r.cur + t.n_tokens > {PACK_BUDGET}
+                  THEN r.pack_id + 1 ELSE r.pack_id END,
+             CASE WHEN r.cur > 0 AND r.cur + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE r.cur + t.n_tokens END
+      FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, pack_id FROM rec
+"""
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_lang_quality": doc_lang_quality,
@@ -849,6 +1008,10 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_representatives": near_dup_representatives,
+    "doc_split_assignment": doc_split_assignment,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_assignments": doc_pack_assignments,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_dup_pairs": simhash_dup_pairs,
     "documents_clean_corpus": documents_clean_corpus,

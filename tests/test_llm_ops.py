@@ -323,3 +323,102 @@ def test_srp_pairs_exact_on_reported_and_finds_identicals(spark):
     assert (0, 1) in got and abs(got[(0, 1)] - 1.0) < 1e-6
     # no false positives: every reported cosine clears the threshold
     assert all(v >= 0.9 for v in got.values())
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    """Same ids → same split on every evaluation; every row gets
+    exactly one split label; bucket weights must sum to the modulus."""
+    from biometric_stream_processing_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = _docs(spark, [f"doc {i}" for i in range(200)])
+    a = {(r.doc_id, r.bucket, r.split) for r in hash_split(df).collect()}
+    b = {(r.doc_id, r.bucket, r.split) for r in hash_split(df).collect()}
+    assert a == b and len(a) == 200
+    assert {s for _, _, s in a} <= {"train", "val", "test"}
+    assert all(0 <= bk < 100 for _, bk, _ in a)
+    # bands map buckets correctly
+    for _, bk, s in a:
+        want = "train" if bk < 80 else ("val" if bk < 90 else "test")
+        assert s == want
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": 50, "test": 10})
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    """Each stratum yields exactly min(n, stratum size) rows, ranks
+    are 1..n in hash order, and re-evaluation reproduces the set."""
+    from biometric_stream_processing_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"text {i}", "web" if i % 3 else "book")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = stratified_sample(df, n_per_stratum=4).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    assert {s: sorted(v) for s, v in by_src.items()} == {
+        "web": [1, 2, 3, 4], "book": [1, 2, 3, 4]
+    }
+    again = stratified_sample(df, n_per_stratum=4).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in again}
+    # a stratum smaller than n returns all of it
+    tiny = spark.createDataFrame(
+        [(1, "t", "solo")], "doc_id long, text string, source string"
+    )
+    assert stratified_sample(tiny, n_per_stratum=4).count() == 1
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    """Highest score wins; equal scores fall back to min doc_id;
+    n_members counts the whole cluster."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, None), (5, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    got = {(r.cluster_id, r.rep_doc_id, r.n_members)
+           for r in cluster_representatives(clusters, scores).collect()}
+    # cluster 10: 2 and 3 tie at 0.9 → min id 2; cluster 40: null
+    # scores sort last → 5 wins
+    assert got == {(10, 2, 3), (40, 5, 2)}
+
+
+def test_pack_greedy_boundaries_and_oversize(spark):
+    """Greedy semantics: rollover only when a NON-empty pack would
+    overflow; an oversized doc keeps its own pack; zero-token docs
+    never force a boundary; ids walk in order per shard."""
+    from biometric_stream_processing_spark.operators.sampling import (
+        pack_greedy,
+    )
+
+    rows = [
+        # shard a, budget 10: 4+5 fit; 3 rolls; 20 oversized alone;
+        # the oversized pack is already over budget so even the
+        # 0-token doc rolls; 9 then joins the 0-token doc's pack
+        # (cur stayed 0)
+        ("a", 1, 4), ("a", 2, 5), ("a", 3, 3), ("a", 4, 20),
+        ("a", 5, 0), ("a", 6, 9),
+        ("b", 1, 10),  # exactly-budget fits pack 0
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    got = {(r.source, r.doc_id): r.pack_id
+           for r in pack_greedy(df, budget=10).collect()}
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2,
+        ("a", 5): 3, ("a", 6): 3, ("b", 1): 0,
+    }

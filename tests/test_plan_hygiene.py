@@ -131,3 +131,27 @@ def test_funnel_shuffles_only_on_user_id(spark):
     assert all("user_id" in l for l in parts), parts
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hash_split_is_shuffle_free_and_pruned(spark):
+    """Split assignment must stay a narrow projection: ZERO exchanges
+    (the 100 TB split costs one map pass) and a scan reading only the
+    id column."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.doc_split_assignment(spark, SF_DIR))
+    assert "Exchange" not in p, p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read and "doc_id" in read
+
+
+def test_stratified_sample_single_stratum_shuffle(spark):
+    """The sample shuffles ONCE, on the stratum key, and scans only
+    (id, stratum) — payloads never ride through the sort."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.doc_stratified_sample(spark, SF_DIR))
+    parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(parts) == 1 and "source" in parts[0], parts
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read

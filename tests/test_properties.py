@@ -247,7 +247,7 @@ def test_connected_components_match_union_find(spark, pairs):
 _VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
 
 
-def _py_winnow(text: str, k: int, w: int) -> set[str]:
+def _py_winnow_one(text: str, k: int, w: int) -> set[str]:
     import hashlib
 
     ws = [t for t in text.split(" ") if t != ""]
@@ -262,7 +262,7 @@ def _py_contamination(texts, k, w, eval_mod, max_fp_df, min_shared):
     from collections import Counter
 
     fps = [(i, fp) for i, t in enumerate(texts)
-           for fp in _py_winnow(t, k, w)]
+           for fp in _py_winnow_one(t, k, w)]
     dfc = Counter(fp for _, fp in fps)
     kept = [(d, fp) for d, fp in fps if dfc[fp] <= max_fp_df]
     by_fp: dict[str, list[int]] = {}
