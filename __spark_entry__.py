@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_dedup_canonicals"] = _wrap(
         streaming_pipeline.streaming_dedup_canonicals
     )
+    all_q["streaming_dedup_merge"] = _wrap(
+        streaming_pipeline.streaming_dedup_merge
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -84,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (need first verdicts) ---
         "doc_split_assignment", "doc_stratified_sample",
         "doc_pack_assignments", "near_dup_representatives",
+        "streaming_dedup_merge",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -93,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at the driver's ~50-entry cap.
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
+        "approx_percentile_bounds",
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",
@@ -124,8 +129,11 @@ def oracle_sql() -> dict[str, str]:
     # the same batch relation (full-table cadence is golden-tested)
     o["streaming_alert_windows_complete"] = biometric.ORACLE["alert_windows"]
     # streaming exact-dedup registry over one micro-batch == the batch
-    # dedup relation (incremental fold-in is golden-tested)
+    # dedup relation (incremental fold-in is golden-tested); the
+    # update-mode foreachBatch-merge twin converges to the same
+    # registry by construction
     o["streaming_dedup_canonicals"] = documents_ops.ORACLE["dedup_exact"]
+    o["streaming_dedup_merge"] = documents_ops.ORACLE["dedup_exact"]
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
     o.update(documents_ops.ORACLE)

@@ -525,6 +525,76 @@ def streaming_dedup_canonicals(
     return out
 
 
+def streaming_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED-output twin of ``streaming_dedup_canonicals``:
+    the same content-hash registry aggregation run in UPDATE mode with
+    a ``foreachBatch`` upsert — the deployment shape when the registry
+    is too large for complete-mode re-emission. Update mode emits only
+    the (hash → min-id, count) rows each micro-batch TOUCHED; the sink
+    merges them by key, so sink state == the full registry while each
+    emission is O(batch), not O(registry).
+
+    Test harness: the merge target is a driver-side dict (bounded by
+    distinct content, same bound complete mode already accepts — see
+    ``run_stream_update_log`` precedent); a production target is a
+    keyed table (MERGE INTO / RocksDB-backed upsert sink) with the
+    IDENTICAL streaming plan. Single-batch source ⇒ final registry
+    equals the batch ``dedup_exact`` relation (the DuckDB oracle);
+    multi-batch incremental folding is golden-tested in
+    test_streaming_dedup.py."""
+    import tempfile
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    try:
+        registry = dedup_registry_merge(
+            src, tempfile.mkdtemp(prefix="bspe_ddm_")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        [(h, c, n) for h, (c, n) in registry.items()],
+        "content_hash string, canonical_doc_id long, n_docs long",
+    )
+
+
+def dedup_registry_merge(
+    src: DataFrame, checkpoint_dir: str
+) -> dict[str, tuple[int, int]]:
+    """Run the content-hash registry aggregation over a streaming
+    documents source in update mode, folding each micro-batch's
+    touched rows into the merge target by key (last write wins — the
+    emitted row always carries the CURRENT aggregate). Returns the
+    final registry; see ``streaming_dedup_merge`` for the deployment
+    framing."""
+    agg = src.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+    registry: dict[str, tuple[int, int]] = {}
+
+    def _merge(bdf: DataFrame, _bid: int) -> None:
+        for r in bdf.collect():
+            registry[r.content_hash] = (r.canonical_doc_id, r.n_docs)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return registry
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, checkpoint_dir: str,
     output_mode: str = "append",

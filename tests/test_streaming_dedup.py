@@ -92,3 +92,39 @@ def test_complete_mode_registry_folds_across_batches(spark, tmpdir):
     )
     got = {(r.canonical, r.n) for r in out.collect()}
     assert got == {(0, 2), (1, 1), (3, 1)}
+
+
+def test_update_merge_registry_folds_across_batches(spark, tmpdir):
+    """The foreachBatch-merge twin of the complete-mode registry:
+    duplicate content arriving in a LATER micro-batch must fold into
+    its group (count grows, canonical stays the min id), and rows the
+    batch didn't touch must survive untouched in the merge target.
+    Final registry == batch dedup over the union."""
+    import uuid as _uuid
+
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        dedup_registry_merge,
+    )
+
+    name = "ddm" + _uuid.uuid4().hex[:8]
+    indir = str(tmpdir / "in" / name)
+    schema = "doc_id long, text string"
+    b1 = [(1, "aaa"), (2, "bbb"), (3, "aaa")]
+    b2 = [(9, "aaa"), (4, "ccc")]          # dup of batch-1 content + new
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    reg = dedup_registry_merge(src, str(tmpdir / "ckpt" / name))
+    import hashlib
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert reg == {
+        h("aaa"): (1, 3),   # folded across batches, min id kept
+        h("bbb"): (2, 1),   # untouched by batch 2, survived the merge
+        h("ccc"): (4, 1),
+    }
