@@ -155,3 +155,15 @@ def test_stratified_sample_single_stratum_shuffle(spark):
     assert len(parts) == 1 and "source" in parts[0], parts
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "text" not in read
+
+
+def test_pack_greedy_single_shard_shuffle(spark):
+    """Sequence packing shuffles once, on the shard key, into the
+    grouped-map Pandas fold — and scans only (id, shard, text for the
+    token count); no second exchange after the Python stage."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.doc_pack_assignments(spark, SF_DIR))
+    parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(parts) == 1 and "source" in parts[0], parts
+    assert "FlatMapGroupsInPandas" in p
