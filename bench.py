@@ -68,6 +68,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_CONFS = {
     "spark.sql.shuffle.partitions":
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4"),
+    # NOTE: spark.sql.files.maxPartitionBytes stays at its 128 MB
+    # default — a measured round-4 dead end. The sf0.1 single-file
+    # tables scan as ONE task under the default, and a sequential
+    # probe suggested 1 MB splits cut the TPC-H shapes ~30%
+    # (nation_pair_volume 1.20→0.77 s) — but a clean INTERLEAVED
+    # same-session A/B (6 reps, conf toggled per query) shows
+    # identical medians (0.67 vs 0.65 s): the sequential win was
+    # page-cache/JIT warm-up bias, and the fully-warm bottleneck is
+    # stage sequencing + driver time, not scan parallelism, at these
+    # data sizes. At real scale the scan is already split by file
+    # count; the default is right both places.
     # NOTE: coalescePartitions.parallelismFirst stays at its default
     # (true) — measured: forcing size-based coalescing at sf0.1
     # collapses every shuffle to 1-2 partitions and serializes the
