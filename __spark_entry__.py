@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (need first verdicts) ---
         "doc_split_assignment", "doc_stratified_sample",
         "doc_pack_assignments", "near_dup_representatives",
-        "streaming_dedup_merge",
+        "streaming_dedup_merge", "doc_tfidf_keywords",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at the driver's ~50-entry cap.
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
-        "approx_percentile_bounds",
+        "approx_percentile_bounds", "doc_text_stats",
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",

@@ -290,6 +290,56 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — the corpus-statistics pattern
+    (CCNet-style frequency scoring, topic tagging): term frequency per
+    (doc, word), document frequency per word over the whole corpus,
+    ``score = tf * round(ln(N / df), 6)``, top TFIDF_TOP_K terms per
+    doc (ties → lexicographic word). Rounding the idf at 6 decimals
+    BEFORE the product makes the score hash-identical across engines
+    (1-ulp libm ln() divergence dies at 6 dp; the subsequent double
+    multiply of identical inputs is deterministic IEEE).
+
+    Scale: tf is one explode + groupBy(doc, word) shuffle with
+    map-side partial counts; df aggregates the DISTINCT (doc, word)
+    pairs already produced by tf (no second corpus pass); the
+    tf⋈df equi-join on word broadcasts the vocabulary side (a corpus
+    vocabulary after any min-df cut is MB-scale at any corpus size —
+    hot words like 'the' are single rows here, pre-aggregated, so no
+    skew fan-out); the final top-k is one window shuffle on doc_id."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    )
+    n_docs = d.count()  # one scalar corpus stat (oracle: subquery)
+    tok = d.select("doc_id", F.explode("_ws").alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").alias("_df")
+    )
+    idf = dfreq.select(
+        "word",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("_df")), 6).alias("_idf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        tf.join(F.broadcast(idf), "word")
+        .select(
+            "doc_id", "word", "tf",
+            F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "score", "rank")
+    )
+
+
 def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing per source shard
     (operators/sampling.pack_greedy): documents fold into
@@ -972,6 +1022,30 @@ ORACLE["near_dup_representatives"] = f"""
     ) WHERE rk = 1
 """
 
+# TF-IDF twin: same tf/df aggregations, same round-before-product
+# float discipline, same (score DESC, word) tiebreak.
+ORACLE["doc_tfidf_keywords"] = f"""
+    WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+    tf AS (
+      SELECT doc_id, word, count(*)::BIGINT AS tf
+      FROM tok GROUP BY doc_id, word
+    ),
+    idf AS (
+      SELECT word,
+             round(ln((SELECT count(*) FROM documents)::DOUBLE
+                      / count(*)), 6) AS idf
+      FROM tf GROUP BY word
+    )
+    SELECT doc_id, word, tf, score, rank FROM (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             round(tf.tf * idf.idf, 6) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.word) AS rank
+      FROM tf JOIN idf USING (word)
+    ) WHERE rank <= {TFIDF_TOP_K}
+"""
+
 # Packing twin: the same greedy fold replayed as a recursive CTE —
 # all shards advance one row per recursion level (join on rn + 1).
 # The `cur > 0` guard matches the operator exactly: an oversized
@@ -1012,6 +1086,7 @@ QUERIES = {
     "doc_split_assignment": doc_split_assignment,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_assignments": doc_pack_assignments,
+    "doc_tfidf_keywords": doc_tfidf_keywords,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_dup_pairs": simhash_dup_pairs,
     "documents_clean_corpus": documents_clean_corpus,

@@ -167,3 +167,14 @@ def test_pack_greedy_single_shard_shuffle(spark):
     parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(parts) == 1 and "source" in parts[0], parts
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_tfidf_vocabulary_joins_broadcast(spark):
+    """The tf⋈idf join must broadcast the aggregated vocabulary side —
+    never shuffle the corpus-wide token relation for it — and the
+    final top-k must be a window over one doc_id exchange."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.doc_tfidf_keywords(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
