@@ -313,15 +313,19 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", words(F.col("text")).alias("_ws")
     )
-    n_docs = d.count()  # one scalar corpus stat (oracle: subquery)
+    # N rides as a 1-row broadcast (the scalar-subquery shape of the
+    # oracle) instead of a driver-side count(): one plan, no extra job
+    ndf = _docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("_n")
+    )
     tok = d.select("doc_id", F.explode("_ws").alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(
         F.count("*").alias("_df")
     )
-    idf = dfreq.select(
+    idf = dfreq.join(F.broadcast(ndf)).select(
         "word",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("_df")), 6).alias("_idf"),
+        F.round(F.log(F.col("_n") / F.col("_df")), 6).alias("_idf"),
     )
     from pyspark.sql import Window as W
 
