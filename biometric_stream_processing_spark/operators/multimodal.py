@@ -2,11 +2,15 @@
 video payloads as opaque BINARY columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(``decode_media`` raises NotImplementedError; ``fake_featurize`` is a
-deterministic stand-in) — but the Spark-side plumbing (schema, batch
-iteration, partitioning, UDF signatures) is real and tested. Swapping
-the stub for e.g. PIL/torchcodec changes only the inner function.
+The container has no image/audio codec libraries, so formats that
+need one (JPEG/PNG/MP3 …) raise NotImplementedError per payload — but
+``decode_media`` REALLY decodes the codec-free formats (RIFF/WAVE
+PCM16 and P6 PPM, pure-Python header/sample parsing, golden-tested
+against independently computed stats), and ``fake_featurize`` remains
+the deterministic stand-in for learned feature extractors. The
+Spark-side plumbing (schema, batch iteration, partitioning, UDF
+signatures) is identical for both; swapping in PIL/torchcodec changes
+only the per-payload inner function.
 
 Scale: binary payloads stay in Arrow record batches end-to-end
 (``spark.sql.execution.arrow.pyspark.enabled``); ``mapInPandas``
@@ -42,13 +46,91 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Decode binary media to pixels/samples. STUB: the runtime image/
-    audio libraries are not available in this environment."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio codec library not present "
-        "in this environment; use fake_featurize for pipeline testing"
-    )
+def decode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode binary media payloads to typed sample/pixel statistics —
+    REAL pure-Python decoding for the container-less formats (round 4;
+    previously a full stub):
+
+    - ``RIFF/WAVE`` (PCM16): fmt + data chunk walk → channels, sample
+      rate, sample count, mean |amplitude| (int16 LE).
+    - ``P6`` PPM (binary RGB): header parse → width, height, pixel
+      count, mean pixel byte value.
+
+    Compressed formats (JPEG/PNG/MP3/H.264 …) still raise
+    NotImplementedError per payload — they genuinely need codec
+    libraries this environment lacks; swapping in PIL/pyav changes
+    only ``_decode_one``. Emitted schema is format-generic with NULLs
+    where a field does not apply. Same Arrow/mapInPandas shape as the
+    featurizer: binary in, one stats row out per payload."""
+    schema = (f"{id_col} long, media_type string, channels long, "
+              "sample_rate long, width long, height long, "
+              "n_units long, mean_value double")
+
+    def _decode_one(b: bytes) -> tuple:
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, ch, sr, bits, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+                body = b[pos + 8:pos + 8 + sz]
+                if cid == b"fmt ":
+                    ch = int.from_bytes(body[2:4], "little")
+                    sr = int.from_bytes(body[4:8], "little")
+                    bits = int.from_bytes(body[14:16], "little")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz % 2)  # chunks are word-aligned
+            if ch is None or data is None or bits != 16:
+                raise ValueError("malformed or non-PCM16 WAV")
+            n = len(data) // 2
+            samples = [
+                int.from_bytes(data[2 * i:2 * i + 2], "little", signed=True)
+                for i in range(n)
+            ]
+            mean = round(sum(abs(s) for s in samples) / n, 6) if n else None
+            return ("audio/wav", ch, sr, None, None, n, mean)
+        if b[:2] == b"P6":
+            # P6 <ws> width <ws> height <ws> maxval <single-ws> pixels
+            fields, pos = [], 2
+            while len(fields) < 3:
+                while pos < len(b) and b[pos:pos + 1].isspace():
+                    pos += 1
+                if b[pos:pos + 1] == b"#":          # comment line
+                    while pos < len(b) and b[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(b) and not b[pos:pos + 1].isspace():
+                    pos += 1
+                fields.append(int(b[start:pos]))
+            pos += 1                                # single ws after maxval
+            w, h, _maxval = fields
+            pix = b[pos:pos + 3 * w * h]
+            if len(pix) < 3 * w * h:
+                raise ValueError("truncated PPM pixel data")
+            mean = round(sum(pix) / len(pix), 6) if pix else None
+            return ("image/ppm", None, None, w, h, w * h, mean)
+        raise NotImplementedError(
+            "payload is not RIFF/WAVE PCM16 or P6 PPM; compressed media "
+            "needs a codec library not present in this environment"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                mt, ch, sr, w, h, n, mean = _decode_one(bytes(payload))
+                rows.append((did, mt, ch, sr, w, h, n, mean))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "media_type", "channels", "sample_rate",
+                "width", "height", "n_units", "mean_value",
+            ])
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema=schema)
 
 
 def fake_featurize(df: DataFrame, content_col: str = "content",

@@ -87,10 +87,54 @@ def test_fake_featurize_deterministic(spark):
     assert all(0.0 <= x < 1.0 for x in feats[0])
 
 
-def test_decode_media_is_stubbed(spark):
-    df = attach_binary(_docs(spark, ["x"]))
-    with pytest.raises(NotImplementedError):
-        decode_media(df)
+def _wav_pcm16(samples, sample_rate=8000, channels=1):
+    """Minimal RIFF/WAVE PCM16 writer (independent of the decoder)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_media_wav_and_ppm(spark):
+    """Pure-Python decode of the codec-free formats: stats must equal
+    independently computed values; unknown formats still raise."""
+    samples = [0, 1000, -2000, 30000, -5]
+    wav = _wav_pcm16(samples)
+    pixels = bytes(range(12))                     # 2x2 RGB
+    ppm = b"P6\n# c\n2 2\n255\n" + pixels
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(ppm))],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: r.asDict() for r in decode_media(df).collect()}
+    assert got[1]["media_type"] == "audio/wav"
+    assert (got[1]["channels"], got[1]["sample_rate"]) == (1, 8000)
+    assert got[1]["n_units"] == len(samples)
+    assert got[1]["mean_value"] == round(
+        sum(abs(s) for s in samples) / len(samples), 6
+    )
+    assert got[2]["media_type"] == "image/ppm"
+    assert (got[2]["width"], got[2]["height"]) == (2, 2)
+    assert got[2]["mean_value"] == round(sum(pixels) / 12, 6)
+
+
+def test_decode_media_rejects_codec_formats(spark):
+    """Payloads needing real codecs (here: a JPEG magic) must raise —
+    the honest boundary of the pure-Python decoder."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish"))],
+        "doc_id long, content binary",
+    )
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="NotImplementedError"):
+        decode_media(df).collect()
 
 
 # ----------------------------- simhash blocking / winnowing / corpus
