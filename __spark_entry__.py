@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assignment", "doc_stratified_sample",
         "doc_pack_assignments", "near_dup_representatives",
         "streaming_dedup_merge", "doc_tfidf_keywords",
+        "multimodal_decode_audio",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
         "approx_percentile_bounds", "doc_text_stats",
+        "doc_token_counts",
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",

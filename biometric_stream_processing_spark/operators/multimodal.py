@@ -46,6 +46,45 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+WAV_SAMPLE_RATE = 8000
+
+
+def attach_wav(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sample_rate: int = WAV_SAMPLE_RATE,
+) -> DataFrame:
+    """Synthesize a valid RIFF/WAVE PCM16 payload per row from the
+    text column's UTF-8 bytes (truncated to even length — two bytes
+    per little-endian sample): the deterministic media fixture that
+    lets the REAL ``decode_media`` parser be exercised, and
+    hash-oracled, over the driver's text-only corpus. Same
+    mapInPandas/Arrow shape as every other multimodal op."""
+    import struct
+
+    schema = f"{id_col} long, content binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = t.encode("utf-8")
+                data = data[: len(data) // 2 * 2]
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+                )
+                body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                    + body
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "content": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(synth, schema=schema)
+
+
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
@@ -65,7 +104,19 @@ def decode_media(
     libraries this environment lacks; swapping in PIL/pyav changes
     only ``_decode_one``. Emitted schema is format-generic with NULLs
     where a field does not apply. Same Arrow/mapInPandas shape as the
-    featurizer: binary in, one stats row out per payload."""
+    featurizer: binary in, one stats row out per payload.
+
+    Float parity: means round HALF-UP via Decimal, not Python's
+    banker's ``round()`` — sample counts are often powers of two, so
+    ``sum/n`` is EXACTLY dyadic and really does land on the 6-decimal
+    half boundary (found by the oracle hash: 23892.8515625 → banker's
+    .851562 vs DuckDB/Spark-round .851563)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
     schema = (f"{id_col} long, media_type string, channels long, "
               "sample_rate long, width long, height long, "
               "n_units long, mean_value double")
@@ -91,7 +142,7 @@ def decode_media(
                 int.from_bytes(data[2 * i:2 * i + 2], "little", signed=True)
                 for i in range(n)
             ]
-            mean = round(sum(abs(s) for s in samples) / n, 6) if n else None
+            mean = _round6(sum(abs(s) for s in samples) / n) if n else None
             return ("audio/wav", ch, sr, None, None, n, mean)
         if b[:2] == b"P6":
             # P6 <ws> width <ws> height <ws> maxval <single-ws> pixels
@@ -112,7 +163,7 @@ def decode_media(
             pix = b[pos:pos + 3 * w * h]
             if len(pix) < 3 * w * h:
                 raise ValueError("truncated PPM pixel data")
-            mean = round(sum(pix) / len(pix), 6) if pix else None
+            mean = _round6(sum(pix) / len(pix)) if pix else None
             return ("image/ppm", None, None, w, h, w * h, mean)
         raise NotImplementedError(
             "payload is not RIFF/WAVE PCM16 or P6 PPM; compressed media "

@@ -375,6 +375,24 @@ def near_dup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media decoder, hash-oracled end-to-end: synthesize a
+    valid RIFF/WAVE PCM16 payload from each document's UTF-8 bytes
+    (operators/multimodal.attach_wav), run it through the pure-Python
+    chunk-walking parser (``decode_media``), emit per-payload sample
+    stats. DuckDB recomputes the identical stats analytically from the
+    same bytes (hex-decode of the blob → little-endian signed int16
+    fold), so the decoder's output — not just its plumbing — is
+    value-hash-checked cross-engine."""
+    from ..operators.multimodal import attach_wav, decode_media
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return decode_media(attach_wav(d)).select(
+        "doc_id", "media_type", "channels", "sample_rate",
+        "n_units", "mean_value",
+    )
+
+
 def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus materialization — the filter chain a
     pretraining pipeline runs before tokenization, composed from the
@@ -1026,6 +1044,33 @@ ORACLE["near_dup_representatives"] = f"""
     ) WHERE rk = 1
 """
 
+# Decode twin: PCM16 sample statistics recomputed analytically from
+# the document bytes — hex(encode(text)) gives two chars per byte
+# (uppercase), each sample is bytes (2i, 2i+1) little-endian, signed
+# via the 32768 fold; |signed| of s-65536 is 65536-s.
+_HEXD = "(strpos('0123456789ABCDEF', hx[{p}]) - 1)"
+_WAV_SAMPLE = (
+    f"({_HEXD.format(p='4*i + 1')} * 16 + {_HEXD.format(p='4*i + 2')})"
+    f" + 256 * ({_HEXD.format(p='4*i + 3')} * 16"
+    f" + {_HEXD.format(p='4*i + 4')})"
+)
+ORACLE["multimodal_decode_audio"] = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             (octet_length(encode(text)) // 2)::BIGINT AS m
+      FROM documents
+    )
+    SELECT doc_id, 'audio/wav' AS media_type, 1::BIGINT AS channels,
+           8000::BIGINT AS sample_rate, m AS n_units,
+           CASE WHEN m > 0 THEN round(
+             list_sum(list_transform(range(0, m::INTEGER), i ->
+               CASE WHEN ({_WAV_SAMPLE}) >= 32768
+                    THEN 65536 - ({_WAV_SAMPLE})
+                    ELSE ({_WAV_SAMPLE}) END))::DOUBLE / m, 6)
+           END AS mean_value
+    FROM b
+"""
+
 # TF-IDF twin: same tf/df aggregations, same round-before-product
 # float discipline, same (score DESC, word) tiebreak.
 ORACLE["doc_tfidf_keywords"] = f"""
@@ -1103,4 +1148,5 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frame_samples": multimodal_frame_samples,
     "multimodal_features": multimodal_features,
+    "multimodal_decode_audio": multimodal_decode_audio,
 }
