@@ -88,18 +88,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assignment", "doc_stratified_sample",
         "doc_pack_assignments", "near_dup_representatives",
         "streaming_dedup_merge", "doc_tfidf_keywords",
-        "multimodal_decode_audio",
+        "multimodal_decode_audio", "multimodal_resize_images",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
-        # round 4 — safe to rotate out for exactly one round. The
-        # four r4-new front entries displace four more r3-green
-        # unchanged entries here to keep the verdict-bearing prefix
-        # at the driver's ~50-entry cap.
+        # round 4 — safe to rotate out for exactly one round. Each
+        # round-4-new front entry displaces one more r3-green
+        # unchanged entry here, keeping the verdict-bearing prefix at
+        # exactly the driver's ~50-entry cap. ROUND-5 OBLIGATION:
+        # front-load ALL of these 24 (their last green verdict is r3)
+        # and tail the r4-verified entries instead.
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
         "approx_percentile_bounds", "doc_text_stats",
-        "doc_token_counts",
+        "doc_token_counts", "doc_lang_quality",
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",

@@ -206,6 +206,107 @@ def fake_featurize(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
 
 
+PPM_WIDTH = 8
+
+
+def attach_ppm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = PPM_WIDTH,
+) -> DataFrame:
+    """Synthesize a valid binary P6 PPM per row from the text column's
+    UTF-8 bytes: fixed ``width``, height = floor(n_bytes / (3*width)),
+    pixel data = the first ``3*width*height`` bytes. Rows too short
+    for a single pixel row are DROPPED (no image). The image twin of
+    ``attach_wav`` — a deterministic fixture that lets the real image
+    path (decode, resize) be hash-oracled over a text corpus."""
+    schema = f"{id_col} long, content binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                data = t.encode("utf-8")
+                h = len(data) // (3 * width)
+                if h == 0:
+                    continue
+                pix = data[: 3 * width * h]
+                ids.append(did)
+                payloads.append(
+                    f"P6\n{width} {h}\n255\n".encode() + pix
+                )
+            yield pd.DataFrame({id_col: ids, "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(synth, schema=schema)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize — REAL for the codec-free P6 PPM
+    format (other formats raise NotImplementedError per payload, the
+    same env boundary as ``decode_media``): output pixel (x, y,
+    channel) samples source pixel ``(x*w // out_w, y*h // out_h)``.
+    Emits the resized payload plus the stats the analytic DuckDB twin
+    can recompute (mean resized byte, HALF-UP at 6 dp — see
+    ``decode_media`` for why banker's rounding is wrong here)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    schema = (f"{id_col} long, src_w long, src_h long, out_w long, "
+              "out_h long, resized binary, mean_value double")
+
+    def _resize_one(b: bytes) -> tuple:
+        if b[:2] != b"P6":
+            raise NotImplementedError(
+                "resize supports P6 PPM here; compressed formats need "
+                "codec libraries not present in this environment"
+            )
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(b) and b[pos:pos + 1].isspace():
+                pos += 1
+            if b[pos:pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1
+        w, h, _maxval = fields
+        pix = b[pos:pos + 3 * w * h]
+        out = bytearray()
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                base = 3 * (sy * w + sx)
+                out += pix[base:base + 3]
+        mean = float(
+            Decimal(sum(out) / len(out)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        ) if out else None
+        return (w, h, out_w, out_h, bytes(out), mean)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                w, h, ow, oh, out, mean = _resize_one(bytes(payload))
+                rows.append((did, w, h, ow, oh, out, mean))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "src_w", "src_h", "out_w", "out_h",
+                "resized", "mean_value",
+            ])
+
+    return df.select(id_col, content_col).mapInPandas(resize, schema=schema)
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,

@@ -393,6 +393,26 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = 4
+RESIZE_H = 4
+
+
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-resize operator, hash-oracled: synthesize a P6
+    PPM per document (operators/multimodal.attach_ppm — 8-wide, height
+    from the byte count; too-short docs drop), nearest-neighbor
+    downscale to RESIZE_W × RESIZE_H, emit dimension + mean-byte
+    stats. DuckDB recomputes the identical sampling analytically from
+    the document bytes (integer index arithmetic over the blob hex),
+    so the resampling itself is value-hash-checked cross-engine."""
+    from ..operators.multimodal import attach_ppm, resize_media
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return resize_media(attach_ppm(d), RESIZE_W, RESIZE_H).select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "mean_value"
+    )
+
+
 def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus materialization — the filter chain a
     pretraining pipeline runs before tokenization, composed from the
@@ -1071,6 +1091,32 @@ ORACLE["multimodal_decode_audio"] = f"""
     FROM b
 """
 
+# Resize twin: nearest-neighbor sampling replayed as integer index
+# arithmetic over the document bytes (pixel data = first 3*8*H bytes,
+# H = octet_length // 24; same hex-decode as the WAV twin).
+_PPM_BYTE = (
+    "((strpos('0123456789ABCDEF', hx[2*j + 1]) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', hx[2*j + 2]) - 1))"
+)
+_PPM_J = (
+    f"(3 * (((i // {RESIZE_W * 3}) * h // {RESIZE_H}) * 8"
+    f" + ((i % {RESIZE_W * 3}) // 3) * 8 // {RESIZE_W}) + i % 3)"
+)
+ORACLE["multimodal_resize_images"] = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             (octet_length(encode(text)) // {3 * 8})::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, 8::BIGINT AS src_w, h AS src_h,
+           {RESIZE_W}::BIGINT AS out_w, {RESIZE_H}::BIGINT AS out_h,
+           round(list_sum(list_transform(
+             range(0, {RESIZE_H * RESIZE_W * 3}), i ->
+               {_PPM_BYTE.replace('j', _PPM_J)}
+             ))::DOUBLE / {RESIZE_H * RESIZE_W * 3}, 6) AS mean_value
+    FROM b WHERE h > 0
+"""
+
 # TF-IDF twin: same tf/df aggregations, same round-before-product
 # float discipline, same (score DESC, word) tiebreak.
 ORACLE["doc_tfidf_keywords"] = f"""
@@ -1149,4 +1195,5 @@ QUERIES = {
     "multimodal_frame_samples": multimodal_frame_samples,
     "multimodal_features": multimodal_features,
     "multimodal_decode_audio": multimodal_decode_audio,
+    "multimodal_resize_images": multimodal_resize_images,
 }

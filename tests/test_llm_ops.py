@@ -466,3 +466,28 @@ def test_pack_greedy_boundaries_and_oversize(spark):
         ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2,
         ("a", 5): 3, ("a", 6): 3, ("b", 1): 0,
     }
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    """NN resize of a known 4x2 image to 2x1 must pick exactly pixels
+    (0,0) and (2,0); stats and payload are checked against hand
+    computation. Non-PPM payloads raise through the worker."""
+    from biometric_stream_processing_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    # 4x2 RGB: pixel (x,y) = (10x+y, 100+10x+y, 200+10x+y)
+    pix = bytes(
+        b for y in range(2) for x in range(4)
+        for b in (10 * x + y, 100 + 10 * x + y, 200 + 10 * x + y)
+    )
+    ppm = b"P6\n4 2\n255\n" + pix
+    df = spark.createDataFrame(
+        [(7, bytearray(ppm))], "doc_id long, content binary"
+    )
+    [r] = resize_media(df, 2, 1).collect()
+    assert (r.src_w, r.src_h, r.out_w, r.out_h) == (4, 2, 2, 1)
+    # y=0 → sy=0; x=0 → sx=0, x=1 → sx=2
+    want = bytes([0, 100, 200, 20, 120, 220])
+    assert bytes(r.resized) == want
+    assert r.mean_value == round(sum(want) / 6, 6)
