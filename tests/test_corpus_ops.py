@@ -1,0 +1,65 @@
+"""Tests for the corpus-preparation operators (vocabulary induction,
+repetition quality rules, passage chunking)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from biometric_stream_processing_spark.plans.corpus_ops import (
+    passages,
+    repetition_stats,
+    vocab_topk,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = _docs(spark, ["b a a", "a c", "c b"])
+    out = vocab_topk(df, k=2).collect()
+    # a: tf=3 df=2; b and c tie at tf=2 df=2 -> word asc keeps 'b'
+    assert [(r.word, r.tf, r.df) for r in out] == [("a", 3, 2), ("b", 2, 2)]
+
+
+def test_vocab_topk_whitespace_normalization(spark):
+    df = _docs(spark, ["x  x", " x "])
+    out = vocab_topk(df, k=5).collect()
+    assert [(r.word, r.tf, r.df) for r in out] == [("x", 3, 2)]
+
+
+def test_repetition_stats_known_ceilings(spark):
+    # doc0: "a a a b" -> top word a=3; bigrams [a a, a a, a b] -> top 2
+    # doc1 single word: bigram ceiling 0; doc2 empty: no row
+    df = _docs(spark, ["a a a b", "solo", ""])
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert (r0.n_words, r0.top_word_n, r0.top_bigram_n) == (4, 3, 2)
+    assert r0.top_word_ratio == 0.75
+    assert r0.top_bigram_share == 1.0  # 2*2/4
+    r1 = rows[1]
+    assert (r1.n_words, r1.top_word_n, r1.top_bigram_n) == (1, 1, 0)
+    assert r1.top_bigram_share == 0.0
+
+
+def test_passages_chunk_boundaries_and_hashes(spark):
+    ws = [f"w{i}" for i in range(7)]
+    df = _docs(spark, [" ".join(ws), ""])
+    out = sorted(passages(df, chunk_words=3).collect(),
+                 key=lambda r: r.passage_idx)
+    assert [r.doc_id for r in out] == [0, 0, 0]
+    assert [r.n_words for r in out] == [3, 3, 1]  # 7 = 3 + 3 + 1
+    expected = [" ".join(ws[0:3]), " ".join(ws[3:6]), " ".join(ws[6:7])]
+    got = [r.passage_hash for r in out]
+    assert got == [hashlib.md5(t.encode()).hexdigest() for t in expected]
+
+
+def test_passages_exact_multiple_has_no_empty_tail(spark):
+    df = _docs(spark, ["a b c d"])
+    out = passages(df, chunk_words=2).collect()
+    assert sorted(r.passage_idx for r in out) == [0, 1]
+    assert all(r.n_words == 2 for r in out)

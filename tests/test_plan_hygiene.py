@@ -187,3 +187,27 @@ def test_tfidf_vocabulary_joins_broadcast(spark):
 
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
     assert len(bnlj) <= 1, p
+
+
+def test_passages_plan_is_narrow(spark):
+    """The passage chunker must be a pure scan → generate projection:
+    zero exchanges (it parallelizes with the input splits) and a scan
+    pruned to (doc_id, text)."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_passages(spark, SF_DIR))
+    assert "Exchange" not in p, p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read and "n_chars" not in read
+
+
+def test_vocab_topk_partial_agg_and_take_ordered(spark):
+    """Word counting must partially aggregate before the shuffle
+    (map-side combine absorbs stopword skew) and resolve the top-k as
+    TakeOrderedAndProject, never a global sort."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.corpus_vocab_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "Sort " not in p
