@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk", "doc_repetition_stats",
         "doc_passages", "source_quality_report",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
+        "decontaminated_train_docs",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in

@@ -46,20 +46,35 @@ def hash_split(
     one split of a 100 TB corpus costs one predicate, not a
     materialized copy per split."""
     weights = weights or {"train": 80, "val": 10, "test": 10}
+    b = hash_bucket(F.col(id_col), salt, n_buckets)
+    return df.select(
+        F.col(id_col), b.alias("bucket"),
+        split_expr(F.col(id_col), weights, salt, n_buckets).alias("split"),
+    )
+
+
+def split_expr(
+    id_col: Column,
+    weights: dict[str, int],
+    salt: str = ":split",
+    n_buckets: int = 100,
+) -> Column:
+    """The split-name column ``hash_split`` assigns, as a standalone
+    expression — composable into any frame that carries the id (it is
+    a pure function of the id, so 'joining' the split assignment is a
+    free narrow projection, never an actual join)."""
     if sum(weights.values()) != n_buckets:
         raise ValueError(
             f"split weights {weights} must sum to n_buckets ({n_buckets})"
         )
-    b = hash_bucket(F.col(id_col), salt, n_buckets)
+    b = hash_bucket(id_col, salt, n_buckets)
     edge = 0
     expr = None
     for name, wt in weights.items():
         edge += wt
         cond = b < edge
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.select(
-        F.col(id_col), b.alias("bucket"), expr.alias("split")
-    )
+    return expr
 
 
 def pack_greedy(

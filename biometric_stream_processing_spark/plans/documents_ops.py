@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     EN_STOPWORDS,
     bpe_ish_token_count,
+    shingles,
     simhash16,
     word_count,
     words,
@@ -288,6 +289,78 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         _docs(spark, sf_dir), n_per_stratum=SAMPLE_PER_SOURCE
     )
+
+
+DECONTAM_N = 8        # exact n-gram width (GPT-3's method uses 13-grams;
+                      # 8 fits this corpus' ~40-word documents)
+DECONTAM_MAX_DF = 20  # ubiquitous-gram cut — same skew rationale as
+                      # MAX_FP_DF: a boilerplate gram in a million docs
+                      # is noise AND a join-fan-out bomb
+
+
+def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram decontamination (the GPT-3 appendix-C method,
+    complementing the winnow-sketch ``contamination_overlaps``): drop
+    from the train split every document sharing any rare exact
+    DECONTAM_N-gram with the held-out test split; emit the surviving
+    train doc_ids.
+
+    Plan shape: the split label is a pure function of doc_id
+    (operators/sampling.split_expr), so it rides the gram frame as a
+    narrow projection — no join against a split table. ONE gram
+    aggregation computes per-gram document frequency AND
+    test-membership together; grams are md5'd and per-doc
+    deduplicated (``array_distinct``) before the explode, so the
+    shuffle carries (16-byte hash, split) pairs. The df cut bounds
+    the bad-gram probe join to ≤ DECONTAM_MAX_DF train docs per gram
+    — the equi-join stays skew-safe at corpus scale. The gram frame
+    feeds both the aggregation and the probe; a non-eager
+    ``localCheckpoint`` materializes it once (payload-free index, the
+    tfidf pattern)."""
+    return exact_decontaminate(
+        _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF
+    )
+
+
+def exact_decontaminate(
+    d: DataFrame,
+    n: int = DECONTAM_N,
+    max_df: int = DECONTAM_MAX_DF,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Core of ``decontaminated_train_docs`` over any (doc_id, text)
+    frame: the surviving train doc_ids after the exact-n-gram cut
+    against the test split."""
+    from ..operators.sampling import split_expr
+
+    weights = weights or SPLIT_WEIGHTS
+    grams = d.select(
+        "doc_id",
+        split_expr(F.col("doc_id"), weights).alias("_split"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(words(F.col("text")), n), F.md5)
+            )
+        ).alias("_g"),
+    ).localCheckpoint(eager=False)
+    gagg = grams.groupBy("_g").agg(
+        F.count("*").alias("_df"),
+        F.max(F.when(F.col("_split") == "test", 1).otherwise(0))
+         .alias("_has_eval"),
+    )
+    bad = gagg.where(
+        (F.col("_df") <= max_df) & (F.col("_has_eval") == 1)
+    ).select("_g")
+    contaminated = (
+        grams.where(F.col("_split") == "train")
+        .join(bad, "_g")
+        .select("doc_id")
+        .distinct()
+    )
+    train = d.select(
+        "doc_id", split_expr(F.col("doc_id"), weights).alias("_split")
+    ).where(F.col("_split") == "train").select("doc_id")
+    return train.join(contaminated, "doc_id", "left_anti")
 
 
 TFIDF_TOP_K = 3
@@ -1039,6 +1112,42 @@ ORACLE["doc_split_assignment"] = f"""
                 ELSE 'test' END AS split
     FROM b
 """
+ORACLE["decontaminated_train_docs"] = f"""
+    WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    h AS (
+      SELECT doc_id, ws,
+             substring(md5(doc_id::VARCHAR || ':split'), 1, 8) AS h
+      FROM d
+    ), s AS (
+      SELECT doc_id, ws,
+             CASE WHEN {_SPLIT_HASH} % 100 < {SPLIT_WEIGHTS["train"]}
+                    THEN 'train'
+                  WHEN {_SPLIT_HASH} % 100
+                       < {SPLIT_WEIGHTS["train"] + SPLIT_WEIGHTS["val"]}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    ), grams AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - {DECONTAM_N - 2}),
+               i -> md5(array_to_string(ws[i : i + {DECONTAM_N - 1}], ' '))
+             ))) AS g
+      FROM s WHERE len(ws) >= {DECONTAM_N}
+    ), gagg AS (
+      SELECT g, count(*) AS df,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_eval
+      FROM grams GROUP BY g
+    ), bad AS (
+      SELECT g FROM gagg WHERE df <= {DECONTAM_MAX_DF} AND has_eval = 1
+    ), cont AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE split = 'train' AND g IN (SELECT g FROM bad)
+    )
+    SELECT doc_id FROM s
+    WHERE split = 'train'
+      AND doc_id NOT IN (SELECT doc_id FROM cont)
+"""
 
 # Sample twin: ranking happens on the md5 hex STRING (lexicographic ==
 # numeric for equal-width hex), so no decode is needed.
@@ -1191,6 +1300,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_representatives": near_dup_representatives,
     "doc_split_assignment": doc_split_assignment,
+    "decontaminated_train_docs": decontaminated_train_docs,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_assignments": doc_pack_assignments,
     "doc_tfidf_keywords": doc_tfidf_keywords,

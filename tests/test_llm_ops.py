@@ -491,3 +491,29 @@ def test_resize_media_nearest_neighbor_exact(spark):
     want = bytes([0, 100, 200, 20, 120, 220])
     assert bytes(r.resized) == want
     assert r.mean_value == round(sum(want) / 6, 6)
+
+
+def test_exact_decontaminate_drops_shared_rare_gram(spark):
+    """GPT-3-style exact n-gram decontamination: a train doc sharing a
+    rare 3-gram with a test doc is dropped; a gram above the df cut is
+    ubiquitous boilerplate and removes nobody; short/unique docs
+    survive. Split assignment is the deterministic md5 bucketing
+    (ids 0-5 -> train, 9 and 20 -> test under the default weights)."""
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        exact_decontaminate,
+    )
+
+    rows = [
+        (0, "x1 x2 x3 extra"),        # train; shares rare gram w/ doc 9
+        (1, "totally unique words"),  # train; survives
+        (2, "c1 c2 c3 pad2"),         # train; boilerplate gram
+        (3, "c1 c2 c3 pad3"),         # train; boilerplate gram
+        (4, "c1 c2 c3 pad4"),         # train; boilerplate gram
+        (5, "short"),                 # train; < n words
+        (9, "x1 x2 x3"),              # test
+        (20, "c1 c2 c3"),             # test; gram df=4 > max_df=2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id for r in
+           exact_decontaminate(df, n=3, max_df=2).collect()}
+    assert out == {1, 2, 3, 4, 5}
