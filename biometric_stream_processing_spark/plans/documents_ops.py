@@ -309,9 +309,10 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.split_expr), so it rides the gram frame as a
     narrow projection — no join against a split table. ONE gram
     aggregation computes per-gram document frequency AND
-    test-membership together; grams are md5'd and per-doc
-    deduplicated (``array_distinct``) before the explode, so the
-    shuffle carries (16-byte hash, split) pairs. The df cut bounds
+    test-membership together; gram strings are hashed codegen-side
+    right after the explode and per-doc deduplicated by the
+    ``distinct``, so every shuffle carries (16-byte hash, split)
+    pairs, never gram text. The df cut bounds
     the bad-gram probe join to ≤ DECONTAM_MAX_DF train docs per gram
     — the equi-join stays skew-safe at corpus scale. The gram frame
     feeds both the aggregation and the probe; a non-eager
@@ -334,15 +335,27 @@ def exact_decontaminate(
     from ..operators.sampling import split_expr
 
     weights = weights or SPLIT_WEIGHTS
-    grams = d.select(
+    # _ws materialized in its OWN projection before the shingle
+    # transform references it: inlining words(text) into the lambda
+    # re-evaluates the split+filter per element_at reference (no CSE
+    # inside lambdas — the doc_text_stats trap), measured 11.3 s →
+    # 2.5 s at sf0.1. md5 runs AFTER the explode as a codegen column
+    # function (not inside a transform — the winnowing dead end), and
+    # per-doc gram dedup is the distinct() on the exploded rows.
+    toks = d.select(
         "doc_id",
         split_expr(F.col("doc_id"), weights).alias("_split"),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles(words(F.col("text")), n), F.md5)
-            )
-        ).alias("_g"),
-    ).localCheckpoint(eager=False)
+        words(F.col("text")).alias("_ws"),
+    )
+    grams = (
+        toks.select(
+            "doc_id", "_split",
+            F.explode(shingles(F.col("_ws"), n)).alias("_gs"),
+        )
+        .select("doc_id", "_split", F.md5("_gs").alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     gagg = grams.groupBy("_g").agg(
         F.count("*").alias("_df"),
         F.max(F.when(F.col("_split") == "test", 1).otherwise(0))
