@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_enriched_segment_counts"] = _wrap(
         streaming_pipeline.streaming_enriched_segment_counts
     )
+    all_q["streaming_session_stats"] = _wrap(
+        streaming_pipeline.streaming_session_stats
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -99,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk", "doc_repetition_stats",
         "doc_passages", "source_quality_report",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
-        "decontaminated_train_docs",
+        "decontaminated_train_docs", "streaming_session_stats",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -157,6 +160,10 @@ def oracle_sql() -> dict[str, str]:
     # raw-timestamp BETWEEN predicate equal the batch floored-seconds
     # oracle exactly
     o["streaming_interval_pairs"] = events_ops.ORACLE["interval_join_pairs"]
+    # native streaming session_window + sentinel flush closes every
+    # session, so append mode emits the batch native_session_stats
+    # relation (gaps-and-islands oracle)
+    o["streaming_session_stats"] = events_ops.ORACLE["native_session_stats"]
     # stream-static enrichment in complete mode over one micro-batch ==
     # the batch join+agg relation
     o["streaming_enriched_segment_counts"] = """

@@ -623,6 +623,53 @@ def streaming_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7's NATIVE ``session_window`` run through the STREAMING engine
+    (the batch twin is ``plans/events_ops.native_session_stats``,
+    whose DuckDB gaps-and-islands oracle this entry shares): per-user
+    sessions over the events stream, closed and emitted in append mode
+    by the watermark-flush sentinel (same mechanism as the flagship —
+    without it the final sessions would sit in state forever).
+
+    Scale: state is one (user, open-session) row — merge-on-arrival,
+    watermark-GC'd; the shuffle is the session_window groupBy on
+    user_id. The sentinel user's own session is filtered from the
+    output."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.windows import epoch_seconds
+    from ..plans.events_ops import SESSION_GAP_S
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+    src = _events_stream_source(
+        spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+        "*.parquet", ts_unit,
+    )
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "sess_stream_" + uuid.uuid4().hex[:8]
+    try:
+        out = run_stream_to_memory(
+            agg, name, tempfile.mkdtemp(prefix="bspe_ses_")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.where(F.col("user_id") != SENTINEL_USER_ID).select(
+        "user_id",
+        epoch_seconds(F.col("session_window.start")).alias("start_es"),
+        "n_events",
+    )
+
+
 def streaming_enriched_segment_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
