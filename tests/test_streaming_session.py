@@ -1,0 +1,47 @@
+"""Native streaming ``session_window`` incrementality: a session
+spanning micro-batches merges into one row; a post-gap event opens a
+new session; append emission waits for the watermark to pass the
+session end + gap (driven here by sentinel batches, as in the gate
+entry ``streaming_session_stats``)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+    run_stream_to_memory,
+)
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+GAP_S = 10
+
+
+def test_session_merges_across_batches(spark, tmpdir):  # noqa: F811
+    name = "ses" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    # user 1: events at 0 and 8 s arrive in DIFFERENT micro-batches but
+    # 8 < GAP -> one merged session of 3 events (0, 8, 12); the 30 s
+    # event is past the gap -> second session. Sentinels (user -1, far
+    # future) advance the watermark so both sessions flush in append.
+    b1 = [(0, "hr", 1, 1.0)]
+    b2 = [(8, "hr", 1, 1.0), (12, "hr", 1, 1.0), (30, "hr", 1, 1.0)]
+    b3 = [(1000, "hr", -1, 0.0)]
+    b4 = [(2000, "hr", -1, 0.0)]
+    _write_batches(spark, indir, [b1, b2, b3, b4])
+    src = read_events_stream(
+        spark, str(indir), SCHEMA, max_files_per_trigger=1
+    )
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", f"{GAP_S} seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_memory(agg, name, str(tmpdir / "ckpt" / name))
+    rows = sorted(
+        [(r.user_id, r.n_events)
+         for r in out.collect() if r.user_id >= 0]
+    )
+    assert rows == [(1, 1), (1, 3)]
