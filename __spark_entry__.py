@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_session_stats"] = _wrap(
         streaming_pipeline.streaming_session_stats
     )
+    all_q["streaming_vocab_topk"] = _wrap(
+        streaming_pipeline.streaming_vocab_topk
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -103,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_passages", "source_quality_report",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "decontaminated_train_docs", "streaming_session_stats",
+        "streaming_vocab_topk",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in
@@ -164,6 +168,19 @@ def oracle_sql() -> dict[str, str]:
     # session, so append mode emits the batch native_session_stats
     # relation (gaps-and-islands oracle)
     o["streaming_session_stats"] = events_ops.ORACLE["native_session_stats"]
+    # complete-mode re-ranked snapshot over one micro-batch == the
+    # batch tf top-k (tf-only: countDistinct df is unsupported on
+    # streams; same (tf desc, word) total order as the batch twin)
+    o["streaming_vocab_topk"] = f"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split(text, ' '),
+                 w -> w <> '')) AS word
+          FROM documents
+        )
+        SELECT word, count(*)::BIGINT AS tf
+        FROM tok GROUP BY word
+        ORDER BY tf DESC, word LIMIT {corpus_ops.VOCAB_TOPK}
+    """
     # stream-static enrichment in complete mode over one micro-batch ==
     # the batch join+agg relation
     o["streaming_enriched_segment_counts"] = """

@@ -721,6 +721,53 @@ def streaming_enriched_segment_counts(
     return out
 
 
+def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary tracking through the STREAMING engine: the
+    documents stream exploded to words, counted, and re-ranked in
+    COMPLETE mode — the live "trending terms" deployment shape (sort +
+    limit are legal in complete mode because each emission is the full
+    re-ranked snapshot). Single-batch source ⇒ the final snapshot
+    equals the batch term-frequency top-k.
+
+    The batch twin (``plans/corpus_ops.vocab_topk``) also reports
+    document frequency; ``countDistinct`` is unsupported on streaming
+    frames (see ``streaming_enriched_segment_counts``), so the
+    streaming vocabulary is tf-only by design — its oracle ranks by
+    the same (tf desc, word asc) total order."""
+    import tempfile
+    import uuid
+
+    from ..plans.corpus_ops import VOCAB_TOPK
+
+    from ..functions.text import words as _words
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    top = (
+        src.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(VOCAB_TOPK)
+    )
+    name = "vocab_stream_" + uuid.uuid4().hex[:8]
+    try:
+        out = run_stream_to_memory(
+            top, name, tempfile.mkdtemp(prefix="bspe_voc_"),
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 def dedup_registry_merge(
     src: DataFrame, checkpoint_dir: str
 ) -> dict[str, tuple[int, int]]:
