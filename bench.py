@@ -116,11 +116,16 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
         qs["streaming_alerts"](spark, warm_sf).count()
+        # stream-stream join state machinery is a distinct operator
+        # class from the windowed-agg path streaming_alerts warms
+        # (symmetric hash join state store + its codegen)
+        qs["streaming_interval_pairs"](spark, warm_sf).count()
         qs["ngram_jaccard_dups"](spark, warm_sf).count()
         qs["embedding_ivf_topk"](spark, warm_sf).count()
         qs["embedding_kmeans_cells"](spark, warm_sf).count()
         qs["simhash_dup_pairs"](spark, warm_sf).count()
         qs["doc_winnow_fingerprints"](spark, warm_sf).count()
+        qs["decontaminated_train_docs"](spark, warm_sf).count()
 
     # Mark the shared LSH candidate-pair and IVF cell-assignment
     # stages cacheable — LAZILY: no action here, so the first consumer
