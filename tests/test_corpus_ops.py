@@ -63,3 +63,58 @@ def test_passages_exact_multiple_has_no_empty_tail(spark):
     out = passages(df, chunk_words=2).collect()
     assert sorted(r.passage_idx for r in out) == [0, 1]
     assert all(r.n_words == 2 for r in out)
+
+
+# ---------------------------------------------------- property tests
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+doc_st = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc_st)
+def test_repetition_stats_matches_python_counter(spark, docs):
+    """Independent evaluator: collections.Counter over words and
+    adjacent bigrams reproduces the per-doc occurrence ceilings."""
+    df = _docs(spark, [" ".join(ws) for ws in docs])
+    got = {r.doc_id: (r.n_words, r.top_word_n, r.top_bigram_n)
+           for r in repetition_stats(df).collect()}
+    expected = {}
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        bigrams = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        expected[i] = (
+            len(ws),
+            max(Counter(ws).values()),
+            max(Counter(bigrams).values()) if bigrams else 0,
+        )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc_st, st.integers(2, 5))
+def test_passages_match_python_chunker(spark, docs, chunk):
+    """Independent evaluator: plain list slicing reproduces every
+    passage boundary, word count, and content hash."""
+    df = _docs(spark, [" ".join(ws) for ws in docs])
+    got = {(r.doc_id, r.passage_idx): (r.n_words, r.passage_hash)
+           for r in passages(df, chunk_words=chunk).collect()}
+    expected = {}
+    for i, ws in enumerate(docs):
+        for p in range((len(ws) + chunk - 1) // chunk):
+            seg = ws[p * chunk:(p + 1) * chunk]
+            expected[(i, p)] = (
+                len(seg),
+                hashlib.md5(" ".join(seg).encode()).hexdigest(),
+            )
+    assert got == expected
