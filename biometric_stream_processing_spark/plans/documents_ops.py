@@ -546,6 +546,19 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition — the relation a pretraining run
+    actually tokenizes: ``documents_clean_corpus`` (exact-dedup
+    canonicals ∖ near-dup losers ∩ quality floor) restricted to the
+    train split with exact-n-gram eval contamination removed
+    (``decontaminated_train_docs``). One left-semi join on doc_id
+    stitches the two audited subplans; every stage inside is
+    individually hash-oracled, and so is the composition."""
+    return documents_clean_corpus(spark, sf_dir).join(
+        decontaminated_train_docs(spark, sf_dir), "doc_id", "left_semi"
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,6 +1175,15 @@ ORACLE["decontaminated_train_docs"] = f"""
       AND doc_id NOT IN (SELECT doc_id FROM cont)
 """
 
+# Capstone: both audited subqueries composed verbatim (DuckDB accepts
+# a WITH inside a derived table — the clean-corpus oracle already
+# nests the full LSH chain the same way).
+ORACLE["training_corpus"] = f"""
+    SELECT c.* FROM ({ORACLE["documents_clean_corpus"]}) c
+    WHERE c.doc_id IN
+      (SELECT doc_id FROM ({ORACLE["decontaminated_train_docs"]}) k)
+"""
+
 # Sample twin: ranking happens on the md5 hex STRING (lexicographic ==
 # numeric for equal-width hex), so no decode is needed.
 ORACLE["doc_stratified_sample"] = f"""
@@ -1320,6 +1342,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_dup_pairs": simhash_dup_pairs,
     "documents_clean_corpus": documents_clean_corpus,
+    "training_corpus": training_corpus,
     "embedding_topk": embedding_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
