@@ -318,9 +318,23 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both the aggregation and the probe; a non-eager
     ``localCheckpoint`` materializes it once (payload-free index, the
     tfidf pattern)."""
-    return exact_decontaminate(
-        _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF
-    )
+    import os
+
+    # Memoized per (session, dir) — same contract as _CLUSTERS_CACHE:
+    # two consumers (this gate entry and the training_corpus capstone)
+    # share one frame, so the lazily-localCheckpointed gram index
+    # materializes once and the second consumer reads its blocks.
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = _DECONTAM_CACHE.get(key)
+    if got is None:
+        got = exact_decontaminate(
+            _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF
+        )
+        _DECONTAM_CACHE[key] = got
+    return got
+
+
+_DECONTAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def exact_decontaminate(
