@@ -142,7 +142,11 @@ def main() -> None:
     # near_dup_representatives — cannot be persisted here: the
     # connected-components loop is EAGER, so building the frame would
     # run the whole closure off the clock. It is memoized inside
-    # plans/documents_ops instead; the FIRST timed consumer pays.)
+    # plans/documents_ops instead; the FIRST timed consumer pays.
+    # The decontamination gram index — shared by
+    # decontaminated_train_docs and training_corpus — is likewise
+    # memoized module-side with a lazy localCheckpoint: first timed
+    # consumer materializes, the second reads blocks.)
 
     timings: dict[str, float] = {}
     total = 0.0
