@@ -160,6 +160,52 @@ def doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages(_docs(spark, sf_dir))
 
 
+def unigram_logprob(df: DataFrame) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet-style perplexity filter,
+    with the corpus itself as the language model): per document, the
+    mean log-probability of its tokens under the corpus unigram
+    distribution — natural-language text scores high, gibberish and
+    boilerplate outliers score low.
+
+    Cross-engine determinism: each word's log-probability is rounded
+    to 6 dp BEFORE summation (kills 1-ulp libm ln() divergence — the
+    tfidf idf trick) and the per-doc sum runs in exact DECIMAL, so
+    the aggregate is order-independent.
+
+    Scale: one token explode feeding BOTH the vocabulary count and
+    the probe (non-eager ``localCheckpoint`` materializes it once);
+    the vocabulary re-joins as a broadcast (MB-scale at any corpus
+    size — hot words are single pre-aggregated rows); the corpus
+    total rides as a 1-row broadcast (scalar-subquery shape)."""
+    tok = df.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    ).localCheckpoint(eager=False)
+    vocab = tok.groupBy("word").agg(F.count("*").alias("_tf"))
+    total = vocab.agg(F.sum("_tf").cast("double").alias("_total"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("_tf") / F.col("_total")), 6).alias("_lp"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("_lp").cast("decimal(28,10)")).cast("double")
+             .alias("_sum_lp"),
+        )
+        .select(
+            "doc_id", "n_words",
+            F.round(F.col("_sum_lp") / F.col("n_words"), 6)
+             .alias("avg_logprob"),
+        )
+    )
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang) corpus report: document count, character
     totals/extremes, and total word count — the triage table a corpus
@@ -231,6 +277,22 @@ ORACLE = {
                         + {PASSAGE_WORDS}], ' ')) AS passage_hash
         FROM p
     """,
+    "doc_unigram_logprob": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_WS}) AS word FROM documents
+        ), v AS (
+          SELECT word, count(*) AS tf FROM tok GROUP BY word
+        ), t AS (
+          SELECT sum(tf)::DOUBLE AS total FROM v
+        ), lp AS (
+          SELECT word, round(ln(tf / total), 6) AS lp FROM v, t
+        )
+        SELECT doc_id, count(*) AS n_words,
+               round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_logprob
+        FROM tok JOIN lp USING (word)
+        GROUP BY doc_id
+    """,
     "source_quality_report": f"""
         SELECT source, lang, count(*) AS n_docs,
                sum(n_chars)::BIGINT AS total_chars,
@@ -245,5 +307,6 @@ QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_passages": doc_passages,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "source_quality_report": source_quality_report,
 }

@@ -118,3 +118,18 @@ def test_passages_match_python_chunker(spark, docs, chunk):
                 hashlib.md5(" ".join(seg).encode()).hexdigest(),
             )
     assert got == expected
+
+
+def test_unigram_logprob_known_distribution(spark):
+    """Corpus 'a a a' + 'b': p(a)=3/4, p(b)=1/4; every token of doc 0
+    scores ln(0.75), doc 1 scores ln(0.25) — the high-frequency doc
+    gets the higher (less negative) quality score."""
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        unigram_logprob,
+    )
+
+    df = _docs(spark, ["a a a", "b"])
+    got = {r.doc_id: (r.n_words, r.avg_logprob)
+           for r in unigram_logprob(df).collect()}
+    assert got == {0: (3, -0.287682), 1: (1, -1.386294)}
+    assert got[0][1] > got[1][1]
