@@ -211,3 +211,19 @@ def test_vocab_topk_partial_agg_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
     assert p.count("HashAggregate") >= 2  # partial + final
     assert "Sort " not in p
+
+
+def test_unigram_logprob_vocab_broadcasts(spark):
+    """The token⋈vocabulary re-join must broadcast the aggregated
+    vocabulary side (tfidf contract); the 1-row corpus total rides as
+    the scalar-subquery-shaped BNLJ, and nothing is a cartesian
+    product."""
+    import re
+
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_unigram_logprob(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj) <= 1, p
