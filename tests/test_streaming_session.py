@@ -45,3 +45,41 @@ def test_session_merges_across_batches(spark, tmpdir):  # noqa: F811
          for r in out.collect() if r.user_id >= 0]
     )
     assert rows == [(1, 1), (1, 3)]
+
+
+def test_open_session_survives_restart(spark, tmpdir):  # noqa: F811
+    """An OPEN session (not yet closed by the watermark) must survive a
+    stop/restart from the checkpoint: the post-restart event extends
+    the pre-restart session instead of opening a new one. Parquet
+    sink — the fault-tolerant path (memory sinks cannot recover)."""
+    run = uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / run
+    ckpt, outdir = tmpdir / "ckpt" / run, tmpdir / "out" / run
+
+    def start():
+        src = read_events_stream(
+            spark, str(indir), SCHEMA, max_files_per_trigger=1
+        )
+        agg = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", f"{GAP_S} seconds"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        return (
+            agg.writeStream.outputMode("append").format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(ckpt)).start()
+        )
+
+    _write_batches(spark, indir, [[(0, "hr", 1, 1.0)]])
+    q = start(); q.processAllAvailable(); q.stop()
+    # 5 s < GAP after the pre-restart event -> must MERGE; sentinels
+    # flush the closed session
+    _write_batches(spark, indir, [
+        [(5, "hr", 1, 1.0)], [(1000, "hr", -1, 0.0)], [(2000, "hr", -1, 0.0)],
+    ])
+    q = start(); q.processAllAvailable(); q.stop()
+    rows = [(r.user_id, r.n_events)
+            for r in spark.read.parquet(str(outdir)).collect()
+            if r.user_id >= 0]
+    assert rows == [(1, 2)]
