@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "decontaminated_train_docs", "streaming_session_stats",
         "streaming_vocab_topk", "training_corpus",
-        "doc_unigram_logprob",
+        "doc_unigram_logprob", "embedding_dup_clusters",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in

@@ -649,6 +649,25 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_pairs_blocked(e, "srp", COSINE_THRESHOLD)
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS in EMBEDDING space: connected
+    components over the verified cosine-pair graph — the identical
+    iterate-to-fixpoint operator the document-side
+    ``near_dup_clusters`` runs (modality-independent by construction:
+    the component algorithm sees only an edge list). Pairwise
+    embedding dedup under-deletes exactly like text dedup (a~b, b~c,
+    a·c below threshold); the transitive closure gives one canonical
+    per semantic group."""
+    from ..operators.dedup import connected_components
+
+    pairs = embedding_similar_pairs_bucketed(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the scale path): vectors with vec_id <
     N_CENTROIDS act as deterministic coarse centroids (a production
@@ -1092,6 +1111,24 @@ ORACLE["near_dup_clusters"] = f"""
     SELECT node AS doc_id, min(lab) AS cluster_id
     FROM reach GROUP BY node
 """
+ORACLE["embedding_dup_clusters"] = f"""
+    WITH RECURSIVE prs AS (
+      SELECT id_a, id_b
+      FROM ({ORACLE["embedding_similar_pairs_bucketed"]}) _p
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+"""
 
 # Contamination twin: same winnow sketch (embedded verbatim), idf cut,
 # and overlap count.
@@ -1361,6 +1398,7 @@ QUERIES = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "embedding_similar_pairs_bucketed": embedding_similar_pairs_bucketed,
+    "embedding_dup_clusters": embedding_dup_clusters,
     "embedding_srp_pairs": embedding_srp_pairs,
     "embedding_kmeans_cells": embedding_kmeans_cells,
     "multimodal_meta": multimodal_meta,
