@@ -657,7 +657,12 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component algorithm sees only an edge list). Pairwise
     embedding dedup under-deletes exactly like text dedup (a~b, b~c,
     a·c below threshold); the transitive closure gives one canonical
-    per semantic group."""
+    per semantic group.
+
+    Measured at sf0.1: Spark 8.0 s vs DuckDB's recursive-CTE closure
+    30.7 s (0.26×) — like the document-side clusters, the iterative
+    min-label propagation beats the quadratic-frontier recursive CTE
+    once the component graph has any density."""
     from ..operators.dedup import connected_components
 
     pairs = embedding_similar_pairs_bucketed(spark, sf_dir).select(
