@@ -1,6 +1,7 @@
 """Corpus-preparation queries over ``documents`` (beyond-reference
 surface; BASELINE.json north star): vocabulary induction, repetition
-quality rules, passage chunking, and per-source corpus reporting —
+quality rules, passage chunking, unigram-LM quality scoring, and
+per-source corpus reporting —
 the pre-tokenization analysis steps a large-scale training-data
 pipeline runs before/alongside the dedup chain in
 ``plans/documents_ops.py``. Each query has an exactly-matching DuckDB
@@ -26,6 +27,10 @@ Scale notes (the design bar is 100 TB, not the sf0.1 bench):
 * ``doc_passages`` — non-overlapping word windows via one
   ``slice`` per *chunk* (O(n) copied elements per doc in total);
   narrow (no shuffle): chunking parallelizes with the scan.
+* ``doc_unigram_logprob`` — the corpus-statistics broadcast-back
+  pattern (tfidf's shape): token explode → vocabulary agg →
+  broadcast re-join; the token index is checkpointed once and the
+  per-doc sum is exact-DECIMAL for order independence.
 * ``source_quality_report`` — plain grouped agg over low-cardinality
   keys; partial aggregation makes the exchange carry
   |sources × langs| rows per split.
