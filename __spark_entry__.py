@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly the driver's ~50-entry cap. ROUND-5 OBLIGATION:
         # front-load EVERY entry whose last green verdict is r3 (all
         # entries past position 50 — these 24 tail entries plus the
-        # middle entries the six round-4 front additions displaced;
+        # middle entries the round-4 front additions displaced;
         # recompute with list(queries())[50:]) and tail the
         # r4-verified entries instead.
         "asof_latest_reading", "cogrouped_purchase_values",
