@@ -318,6 +318,53 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABANDON_T_S = 3600   # purchase horizon after a click (absence window)
+
+
+def abandoned_within(
+    ev: DataFrame,
+    trigger_type: str = "click",
+    resolve_type: str = "purchase",
+    horizon_s: int = ABANDON_T_S,
+) -> DataFrame:
+    """ABSENCE detection (the CEP negation pattern the funnel's
+    ordered-minima chain cannot express — MATCH_RECOGNIZE's
+    `A NOT FOLLOWED BY B WITHIN T`): trigger events with NO resolving
+    event by the same user strictly after them and within
+    ``horizon_s`` — abandoned carts, unacknowledged alerts, SLA
+    breaches. Emits (event_id, user_id, click_us) per unresolved
+    trigger; timestamps compared in exact integer MICROSECONDS (no
+    truncation edge cases).
+
+    Plan: one left-anti join — equi on user_id with the time-range
+    residual — so both sides shuffle once on user_id (sort-merge
+    anti at scale); no window function, no per-user state."""
+    # ts arrives TIMESTAMP_NTZ (readers normalize to naive UTC);
+    # unix_micros needs TIMESTAMP — the cast interprets in the session
+    # tz, which tune_session pins to UTC (the same convention every
+    # unix_timestamp-based epoch_seconds query already relies on).
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    trig = ev.where(F.col("event_type") == trigger_type).select(
+        "event_id", "user_id", us(F.col("ts")).alias("_tus")
+    )
+    res = ev.where(F.col("event_type") == resolve_type).select(
+        F.col("user_id").alias("_ru"),
+        us(F.col("ts")).alias("_rus"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("_ru"))
+        & (F.col("_rus") > F.col("_tus"))
+        & (F.col("_rus") <= F.col("_tus") + horizon_s * 1_000_000)
+    )
+    return trig.join(res, cond, "left_anti").select(
+        "event_id", "user_id", F.col("_tus").alias("click_us")
+    )
+
+
+def abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abandoned_within(_events(spark, sf_dir))
+
+
 APPROX_PCT_ACC = 100          # approx_percentile accuracy knob
 APPROX_PCT_TOL = 25.0         # |approx − exact| tolerance (value units)
 
@@ -480,6 +527,17 @@ ORACLE = {
         FROM v LEFT JOIN c ON v.user_id = c.user_id
                LEFT JOIN p ON v.user_id = p.user_id
     """,
+    "abandoned_clicks": f"""
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us
+        FROM events c
+        WHERE c.event_type = 'click' AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND epoch_us(p.ts) > epoch_us(c.ts)
+            AND epoch_us(p.ts) <= epoch_us(c.ts)
+                                  + {ABANDON_T_S}::BIGINT * 1000000
+        )
+    """,
     # sketches differ across engines — the oracle asserts the BOUND
     "approx_percentile_bounds": """
         SELECT event_type, true AS p50_ok, true AS p90_ok
@@ -532,5 +590,6 @@ QUERIES = {
     "event_type_stats": event_type_stats,
     "user_value_rolling_1h": user_value_rolling_1h,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "abandoned_clicks": abandoned_clicks,
     "approx_percentile_bounds": approx_percentile_bounds,
 }

@@ -59,3 +59,30 @@ def test_funnel_order_and_ties(spark):
     assert got[4] == (10, 10, 10)
     assert got[5] == (10, 30, None)
     assert 6 not in got
+
+
+def test_abandoned_within_absence_semantics(spark):
+    """Negation-pattern semantics: a trigger is resolved only by a
+    SAME-user resolve event STRICTLY after it and within the horizon;
+    earlier purchases, late purchases, and other users' purchases do
+    not resolve."""
+    from biometric_stream_processing_spark.plans.events_ops import (
+        abandoned_within,
+    )
+
+    rows = [
+        # (event_id, user, type, es)
+        (1, 1, "click", 100), (2, 1, "purchase", 150),   # resolved
+        (3, 2, "click", 100), (4, 2, "purchase", 90),    # earlier: no
+        (5, 3, "click", 100), (6, 3, "purchase", 100),   # tie: strict >
+        (7, 4, "click", 100), (8, 4, "purchase", 100 + 61),  # past T
+        (9, 5, "click", 100), (10, 6, "purchase", 120),  # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, es long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("es").cast("timestamp_ntz").alias("ts"),
+    )
+    out = {r.event_id for r in abandoned_within(ev, horizon_s=60).collect()}
+    assert out == {3, 5, 7, 9}
