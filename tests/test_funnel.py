@@ -86,3 +86,41 @@ def test_abandoned_within_absence_semantics(spark):
     )
     out = {r.event_id for r in abandoned_within(ev, horizon_s=60).collect()}
     assert out == {3, 5, 7, 9}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+ev_st = st.lists(
+    st.tuples(st.integers(0, 2),                 # user
+              st.sampled_from(["click", "purchase"]),
+              st.integers(0, 50)),               # offset seconds
+    min_size=1, max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ev_st)
+def test_abandoned_within_matches_python_reference(spark, events):
+    """Independent evaluator: brute-force scan over all (click,
+    purchase) pairs reproduces the abandoned set exactly."""
+    from biometric_stream_processing_spark.plans.events_ops import (
+        abandoned_within,
+    )
+
+    H = 10
+    rows = [(i, u, t, es) for i, (u, t, es) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, es long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("es").cast("timestamp_ntz").alias("ts"),
+    )
+    got = {r.event_id for r in abandoned_within(ev, horizon_s=H).collect()}
+    expected = {
+        i for i, (u, t, es) in enumerate(events) if t == "click"
+        and not any(u2 == u and t2 == "purchase" and es < es2 <= es + H
+                    for _, (u2, t2, es2) in enumerate(events))
+    }
+    assert got == expected
