@@ -1,0 +1,50 @@
+"""Gate-rotation invariants (the registration-order policy documented
+in ``__spark_entry__.queries``): every registered query must carry a
+DuckDB oracle, and every query that has never received a green driver
+verdict must sit inside the ~50-entry verdict-bearing prefix — new
+queries may not be parked past the driver's recording cap."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+GATE_CAP = 50
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registered():
+    import sys
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    return list(entrymod.queries().keys()), entrymod.oracle_sql()
+
+
+def _ever_green():
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            # hash green, or the explicitly-accepted rows-only entries
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows")
+            ):
+                green.add(name)
+    return green
+
+
+def test_every_query_has_an_oracle():
+    names, oracles = _registered()
+    assert [n for n in names if n not in oracles] == []
+
+
+def test_unverified_queries_sit_inside_the_gate_window():
+    names, _ = _registered()
+    green = _ever_green()
+    stranded = [n for n in names[GATE_CAP:] if n not in green]
+    assert stranded == [], (
+        f"queries past position {GATE_CAP} with no green driver verdict "
+        f"in any recorded round: {stranded} — front-load them"
+    )
