@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_train_docs", "streaming_session_stats",
         "streaming_vocab_topk", "training_corpus",
         "doc_unigram_logprob", "embedding_dup_clusters",
-        "abandoned_clicks",
+        "abandoned_clicks", "source_dedup_report",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in

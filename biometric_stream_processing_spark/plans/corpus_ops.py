@@ -229,6 +229,25 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the curation signal that
+    decides which sources are boilerplate farms: document count,
+    distinct content count, and the duplicate ratio. One aggregation
+    over (source, md5(text)) then one over source; only 16-byte
+    hashes shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.md5(F.col("text")).alias("_h")
+    )
+    per = d.groupBy("source", "_h").agg(F.count("*").alias("_n"))
+    return per.groupBy("source").agg(
+        F.sum("_n").alias("n_docs"),
+        F.count("*").alias("n_distinct_contents"),
+        F.round(
+            (F.sum("_n") - F.count("*")).cast("double") / F.sum("_n"), 6
+        ).alias("dup_ratio"),
+    )
+
+
 ORACLE = {
     "corpus_vocab_topk": f"""
         WITH tok AS (
@@ -298,6 +317,16 @@ ORACLE = {
         FROM tok JOIN lp USING (word)
         GROUP BY doc_id
     """,
+    "source_dedup_report": """
+        WITH per AS (
+          SELECT source, md5(text) AS h, count(*) AS n
+          FROM documents GROUP BY source, md5(text)
+        )
+        SELECT source, sum(n)::BIGINT AS n_docs,
+               count(*) AS n_distinct_contents,
+               round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_ratio
+        FROM per GROUP BY source
+    """,
     "source_quality_report": f"""
         SELECT source, lang, count(*) AS n_docs,
                sum(n_chars)::BIGINT AS total_chars,
@@ -314,4 +343,5 @@ QUERIES = {
     "doc_passages": doc_passages,
     "doc_unigram_logprob": doc_unigram_logprob,
     "source_quality_report": source_quality_report,
+    "source_dedup_report": source_dedup_report,
 }
