@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_vocab_topk", "training_corpus",
         "doc_unigram_logprob", "embedding_dup_clusters",
         "abandoned_clicks", "source_dedup_report",
+        "embedding_kmeans_quality",
     ]
     tail = [
         # Green in round 3 (CORRECTNESS_r03), source unchanged in

@@ -699,14 +699,48 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index layout a production ANN build ships. Closes the
     "first-8-vectors stand-in" gap in ``embedding_ivf_topk``'s
     centroid story."""
-    from ..operators.kmeans import assign_cells, kmeans_centroids
+    from ..operators.kmeans import assign_cells
 
     e = _emb(spark, sf_dir)
-    seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), "embedding"
-    )
-    cents = kmeans_centroids(e, seeds, n_iter=KMEANS_ITER, dim=64)
-    return assign_cells(e, cents)
+    return assign_cells(e, _trained_kmeans(spark, sf_dir))
+
+
+# Memoized trained k-means model per (session, dir): training is
+# driver-eager (one job per Lloyd iteration at call time), so the two
+# consumers (cell assignment, cell quality) would otherwise each
+# re-run the whole loop. O(k·dim) floats held — the model-exchange
+# contract the operator already defines.
+_KMEANS_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _trained_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    import os
+
+    from ..operators.kmeans import kmeans_centroids
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = _KMEANS_CACHE.get(key)
+    if got is None:
+        e = _emb(spark, sf_dir)
+        seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        got = kmeans_centroids(e, seeds, n_iter=KMEANS_ITER, dim=64)
+        _KMEANS_CACHE[key] = got
+    return got
+
+
+def embedding_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer evaluation for the trained IVF model
+    (operators/kmeans.cell_quality): per cell, member count and mean
+    member-to-centroid cosine — the compactness report an ANN index
+    build ships next to its cell assignment. Shares the memoized
+    trained model with ``embedding_kmeans_cells``."""
+    from ..operators.kmeans import cell_quality
+
+    return cell_quality(_emb(spark, sf_dir), _trained_kmeans(spark, sf_dir))
 
 
 # -------------------------------------------------------------- multimodal
@@ -821,11 +855,26 @@ def _kmeans_cells_sql(k: int, n_iter: int, dim: int = 64) -> str:
     ctes.append(f"""scf AS (
       SELECT e.vec_id, c.cid, {_cos(f'cent{n_iter}')} AS ccos
       FROM embeddings e CROSS JOIN cent{n_iter} c)""")
-    return ("WITH " + ",\n".join(ctes) + """
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cid AS cell, row_number() OVER (PARTITION BY vec_id
-               ORDER BY ccos DESC, cid) AS rn
-        FROM scf) WHERE rn = 1""")
+    ctes.append("""fin AS (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT vec_id, cid AS cell, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid) AS rn
+        FROM scf) WHERE rn = 1)""")
+    return "WITH " + ",\n".join(ctes) + " SELECT vec_id, cell FROM fin"
+
+
+def _kmeans_quality_sql(k: int, n_iter: int, dim: int = 64) -> str:
+    """DuckDB twin of ``embedding_kmeans_quality``: the same unrolled
+    Lloyd CTEs, ending in the per-cell compactness aggregate (round
+    the member cosine at 6 dp, exact-DECIMAL sum, divide by count)."""
+    base = _kmeans_cells_sql(k, n_iter, dim)
+    prefix = base[: base.rfind(" SELECT vec_id, cell FROM fin")]
+    return prefix + """
+      SELECT cell, count(*) AS n_members,
+             round(CAST(sum(CAST(round(ccos, 6) AS DECIMAL(28,10)))
+                        AS DOUBLE) / count(*), 6) AS mean_cos
+      FROM fin GROUP BY cell"""
 
 
 _MINHASH_CTE = f"""
@@ -1061,6 +1110,9 @@ ORACLE = {
 }
 
 ORACLE["embedding_kmeans_cells"] = _kmeans_cells_sql(
+    N_CENTROIDS, KMEANS_ITER
+)
+ORACLE["embedding_kmeans_quality"] = _kmeans_quality_sql(
     N_CENTROIDS, KMEANS_ITER
 )
 
@@ -1406,6 +1458,7 @@ QUERIES = {
     "embedding_dup_clusters": embedding_dup_clusters,
     "embedding_srp_pairs": embedding_srp_pairs,
     "embedding_kmeans_cells": embedding_kmeans_cells,
+    "embedding_kmeans_quality": embedding_kmeans_quality,
     "multimodal_meta": multimodal_meta,
     "multimodal_frame_samples": multimodal_frame_samples,
     "multimodal_features": multimodal_features,
