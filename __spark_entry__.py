@@ -173,12 +173,13 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_session_stats"] = events_ops.ORACLE["native_session_stats"]
     # complete-mode re-ranked snapshot over one micro-batch == the
     # batch tf top-k (tf-only: countDistinct df is unsupported on
-    # streams; same (tf desc, word) total order as the batch twin)
+    # streams; same (tf desc, word) total order as the batch twin).
+    # Tokenizer fragment comes from corpus_ops._WS — the single
+    # definition the Spark query (functions/text.words) mirrors — so
+    # a tokenization change can't silently diverge this oracle.
     o["streaming_vocab_topk"] = f"""
         WITH tok AS (
-          SELECT unnest(list_filter(string_split(text, ' '),
-                 w -> w <> '')) AS word
-          FROM documents
+          SELECT unnest({corpus_ops._WS}) AS word FROM documents
         )
         SELECT word, count(*)::BIGINT AS tf
         FROM tok GROUP BY word

@@ -36,10 +36,57 @@ holds per-event state (the reference's list-concat flaw, avoided).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.alerting import BP_THRESHOLD, HR_THRESHOLD
+
+# Scratch dirs (streaming checkpoints, staged sentinel sources) handed
+# out by ``scratch_dir`` — removed at interpreter exit so repeated
+# gate/bench runs don't accumulate one leaked mkdtemp per entry
+# invocation. Cleanup is atexit, not per-entry: the memory-sink result
+# table survives the query but the checkpoint may still be referenced
+# until the session dies.
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _SCRATCH_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@contextlib.contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int = 4):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming gate/bench
+    entry and ALWAYS restore the previous value — the whole entry body
+    (parquet footer sniffing, sentinel staging, plan construction, the
+    run itself) executes inside the ``try``, so an exception anywhere
+    can no longer leave the shared session pinned at the streaming
+    state-parallelism value for every subsequent batch query.
+
+    Why 4: state-store overhead scales with partition count; at test
+    scale 4 partitions minimize micro-batch commit cost (measured:
+    4 ≈ 2.1 s, 8 ≈ 2.7 s, 32 ≈ 3× worse at sf0.1). A 1000-executor
+    deployment raises this with cluster size — it is the state
+    parallelism knob, locked into the checkpoint at first run."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_events_stream(
@@ -302,12 +349,11 @@ def _staged_events_dir_with_sentinel(sf_dir: str, ts_unit: str) -> str:
     flush sentinel that makes the streaming output equal the batch
     relation exactly (no held-back tail sessions)."""
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    staged = tempfile.mkdtemp(prefix="bspe_src_")
+    staged = scratch_dir("bspe_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(staged, "events.parquet"),
@@ -340,7 +386,7 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither the hr nor the bp predicate, so no (window, sentinel-user)
     row survives the existential-flag filter; a belt-and-braces
     user_id filter guards the contract anyway."""
-    import tempfile
+    import os as _os
     import uuid
 
     from pyspark.sql import functions as F
@@ -353,40 +399,29 @@ def biometric_alerts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW_S,
     )
 
-    # State-store overhead scales with partition count; at test scale 4
-    # partitions minimize micro-batch commit cost (measured: 4 ≈ 2.1 s,
-    # 8 ≈ 2.7 s, 32 ≈ 3x worse at sf0.1 — a 1000-executor deployment
-    # would raise this with cluster size; it's the state parallelism
-    # knob, locked into the checkpoint at first run).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    import os as _os
-
-    ts_unit = _events_ts_unit(_os.path.join(sf_dir, "events.parquet"))
-    # No maxFilesPerTrigger: both files (events + sentinel) must land
-    # in ONE micro-batch — were the sentinel processed first on its
-    # own, the watermark would jump ahead and drop every real event as
-    # late.
-    src = _events_stream_source(
-        spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
-        "*.parquet", ts_unit,
-    )
-    alerts = alerts_stream(
-        src,
-        WINDOW_S,
-        SLIDE_S,
-        COOLDOWN_S,
-        watermark_delay="0 seconds",
-        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
-        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
-    )
-    name = "stream_alerts_" + uuid.uuid4().hex[:8]
-    try:
-        out = run_stream_to_memory(
-            alerts, name, tempfile.mkdtemp(prefix="bspe_ckpt_")
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(_os.path.join(sf_dir, "events.parquet"))
+        # No maxFilesPerTrigger: both files (events + sentinel) must
+        # land in ONE micro-batch — were the sentinel processed first
+        # on its own, the watermark would jump ahead and drop every
+        # real event as late.
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        alerts = alerts_stream(
+            src,
+            WINDOW_S,
+            SLIDE_S,
+            COOLDOWN_S,
+            watermark_delay="0 seconds",
+            hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+            bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+        )
+        name = "stream_alerts_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(
+            alerts, name, scratch_dir("bspe_ckpt_")
+        )
     # alert_wt is the first qualifying window's event-time (end - 1μs);
     # recover the window START epoch to match the batch twin's shape.
     return out.where(F.col("user_id") != SENTINEL_USER_ID).select(
@@ -408,32 +443,26 @@ def alert_windows_update_stream(
     DuckDB oracle (multi-batch cadence — re-emission per touched
     slide — is golden-tested in test_streaming_update_mode.py).
     Output (wstart, user_id) epoch-seconds, matching the oracle."""
-    import tempfile
+    import os as _os
     import uuid
 
     from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    import os as _os
-
-    events_path = _os.path.join(sf_dir, "events.parquet")
-    src = _events_stream_source(
-        spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
-    )
-    raw = alert_stream_raw(
-        src, WINDOW_S, SLIDE_S,
-        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
-        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
-    )
-    name = "upd_alerts_" + uuid.uuid4().hex[:8]
-    try:
+    with pinned_shuffle_partitions(spark):
+        events_path = _os.path.join(sf_dir, "events.parquet")
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
+        )
+        raw = alert_stream_raw(
+            src, WINDOW_S, SLIDE_S,
+            hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+            bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+        )
+        name = "upd_alerts_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            raw, name, tempfile.mkdtemp(prefix="bspe_upd_"),
+            raw, name, scratch_dir("bspe_upd_"),
             output_mode="update",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(
         F.unix_timestamp("window_start").alias("wstart"), "user_id"
     )
@@ -456,32 +485,26 @@ def alert_windows_complete_stream(
     design (no watermark GC) — correct for bounded-cardinality
     dashboards, a deliberate non-choice for the 100 TB event firehose
     where update/append + watermark is the scalable mode."""
-    import tempfile
+    import os as _os
     import uuid
 
     from ..plans.biometric import BP_TYPE, HR_TYPE, SLIDE_S, WINDOW_S
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    import os as _os
-
-    events_path = _os.path.join(sf_dir, "events.parquet")
-    src = _events_stream_source(
-        spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
-    )
-    raw = alert_stream_raw(
-        src, WINDOW_S, SLIDE_S,
-        hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
-        bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
-    )
-    name = "cmp_alerts_" + uuid.uuid4().hex[:8]
-    try:
+    with pinned_shuffle_partitions(spark):
+        events_path = _os.path.join(sf_dir, "events.parquet")
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", _events_ts_unit(events_path)
+        )
+        raw = alert_stream_raw(
+            src, WINDOW_S, SLIDE_S,
+            hr_pred=(F.col("event_type") == HR_TYPE) & (F.col("value") > 100),
+            bp_pred=(F.col("event_type") == BP_TYPE) & (F.col("value") < 100),
+        )
+        name = "cmp_alerts_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            raw, name, tempfile.mkdtemp(prefix="bspe_cmp_"),
+            raw, name, scratch_dir("bspe_cmp_"),
             output_mode="complete",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(
         F.unix_timestamp("window_start").alias("wstart"), "user_id"
     )
@@ -506,30 +529,25 @@ def streaming_dedup_canonicals(
     unbounded-output deployment would switch to update mode +
     ``foreachBatch`` merge into the registry table with the identical
     plan."""
-    import tempfile
     import uuid
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("doc_id long, text string, lang string, source string, "
-              "n_chars long")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    agg = src.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count("*").alias("n_docs"),
-    )
-    name = "dedup_stream_" + uuid.uuid4().hex[:8]
-    try:
+    with pinned_shuffle_partitions(spark):
+        schema = ("doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        agg = src.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        name = "dedup_stream_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            agg, name, tempfile.mkdtemp(prefix="bspe_ddp_"),
+            agg, name, scratch_dir("bspe_ddp_"),
             output_mode="complete",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -550,23 +568,15 @@ def streaming_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch ``dedup_exact`` relation (the DuckDB oracle);
     multi-batch incremental folding is golden-tested in
     test_streaming_dedup.py."""
-    import tempfile
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("doc_id long, text string, lang string, source string, "
-              "n_chars long")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    try:
-        registry = dedup_registry_merge(
-            src, tempfile.mkdtemp(prefix="bspe_ddm_")
+    with pinned_shuffle_partitions(spark):
+        schema = ("doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        registry = dedup_registry_merge(src, scratch_dir("bspe_ddm_"))
     return spark.createDataFrame(
         [(h, c, n) for h, (c, n) in registry.items()],
         "content_hash string, canonical_doc_id long, n_docs long",
@@ -590,30 +600,25 @@ def streaming_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch (append output); the watermark exists to bound
     join state, not to release inner results."""
     import os
-    import tempfile
     import uuid
 
     from ..plans.events_ops import INTERVAL_TOL_S
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
-    src = _events_stream_source(spark, sf_dir, "events.parquet", ts_unit)
-    ev = src.withColumn("ts", F.date_trunc("second", F.col("ts")))
-    pairs = interval_pairs_stream(
-        ev,
-        INTERVAL_TOL_S,
-        watermark_delay="0 seconds",
-        hr_pred=(F.col("event_type") == "error") & (F.col("value") > 100),
-        bp_pred=(F.col("event_type") == "view") & (F.col("value") < 100),
-    )
-    name = "ivj_stream_" + uuid.uuid4().hex[:8]
-    try:
-        out = run_stream_to_memory(
-            pairs, name, tempfile.mkdtemp(prefix="bspe_ivj_")
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(spark, sf_dir, "events.parquet", ts_unit)
+        ev = src.withColumn("ts", F.date_trunc("second", F.col("ts")))
+        pairs = interval_pairs_stream(
+            ev,
+            INTERVAL_TOL_S,
+            watermark_delay="0 seconds",
+            hr_pred=(F.col("event_type") == "error") & (F.col("value") > 100),
+            bp_pred=(F.col("event_type") == "view") & (F.col("value") < 100),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        name = "ivj_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(
+            pairs, name, scratch_dir("bspe_ivj_")
+        )
     return out.select(
         "user_id",
         F.unix_timestamp("hr_ts").alias("hr_es"),
@@ -636,33 +641,28 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id. The sentinel user's own session is filtered from the
     output."""
     import os
-    import tempfile
     import uuid
 
     from ..operators.windows import epoch_seconds
     from ..plans.events_ops import SESSION_GAP_S
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
-    src = _events_stream_source(
-        spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
-        "*.parquet", ts_unit,
-    )
-    agg = (
-        src.withWatermark("ts", "0 seconds")
-        .groupBy(
-            F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
         )
-        .agg(F.count("*").alias("n_events"))
-    )
-    name = "sess_stream_" + uuid.uuid4().hex[:8]
-    try:
+        agg = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        name = "sess_stream_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            agg, name, tempfile.mkdtemp(prefix="bspe_ses_")
+            agg, name, scratch_dir("bspe_ses_")
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.where(F.col("user_id") != SENTINEL_USER_ID).select(
         "user_id",
         epoch_seconds(F.col("session_window.start")).alias("start_es"),
@@ -687,37 +687,33 @@ def streaming_enriched_segment_counts(
     The exact-decimal sum keeps the double aggregate
     order-independent (``plans/events_ops.dsum``)."""
     import os
-    import tempfile
     import uuid
 
     from ..plans.events_ops import dsum
     from ..sources.readers import load_table
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
-    src = _events_stream_source(spark, sf_dir, "events.parquet", ts_unit)
-    dim = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    enriched = src.join(
-        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
-    )
-    # no countDistinct here: distinct aggregation is unsupported on
-    # streaming frames (it needs per-group member state; Spark offers
-    # approx_count_distinct instead, which has no exact oracle)
-    agg = enriched.groupBy("segment", "event_type").agg(
-        F.count("*").alias("n_events"),
-        dsum(F.col("value"), "sum_value"),
-    )
-    name = "enrich_stream_" + uuid.uuid4().hex[:8]
-    try:
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(spark, sf_dir, "events.parquet", ts_unit)
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        )
+        enriched = src.join(
+            F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
+        )
+        # no countDistinct here: distinct aggregation is unsupported on
+        # streaming frames (it needs per-group member state; Spark
+        # offers approx_count_distinct instead, which has no exact
+        # oracle)
+        agg = enriched.groupBy("segment", "event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        name = "enrich_stream_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            agg, name, tempfile.mkdtemp(prefix="bspe_enr_"),
+            agg, name, scratch_dir("bspe_enr_"),
             output_mode="complete",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -734,37 +730,32 @@ def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (see ``streaming_enriched_segment_counts``), so the
     streaming vocabulary is tf-only by design — its oracle ranks by
     the same (tf desc, word asc) total order."""
-    import tempfile
     import uuid
 
     from ..plans.corpus_ops import VOCAB_TOPK
 
     from ..functions.text import words as _words
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    schema = ("doc_id long, text string, lang string, source string, "
-              "n_chars long")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    top = (
-        src.select(F.explode(_words(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("tf"))
-        .orderBy(F.desc("tf"), F.asc("word"))
-        .limit(VOCAB_TOPK)
-    )
-    name = "vocab_stream_" + uuid.uuid4().hex[:8]
-    try:
+    with pinned_shuffle_partitions(spark):
+        schema = ("doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        top = (
+            src.select(F.explode(_words(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("tf"))
+            .orderBy(F.desc("tf"), F.asc("word"))
+            .limit(VOCAB_TOPK)
+        )
+        name = "vocab_stream_" + uuid.uuid4().hex[:8]
         out = run_stream_to_memory(
-            top, name, tempfile.mkdtemp(prefix="bspe_voc_"),
+            top, name, scratch_dir("bspe_voc_"),
             output_mode="complete",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
