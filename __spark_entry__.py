@@ -73,6 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_vocab_topk"] = _wrap(
         streaming_pipeline.streaming_vocab_topk
     )
+    all_q["streaming_abandoned_clicks"] = _wrap(
+        streaming_pipeline.streaming_abandoned_clicks
+    )
+    all_q["streaming_outer_pairs"] = _wrap(
+        streaming_pipeline.streaming_outer_pairs
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -184,6 +190,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT word, count(*)::BIGINT AS tf
         FROM tok GROUP BY word
         ORDER BY tf DESC, word LIMIT {corpus_ops.VOCAB_TOPK}
+    """
+    # timer-expired absence detection + sentinel flush == the batch
+    # anti-join relation: every unresolved click expires once the
+    # sentinel pushes the watermark past its horizon (exact-microsecond
+    # comparisons on both engines)
+    o["streaming_abandoned_clicks"] = events_ops.ORACLE["abandoned_clicks"]
+    # full-outer stream-stream interval join + sentinel flush: matched
+    # pairs emit eagerly, unmatched rows null-emit when both watermarks
+    # pass their match window — the final relation equals the batch
+    # full outer join on the same floored-seconds predicate
+    o["streaming_outer_pairs"] = f"""
+        WITH hr AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS hr_es,
+                 round(value, 2) AS hr_value
+          FROM events WHERE event_type = 'error' AND value > 100
+        ), bp AS (
+          SELECT user_id AS bp_user, epoch_us(ts)//1000000 AS bp_es,
+                 round(value, 2) AS bp_value
+          FROM events WHERE event_type = 'view' AND value < 100
+        )
+        SELECT hr.user_id, hr.hr_es, hr.hr_value,
+               bp.bp_user, bp.bp_es, bp.bp_value
+        FROM hr FULL OUTER JOIN bp ON hr.user_id = bp.bp_user
+         AND abs(hr.hr_es - bp.bp_es) <= {events_ops.INTERVAL_TOL_S}
     """
     # stream-static enrichment in complete mode over one micro-batch ==
     # the batch join+agg relation

@@ -759,6 +759,105 @@ def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ABSENCE detection (`A NOT FOLLOWED BY B WITHIN T`) —
+    the CEP-negation twin of ``plans/events_ops.abandoned_clicks``,
+    whose exact-microsecond DuckDB oracle it shares: clicks with no
+    purchase by the same user within the horizon, emitted by EVENT-TIME
+    TIMER expiry in ``state.absence_stream`` (applyInPandasWithState).
+    This is the repo's first timer-driven 1-to-0/1 stateful emission —
+    a row exists precisely because nothing arrived — i.e. the canonical
+    "unacked alert" deployment.
+
+    The watermark-flush sentinel survives the input filter via
+    ``keep_pred`` (a pre-watermark filter would drop it and the clock
+    would never pass the last horizon); it is neither trigger nor
+    resolver, so it contributes only its far-future event time, which
+    expires every pending trigger. Cross-batch cadence (resolver in a
+    later batch, timer firing with no further data for the key) is
+    golden-tested in test_streaming_absence.py."""
+    import os
+    import uuid
+
+    from ..plans.events_ops import ABANDON_T_S
+    from .state import absence_stream
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
+        )
+        out = absence_stream(
+            src,
+            trigger_type="click",
+            resolve_type="purchase",
+            horizon_s=ABANDON_T_S,
+            keep_pred=F.col("event_type") == "__sentinel__",
+        )
+        name = "abs_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_abs_"))
+    return out.where(F.col("user_id") != SENTINEL_USER_ID).select(
+        "event_id", "user_id", "click_us"
+    )
+
+
+def streaming_outer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream FULL OUTER interval join as a driver-gate
+    entry (J1's streaming form — Kafka Streams ``outerJoin``,
+    `KafkaBiometricAlertStreamProcessor.scala:42-51` via `README.md`'s
+    Kafka section): matched hr×bp pairs emit eagerly; an unmatched row
+    is HELD in join state until both watermarks pass its match window,
+    then emitted exactly once with nulls — the state-cleanup-driven
+    null emission a hash oracle should pin (golden-tested cadence in
+    test_streaming_outer_join.py; this entry pins the VALUES).
+
+    Sentinel mechanics: null emission only happens once the watermark
+    passes, and each side's watermark is driven by rows that SURVIVE
+    that side's pre-join filter — so the far-future sentinel must
+    qualify on BOTH sides (it matches only itself: reserved user, and
+    the self-pair is filtered from the output). Second-granularity
+    event time (date_trunc pre-join) keeps the raw-timestamp BETWEEN
+    predicate equal to the batch floored-seconds oracle."""
+    import os
+    import uuid
+
+    from ..plans.events_ops import INTERVAL_TOL_S
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
+        )
+        ev = src.withColumn("ts", F.date_trunc("second", F.col("ts")))
+        sent = F.col("event_type") == "__sentinel__"
+        pairs = interval_pairs_stream(
+            ev,
+            INTERVAL_TOL_S,
+            watermark_delay="0 seconds",
+            hr_pred=((F.col("event_type") == "error")
+                     & (F.col("value") > 100)) | sent,
+            bp_pred=((F.col("event_type") == "view")
+                     & (F.col("value") < 100)) | sent,
+            how="full_outer",
+        )
+        name = "ovj_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(pairs, name, scratch_dir("bspe_ovj_"))
+    # the sentinel matches only itself → one (-1, -1) pair; real
+    # unmatched rows keep their null side
+    return out.where(
+        F.coalesce("user_id", "bp_user") != SENTINEL_USER_ID
+    ).select(
+        "user_id",
+        F.unix_timestamp("hr_ts").alias("hr_es"),
+        F.round("hr_value", 2).alias("hr_value"),
+        F.col("bp_user"),
+        F.unix_timestamp("bp_ts").alias("bp_es"),
+        F.round("bp_value", 2).alias("bp_value"),
+    )
+
+
 def dedup_registry_merge(
     src: DataFrame, checkpoint_dir: str
 ) -> dict[str, tuple[int, int]]:

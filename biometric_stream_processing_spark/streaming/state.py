@@ -105,6 +105,148 @@ def leading_throttle_fn(length_s: int, slide_s: int, cooldown_s: int):
     return fn
 
 
+ABSENCE_OUTPUT_SCHEMA = "event_id long, user_id long, click_us long"
+# pending triggers (id, event-time micros) + retained resolver times
+ABSENCE_STATE_SCHEMA = (
+    "pend_ids array<long>, pend_us array<long>, res_us array<long>"
+)
+
+
+def absence_fn(horizon_s: int):
+    """Per-key stateful function for ``absence_stream``: the
+    `A NOT FOLLOWED BY B WITHIN T` CEP negation with EVENT-TIME TIMER
+    expiry — the first timer-driven emission in the repo (an output
+    row exists precisely because nothing arrived).
+
+    State per key: the pending (unresolved, unexpired) triggers plus
+    the resolver event times still relevant to FUTURE triggers. Both
+    are watermark-bounded: a trigger lives at most ``horizon`` past
+    its event time; a resolver at ``r`` can only resolve triggers with
+    ``t < r``, and every future trigger arrives with ``t ≥ watermark``,
+    so resolvers at ``r ≤ watermark`` are GC'd. Out-of-order arrival
+    across micro-batches is therefore handled exactly (a resolver may
+    arrive before its trigger).
+
+    Emission: a trigger (id, t) is ABANDONED once the watermark passes
+    ``t + horizon`` strictly — no admissible future resolver (all have
+    event time ≥ watermark) can satisfy ``r ≤ t + horizon`` anymore.
+    The per-key event-time timer re-arms to the earliest pending
+    expiry, so expiry fires even when the key never sees data again —
+    the unacked-alert semantics a batch job can't give."""
+    horizon_us = horizon_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pend_ids, pend_us, res_us = state.get
+            pend = list(zip(pend_ids, pend_us))
+            res = list(res_us)
+        else:
+            pend, res = [], []
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdfs:
+            for eid, tus, is_trig in zip(
+                pdf["event_id"], pdf["tus"], pdf["is_trig"]
+            ):
+                # late-data drop (F6/W4): the engine only auto-filters
+                # late rows for aggregations/joins
+                if wm_us > 0 and int(tus) < wm_us:
+                    continue
+                if bool(is_trig):
+                    pend.append((int(eid), int(tus)))
+                else:
+                    res.append(int(tus))
+
+        # resolve: any resolver strictly after the trigger and within
+        # the horizon kills it silently (the batch twin's anti-join)
+        if res:
+            pend = [
+                (eid, t) for eid, t in pend
+                if not any(t < r <= t + horizon_us for r in res)
+            ]
+
+        # expire: watermark strictly past t + horizon ⇒ abandoned
+        out = [
+            (eid, key[0], t) for eid, t in pend
+            if wm_us > t + horizon_us
+        ]
+        pend = [(eid, t) for eid, t in pend if wm_us <= t + horizon_us]
+        # GC resolvers no future trigger (t ≥ watermark) can need
+        res = [r for r in res if r > wm_us]
+
+        if pend or res:
+            state.update((
+                [eid for eid, _ in pend],
+                [t for _, t in pend],
+                res,
+            ))
+            if pend:
+                # wake this key when the watermark passes the earliest
+                # pending expiry (must be strictly > current watermark)
+                next_ms = (min(t for _, t in pend) + horizon_us) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(next_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "click_us"]
+        )
+
+    return fn
+
+
+def absence_stream(
+    events: DataFrame,
+    trigger_type: str = "click",
+    resolve_type: str = "purchase",
+    horizon_s: int = 3600,
+    watermark_delay: str = "0 seconds",
+    keep_pred=None,
+) -> DataFrame:
+    """Streaming absence detection (`A NOT FOLLOWED BY B WITHIN T`),
+    the streaming twin of ``plans/events_ops.abandoned_within``: one
+    ``applyInPandasWithState`` operator keyed by user, with event-time
+    timers expiring unresolved triggers. ``keep_pred`` lets a
+    watermark-advancing sentinel row survive the input filter (the
+    plan pushes filters below the watermark node, so a filtered-out
+    sentinel would never advance the clock); such rows are neither
+    trigger nor resolver and contribute only their event time."""
+    from pyspark.sql import functions as F
+
+    is_trig = F.col("event_type") == trigger_type
+    is_res = F.col("event_type") == resolve_type
+    keep = is_trig | is_res
+    if keep_pred is not None:
+        keep = keep | keep_pred
+    # `ts` itself must survive the projection: event-time timeout
+    # requires the watermark-tagged TimestampType column in the
+    # stateful operator's input, not just a derived long
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .where(keep)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            is_trig.alias("is_trig"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        absence_fn(horizon_s),
+        ABSENCE_OUTPUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def alerts_stream_leading(
     events: DataFrame,
     length_s: int,
