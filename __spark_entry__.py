@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
             return fn(spark, sf_dir)
+        run.__wrapped__ = fn  # tools/gate_sources.py hashes the target
         return run
 
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -83,51 +84,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
     # driver verdict. Rotation policy (deliberate, per round-3
-    # verdict): every registered query must have a green driver
-    # verdict within the last two rounds. Round 4 therefore
-    # front-loads the 16 entries that sat in round 3's tail (green in
-    # r2, now 2 rounds stale otherwise) plus everything whose source
-    # changed this round (streaming_alerts' new sentinel oracle, the
-    # winnow/simhash perf work); the tail takes 16 entries that were
-    # green in round 3 AND are code-unchanged this round.
+    # verdict, CI-enforced by tests/test_gate_rotation.py): every
+    # registered query must have a green driver verdict within the
+    # last TWO recorded rounds. Round 5 executes the round-4 rotation
+    # obligation: the front holds ALL 39 entries whose last green
+    # verdict is round 3, the 2 round-5-new entries (first verdicts),
+    # and the 9 round-4-green entries whose source changed this round
+    # (the streaming-pipeline exception-safety refactor; the k-means
+    # quality / decontamination perf work) — exactly 50. The tail
+    # takes the 41 round-4-green entries whose source is unchanged.
     front = [
-        "biometric_union", "alert_windows", "alerts_throttled",
-        "alerts_leading_debounce",
-        "streaming_alerts",  # new sentinel-flush hash oracle this round
-        # --- the 16 r3-tail entries, rotated back in ---
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "nation_pair_volume",
-        "customer_running_totals", "dormant_customers_by_segment",
-        "users_with_both_streams", "embedding_similar_pairs",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        # --- new in round 4 (need first verdicts) ---
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments", "near_dup_representatives",
-        "streaming_dedup_merge", "doc_tfidf_keywords",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "corpus_vocab_topk", "doc_repetition_stats",
-        "doc_passages", "source_quality_report",
+        # --- r4-green but source CHANGED this round (pipeline
+        # refactor; kmeans/decontam perf work) — re-verify now ---
+        "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
-        "decontaminated_train_docs", "streaming_session_stats",
-        "streaming_vocab_topk", "training_corpus",
-        "doc_unigram_logprob", "embedding_dup_clusters",
-        "abandoned_clicks", "source_dedup_report",
-        "embedding_kmeans_quality",
-    ]
-    tail = [
-        # Green in round 3 (CORRECTNESS_r03), source unchanged in
-        # round 4 — safe to rotate out for exactly one round. Each
-        # round-4-new front entry displaces one more r3-green
-        # unchanged entry here, keeping the verdict-bearing prefix at
-        # exactly the driver's ~50-entry cap. ROUND-5 OBLIGATION:
-        # front-load EVERY entry whose last green verdict is r3 (all
-        # entries past position 50 — these 24 tail entries plus the
-        # middle entries the round-4 front additions displaced;
-        # recompute with list(queries())[50:]) and tail the
-        # r4-verified entries instead.
+        "streaming_session_stats", "streaming_vocab_topk",
+        "embedding_kmeans_quality", "decontaminated_train_docs",
+        "training_corpus",
+        # --- new in round 5 (need first verdicts) ---
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        # --- last green r3: the round-4 middle block ---
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints", "contamination_overlaps",
+        "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_dups",
+        "near_dup_clusters", "simhash_fingerprints",
+        "simhash_dup_pairs", "documents_clean_corpus",
+        "embedding_topk", "embedding_ivf_topk",
+        "embedding_similar_pairs_bucketed", "embedding_srp_pairs",
+        # --- last green r3: the round-4 tail block ---
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
         "approx_percentile_bounds", "doc_text_stats",
@@ -143,6 +127,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly", "user_sessions",
         "props_map_entries", "salted_distinct_users",
         "native_session_stats",
+    ]
+    tail = [
+        # Green in round 4 (CORRECTNESS_r04), source unchanged in
+        # round 5 — safe to rotate out for exactly one round. ROUND-6
+        # OBLIGATION: front-load every entry whose last green verdict
+        # is r4 (this tail; recompute with list(queries())[50:]) and
+        # tail the r5-verified entries instead.
+        "biometric_union", "alert_windows", "alerts_throttled",
+        "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "nation_pair_volume",
+        "customer_running_totals", "dormant_customers_by_segment",
+        "users_with_both_streams", "embedding_similar_pairs",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments", "near_dup_representatives",
+        "doc_tfidf_keywords",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "corpus_vocab_topk", "doc_repetition_stats",
+        "doc_passages", "source_quality_report",
+        "doc_unigram_logprob", "embedding_dup_clusters",
+        "abandoned_clicks", "source_dedup_report",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

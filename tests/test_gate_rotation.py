@@ -1,14 +1,29 @@
 """Gate-rotation invariants (the registration-order policy documented
-in ``__spark_entry__.queries``): every registered query must carry a
-DuckDB oracle, and every query that has never received a green driver
-verdict must sit inside the ~50-entry verdict-bearing prefix — new
-queries may not be parked past the driver's recording cap."""
+in ``__spark_entry__.queries``):
+
+1. every registered query carries a DuckDB oracle;
+2. a query that has NEVER received a green driver verdict must sit
+   inside the ~50-entry verdict-bearing prefix;
+3. TWO-ROUND FRESHNESS: a query parked past the prefix (it will get
+   no verdict next round) must be green in the LATEST recorded round
+   — otherwise, after the upcoming round records, its last verdict
+   would be more than two rounds old (the debt the round-4 verdict
+   said must not silently accumulate);
+4. SOURCE STALENESS: a query whose defining function or oracle SQL
+   changed since the last round's commit must re-enter the prefix —
+   a stale verdict cannot cover modified code (round-4 advice). The
+   fingerprint file ``GATE_SOURCES.json`` must also be current.
+"""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
+import re
+import subprocess
+
+import pytest
 
 GATE_CAP = 50
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -23,16 +38,25 @@ def _registered():
     return list(entrymod.queries().keys()), entrymod.oracle_sql()
 
 
-def _ever_green():
-    green: set[str] = set()
+def _rounds():
+    """{round_number: {query: row}} for every recorded round."""
+    out: dict[int, dict] = {}
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
-        for name, row in json.load(open(path)).items():
-            # hash green, or the explicitly-accepted rows-only entries
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows")
-            ):
-                green.add(name)
-    return green
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        out[int(m.group(1))] = json.load(open(path))
+    return out
+
+
+def _is_green(row: dict) -> bool:
+    # hash green, or the explicitly-accepted rows-only entries
+    return bool(
+        row.get("hash_match")
+        or (row.get("err") == "no_oracle" and row.get("spark_rows"))
+    )
+
+
+def _green_in(rounds: dict[int, dict], rnd: int) -> set[str]:
+    return {n for n, row in rounds.get(rnd, {}).items() if _is_green(row)}
 
 
 def test_every_query_has_an_oracle():
@@ -42,9 +66,83 @@ def test_every_query_has_an_oracle():
 
 def test_unverified_queries_sit_inside_the_gate_window():
     names, _ = _registered()
-    green = _ever_green()
-    stranded = [n for n in names[GATE_CAP:] if n not in green]
+    rounds = _rounds()
+    ever = set().union(*(_green_in(rounds, r) for r in rounds)) if rounds else set()
+    stranded = [n for n in names[GATE_CAP:] if n not in ever]
     assert stranded == [], (
         f"queries past position {GATE_CAP} with no green driver verdict "
         f"in any recorded round: {stranded} — front-load them"
+    )
+
+
+def test_two_round_freshness():
+    """A tail entry gets no verdict next round, so its verdict must be
+    from the latest recorded round; anything older would be >2 rounds
+    stale once the upcoming round records."""
+    names, _ = _registered()
+    rounds = _rounds()
+    if not rounds:
+        pytest.skip("no recorded rounds")
+    latest = _green_in(rounds, max(rounds))
+    stale = [n for n in names[GATE_CAP:] if n not in latest]
+    assert stale == [], (
+        f"tail entries whose last green verdict predates round "
+        f"{max(rounds)}: {stale} — front-load them this round"
+    )
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=ROOT, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _last_round_commit() -> str | None:
+    rounds = _rounds()
+    if not rounds:
+        return None
+    path = f"CORRECTNESS_r{max(rounds):02d}.json"
+    sha = _git("log", "--format=%H", "-n1", "--", path).strip()
+    return sha or None
+
+
+def test_gate_sources_file_is_current():
+    """GATE_SOURCES.json must match the hashes computed from the
+    working tree — regenerate with ``python tools/gate_sources.py``
+    after editing any query or oracle."""
+    from tools.gate_sources import OUT, compute_hashes
+
+    assert os.path.exists(OUT), "run python tools/gate_sources.py"
+    on_disk = json.load(open(OUT))
+    now = compute_hashes()
+    diff = {n for n in set(on_disk) | set(now)
+            if on_disk.get(n) != now.get(n)}
+    assert diff == set(), (
+        f"GATE_SOURCES.json is stale for {sorted(diff)} — "
+        "run python tools/gate_sources.py"
+    )
+
+
+def test_changed_queries_reenter_the_gate_window():
+    """Any query whose source fingerprint differs from the one
+    recorded at the last round's commit must sit inside the prefix —
+    its old verdict no longer covers the code."""
+    from tools.gate_sources import compute_hashes
+
+    base = _last_round_commit()
+    if base is None:
+        pytest.skip("no recorded rounds")
+    try:
+        old = json.loads(_git("show", f"{base}:GATE_SOURCES.json"))
+    except subprocess.CalledProcessError:
+        pytest.skip("GATE_SOURCES.json not recorded at the last "
+                    "round's commit (first round with this machinery)")
+    names, _ = _registered()
+    now = compute_hashes()
+    parked_changed = [
+        n for n in names[GATE_CAP:] if old.get(n) != now.get(n)
+    ]
+    assert parked_changed == [], (
+        f"tail entries whose implementation/oracle changed since the "
+        f"last round: {parked_changed} — front-load them"
     )

@@ -1,0 +1,58 @@
+"""Per-query source fingerprints for the gate-rotation freshness
+policy (tests/test_gate_rotation.py): ``GATE_SOURCES.json`` maps each
+registered query to ``md5(defining-function source + oracle SQL)``.
+The CI test compares the hashes as of the LAST round's commit with the
+current ones — a query whose implementation or oracle changed since
+its last green verdict must re-enter the verdict-bearing prefix, so a
+stale verdict can never silently cover modified code (round-4 advice).
+
+Limitation (documented, deliberate): the hash covers the defining
+function's own source and its oracle string, not transitive helpers —
+a change to a shared operator module must still be front-loaded by
+the human rotation policy; the hash is the mechanical backstop for
+the common case (the query function or its oracle edited directly).
+
+Regenerate after any query/oracle edit::
+
+    python tools/gate_sources.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "GATE_SOURCES.json")
+
+
+def compute_hashes() -> dict[str, str]:
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    out: dict[str, str] = {}
+    for name, fn in qs.items():
+        target = getattr(fn, "__wrapped__", fn)
+        try:
+            src = inspect.getsource(target)
+        except (OSError, TypeError):  # builtins / dynamically built
+            src = repr(target)
+        payload = src + "\n--oracle--\n" + oracles.get(name, "")
+        out[name] = hashlib.md5(payload.encode()).hexdigest()
+    return out
+
+
+def main() -> None:
+    with open(OUT, "w") as f:
+        json.dump(compute_hashes(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
