@@ -145,8 +145,15 @@ def main() -> None:
     # plans/documents_ops instead; the FIRST timed consumer pays.
     # The decontamination gram index — shared by
     # decontaminated_train_docs and training_corpus — is likewise
-    # memoized module-side with a lazy localCheckpoint: first timed
-    # consumer materializes, the second reads blocks.)
+    # memoized module-side with a lazy localCheckpoint, and the
+    # k-means final-assignment map stage — shared by
+    # embedding_kmeans_quality and embedding_kmeans_cells — is
+    # memoized module-side with a persist (building it calls the
+    # eager training loop, so it too cannot sit in this list): first
+    # timed consumer materializes, the second reads blocks. In
+    # round-5 registration order the first consumers are
+    # near_dup_clusters, decontaminated_train_docs and
+    # embedding_kmeans_quality respectively.)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -169,6 +176,34 @@ def main() -> None:
     # object as the FINAL line so the driver's tail parse always
     # sees complete JSON.
     print(json.dumps({"queries": timings, "sf": sf_val}))
+    # The driver's tail capture can't carry ~90 per-query numbers, so
+    # round-over-round regression tracking lives in the REPO instead:
+    # persist the full dict as BENCH_DETAIL_r<N>.json (N = upcoming
+    # round, inferred from the driver-recorded BENCH_r*.json files;
+    # committed alongside the round's work). Only for the canonical
+    # per-round config (default sf dir, no overrides).
+    if sf_dir == "/root/testdata/sf0.1":
+        import glob
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        detail = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_DETAIL_r{n:02d}.json",
+        )
+        with open(detail, "w") as f:
+            json.dump(
+                {"queries": timings, "sf": sf_val,
+                 "total": round(total, 3)},
+                f, indent=1, sort_keys=True,
+            )
+            f.write("\n")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     print(json.dumps({
         "metric": "total_query_wall_seconds",

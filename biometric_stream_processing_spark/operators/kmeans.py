@@ -32,6 +32,23 @@ Determinism contract (oracle-hashable across engines):
 
 Empty cells drop out (no members → no mean row) — k can shrink;
 deterministic in both engines.
+
+Round-5 perf note (measured at sf0.1, warm JIT): one full
+assignment pass costs 0.7-1.3 s and one Lloyd iteration ~1.3 s,
+while DuckDB executes each unrolled CTE level in ~0.25 s — so any
+consumer billed the 2-iteration training plus one pass lands at
+~3.5 s ≈ 3-4x DuckDB regardless of plan shape. Sharing the final
+(id, cell, cos) map stage between the cell-layout and quality
+consumers (``assignment_with_cos``) removed the duplicated pass
+(pair total 4.4 → 3.6 s; second consumer 0.67 → 0.10 s); the
+remaining gap is the per-job stage floor times the irreducible
+pass count of the model-exchange loop, not a missing optimization:
+persisting the input vectors across iterations saved only ~0.1 s
+(scan is 3 % of the pass), the fully-declarative join-based
+iteration was measured 2x slower (docstring above), and swapping
+the decimal mean-sums for long cents saves <0.3 s while forcing a
+full oracle rewrite. At real scale the fixed floor amortizes; the
+passes themselves are embarrassingly parallel map stages.
 """
 
 from __future__ import annotations
@@ -143,6 +160,25 @@ def assign_cells(
     )
 
 
+def assignment_with_cos(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full (id, cell, cos) final assignment — the single map
+    stage both index artifacts derive from: the cell layout
+    (``assign_cells``' projection) and the quantizer-quality report
+    (``cell_quality``'s aggregation input). A real index build
+    computes this pass ONCE and ships both; callers running both
+    should persist this frame (see
+    ``plans/documents_ops.shared_kmeans_assignment``)."""
+    b = _best_struct(F.col(vec_col), cents)
+    return vectors.select(
+        F.col(id_col), (-b["n"]).alias("cell"), b["c"].alias("_cos")
+    )
+
+
 def cell_quality(
     vectors: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -157,11 +193,16 @@ def cell_quality(
     the assignment uses; it is rounded at 6 dp BEFORE an exact
     DECIMAL sum (order-independent), and the mean divides by the
     exact count. One map stage + one k-row aggregation."""
-    b = _best_struct(F.col(vec_col), cents)
-    per = vectors.select(
-        (-b["n"]).alias("cell"), b["c"].alias("_cos")
+    return quality_from_assignment(
+        assignment_with_cos(vectors, cents, vec_col)
     )
-    return per.groupBy("cell").agg(
+
+
+def quality_from_assignment(assigned: DataFrame) -> DataFrame:
+    """``cell_quality``'s k-row aggregation over a prebuilt
+    (id, cell, _cos) assignment frame — lets the expensive map stage
+    be shared with the cell-layout consumer."""
+    return assigned.groupBy("cell").agg(
         F.count("*").alias("n_members"),
         F.round(
             F.sum(
