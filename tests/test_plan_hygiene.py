@@ -227,3 +227,28 @@ def test_unigram_logprob_vocab_broadcasts(spark):
     assert "CartesianProduct" not in p
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
     assert len(bnlj) <= 1, p
+
+
+def test_training_corpus_reuses_memoized_decontam(spark):
+    """The capstone must embed the MEMOIZED decontamination frame:
+    after the gram index materializes (first consumer), the
+    training_corpus plan reads the checkpointed blocks — the gram
+    aggregation machinery (its unique `_has_eval` membership flag)
+    must not be recomputed inside the capstone plan."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    import re
+
+    # first consumer materializes the lazily-localCheckpointed grams
+    documents_ops.decontaminated_train_docs(spark, SF_DIR).count()
+    p = _plan(documents_ops.training_corpus(spark, SF_DIR))
+    # the gram shingle explode/distinct machinery is entirely behind
+    # the checkpoint — never recomputed by the capstone
+    assert "_gs" not in p, p
+    # exactly ONE df/test-membership aggregation subtree feeds the
+    # probe (the single-gram-agg design, not a per-consumer recompute)
+    assert p.count("partial_max(CASE WHEN (_split") == 1, p
+    # and both consumers of the gram index scan the SAME materialized
+    # RDD (the memoized frame, not a second checkpoint)
+    rdds = set(re.findall(r"MapPartitionsRDD\[\d+\]", p))
+    assert len(rdds) == 1, rdds

@@ -309,3 +309,56 @@ def test_contamination_pairs_match_independent_evaluator(spark, texts):
     }
     want = _py_contamination(texts, K, W, EVAL_MOD, MAX_DF, MIN_SHARED)
     assert got == want
+
+
+# --- cluster representatives: quality-argmax + tie-breaking vs an
+# independent Python evaluator (round-4 verdict optional item) ---
+
+def _py_representatives(members, scores):
+    by_c: dict[int, list[int]] = {}
+    for d, c in members:
+        by_c.setdefault(c, []).append(d)
+    out = set()
+    for c, ds in by_c.items():
+        def key(d):
+            s = scores[d]
+            # score desc with nulls last, then id asc
+            return ((1, 0.0) if s is None else (0, -s), d)
+        best = min(ds, key=key)
+        out.add((c, best, scores[best], len(ds)))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 3)),
+    min_size=1, max_size=20,
+    unique_by=lambda p: p[0],
+), st.data())
+def test_cluster_representatives_match_python_argmax(spark, members, data):
+    """Scores drawn from a tiny finite set so equal-score ties (and
+    null scores) occur constantly — the min-id tiebreak and
+    nulls-last ordering are exactly what an implementation gets
+    wrong silently."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    scores = {
+        d: data.draw(st.sampled_from([None, 0.0, 0.5, 1.0]),
+                     label=f"score_{d}")
+        for d, _ in members
+    }
+    clusters = spark.createDataFrame(
+        members, "doc_id long, cluster_id long"
+    )
+    sdf = spark.createDataFrame(
+        [(d, s) for d, s in scores.items()],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        (r.cluster_id, r.rep_doc_id, r.quality_score, r.n_members)
+        for r in cluster_representatives(clusters, sdf).collect()
+    }
+    assert got == _py_representatives(members, scores)
