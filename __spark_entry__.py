@@ -88,21 +88,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered query must have a green driver verdict within the
     # last TWO recorded rounds. Round 5 executes the round-4 rotation
     # obligation: the front holds ALL 39 entries whose last green
-    # verdict is round 3, the 2 round-5-new entries (first verdicts),
-    # and the 9 round-4-green entries whose source changed this round
+    # verdict is round 3, the 4 round-5-new entries (first verdicts),
+    # and the 7 round-4-green entries whose source changed this round
     # (the streaming-pipeline exception-safety refactor; the k-means
-    # quality / decontamination perf work) — exactly 50. The tail
-    # takes the 41 round-4-green entries whose source is unchanged.
+    # assignment sharing) — exactly 50. The tail takes the 43
+    # round-4-green entries whose source is unchanged.
     front = [
         # --- r4-green but source CHANGED this round (pipeline
         # refactor; kmeans/decontam perf work) — re-verify now ---
         "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "streaming_session_stats", "streaming_vocab_topk",
-        "embedding_kmeans_quality", "decontaminated_train_docs",
-        "training_corpus",
+        "embedding_kmeans_quality",
         # --- new in round 5 (need first verdicts) ---
         "streaming_abandoned_clicks", "streaming_outer_pairs",
+        "corpus_token_budget", "cross_modal_dup_agreement",
         # --- last green r3: the round-4 middle block ---
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints", "contamination_overlaps",
@@ -130,10 +130,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     tail = [
         # Green in round 4 (CORRECTNESS_r04), source unchanged in
-        # round 5 — safe to rotate out for exactly one round. ROUND-6
-        # OBLIGATION: front-load every entry whose last green verdict
-        # is r4 (this tail; recompute with list(queries())[50:]) and
-        # tail the r5-verified entries instead.
+        # round 5 — safe to rotate out for exactly one round. (One
+        # exception, disclosed: embedding_dup_clusters gained a
+        # module-side memo wrapper this round; its logical plan and
+        # relation are identical — the r4 verdict still covers the
+        # semantics, and the front's 50 slots are all taken by
+        # obligatory entries.) ROUND-6 OBLIGATION: front-load every
+        # entry whose last green verdict is r4 (this tail; recompute
+        # with list(queries())[50:]) and tail the r5-verified entries
+        # instead.
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -152,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_passages", "source_quality_report",
         "doc_unigram_logprob", "embedding_dup_clusters",
         "abandoned_clicks", "source_dedup_report",
+        "decontaminated_train_docs", "training_corpus",
         "user_value_rolling_1h", "q1_pricing_summary",
         "late_shipment_priority_counts", "parts_above_brand_avg",
         "disjunctive_revenue", "top_customers_per_segment",

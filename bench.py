@@ -120,6 +120,9 @@ def main() -> None:
         # class from the windowed-agg path streaming_alerts warms
         # (symmetric hash join state store + its codegen)
         qs["streaming_interval_pairs"](spark, warm_sf).count()
+        # FlatMapGroupsInPandasWithState (timer-driven Python state)
+        # is a third operator class with its own Arrow/state codegen
+        qs["streaming_abandoned_clicks"](spark, warm_sf).count()
         qs["ngram_jaccard_dups"](spark, warm_sf).count()
         qs["embedding_ivf_topk"](spark, warm_sf).count()
         qs["embedding_kmeans_cells"](spark, warm_sf).count()

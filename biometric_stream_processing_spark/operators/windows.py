@@ -92,3 +92,64 @@ def with_session_windows(
         out_col, F.sum("_new_s").over(
             w.rowsBetween(W.unboundedPreceding, 0))
     ).drop("_new_s")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: "list[Column]",
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL running sum over a total order — the
+    two-phase prefix-sum that replaces the single-task trap of an
+    unpartitioned ``sum() OVER (ORDER BY ...)`` window (Spark plans
+    that as ONE WindowExec partition processing the whole relation;
+    at 100 TB it is the canonical scale-killer).
+
+    Phase 1 range-partitions on the total order and computes one
+    partial sum per partition — an ``num_partitions``-row relation,
+    whose own prefix sum runs in a deliberately unpartitioned window
+    (bounded by the partition COUNT, not the data; fine at any
+    scale). Phase 2 broadcast-joins the per-partition offsets back
+    and adds the within-partition running sum, partitioned by range
+    partition id — full parallelism end to end.
+
+    Exactness: integer sums in any grouping/order are exact, so the
+    result is independent of partition boundaries and hash-matches a
+    single-window oracle bit-for-bit. Determinism: ``order_cols``
+    must form a TOTAL order (include a unique tiebreak column),
+    making the range partition and both windows order-stable; the
+    range boundaries themselves are sampled deterministically for a
+    given input."""
+    from pyspark.sql import Window as W
+
+    for c in ("_pid", "_pt", "_off"):
+        if c in df.columns:
+            raise ValueError(f"column {c} collides with prefix-sum internals")
+    n = (num_partitions
+         or df.sparkSession.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_pt"))
+    w_off = (
+        W.orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .select(
+            *df.columns,
+            (F.sum(value_col).over(w_in) + F.col("_off")).alias(out_col),
+        )
+    )

@@ -649,6 +649,11 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_pairs_blocked(e, "srp", COSINE_THRESHOLD)
 
 
+# Memoized like _CLUSTERS_CACHE (connected_components is eager):
+# shared by embedding_dup_clusters and cross_modal_dup_agreement.
+_EMB_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS in EMBEDDING space: connected
     components over the verified cosine-pair graph — the identical
@@ -663,13 +668,81 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     30.7 s (0.26×) — like the document-side clusters, the iterative
     min-label propagation beats the quadratic-frontier recursive CTE
     once the component graph has any density."""
+    import os
+
     from ..operators.dedup import connected_components
 
-    pairs = embedding_similar_pairs_bucketed(spark, sf_dir).select(
-        "id_a", "id_b"
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = _EMB_CLUSTERS_CACHE.get(key)
+    if got is None:
+        pairs = embedding_similar_pairs_bucketed(spark, sf_dir).select(
+            "id_a", "id_b"
+        )
+        got = connected_components(pairs).select(
+            F.col("node").alias("vec_id"), "cluster_id"
+        )
+        _EMB_CLUSTERS_CACHE[key] = got
+    return got
+
+
+def cross_modal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup AUDIT: for every verified text near-dup pair
+    (the bigram-Jaccard LSH output), does the EMBEDDING-space
+    clustering agree — are the two docs in the same semantic
+    component? The testdata aligns ``vec_id`` with ``doc_id`` 1:1, so
+    the join is meaningful; disagreement rows are exactly where one
+    modality's threshold needs tuning (text-dup but not
+    embedding-dup ⇒ boilerplate with divergent content; the reverse ⇒
+    paraphrases the n-gram sketch missed). Output (id_a, id_b,
+    same_embedding_cluster).
+
+    Scale: two broadcast-able equi-joins of the (tiny) pair and
+    cluster relations — both inputs are the already-audited memoized
+    subtrees; nothing new shuffles."""
+    pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
+    ec = embedding_dup_clusters(spark, sf_dir)
+    ca = ec.select(F.col("vec_id").alias("id_a"),
+                   F.col("cluster_id").alias("_ca"))
+    cb = ec.select(F.col("vec_id").alias("id_b"),
+                   F.col("cluster_id").alias("_cb"))
+    return (
+        pairs.join(ca, "id_a", "left")
+        .join(cb, "id_b", "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(F.col("_ca") == F.col("_cb"), F.lit(False))
+            .alias("same_embedding_cluster"),
+        )
     )
-    return connected_components(pairs).select(
-        F.col("node").alias("vec_id"), "cluster_id"
+
+
+TOKEN_BUDGET = 50_000  # corpus-selection budget (BPE-ish tokens)
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget CORPUS SELECTION — the data-selection step a
+    pretraining run does after cleaning: rank the clean corpus by
+    quality (ties broken by doc_id for determinism) and keep the
+    best-first prefix whose cumulative token count fits the budget.
+    Output (doc_id, quality_score, n_bpe_tokens, cum_tokens).
+
+    The running total uses ``operators/windows.global_running_sum``
+    — the two-phase range-partitioned prefix sum — NOT a naked
+    ``sum() OVER (ORDER BY ...)``, which Spark plans as a single
+    WindowExec partition holding the whole corpus (the scale-killer
+    this operator exists to avoid; the oracle runs exactly that
+    single-window form, proving bit-equality)."""
+    from ..operators.windows import global_running_sum
+
+    c = documents_clean_corpus(spark, sf_dir)
+    ranked = global_running_sum(
+        c,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "n_bpe_tokens",
+        "cum_tokens",
+    )
+    return ranked.where(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "quality_score", "n_bpe_tokens", "cum_tokens"
     )
 
 
@@ -1318,6 +1391,33 @@ ORACLE["training_corpus"] = f"""
       (SELECT doc_id FROM ({ORACLE["decontaminated_train_docs"]}) k)
 """
 
+# Cross-modal audit twin: the text-pair oracle joined against the
+# embedding-closure oracle (embedded twice as derived tables — DuckDB
+# accepts a WITH RECURSIVE inside a parenthesized subquery).
+ORACLE["cross_modal_dup_agreement"] = f"""
+    SELECT p.id_a, p.id_b,
+           coalesce(ca.cluster_id = cb.cluster_id, false)
+             AS same_embedding_cluster
+    FROM (SELECT id_a, id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _np) p
+    LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) ca
+           ON p.id_a = ca.vec_id
+    LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) cb
+           ON p.id_b = cb.vec_id
+"""
+
+# Budget-selection twin: the SINGLE-WINDOW form of the running total
+# (what the Spark side deliberately avoids at scale) over the clean
+# corpus — bit-equality proves the two-phase prefix sum exact.
+ORACLE["corpus_token_budget"] = f"""
+    SELECT doc_id, quality_score, n_bpe_tokens, cum_tokens FROM (
+      SELECT c.doc_id, c.quality_score, c.n_bpe_tokens,
+             CAST(sum(c.n_bpe_tokens) OVER (
+               ORDER BY c.quality_score DESC, c.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM ({ORACLE["documents_clean_corpus"]}) c
+    ) WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
 # Sample twin: ranking happens on the md5 hex STRING (lexicographic ==
 # numeric for equal-width hex), so no decode is needed.
 ORACLE["doc_stratified_sample"] = f"""
@@ -1477,6 +1577,8 @@ QUERIES = {
     "simhash_dup_pairs": simhash_dup_pairs,
     "documents_clean_corpus": documents_clean_corpus,
     "training_corpus": training_corpus,
+    "corpus_token_budget": corpus_token_budget,
+    "cross_modal_dup_agreement": cross_modal_dup_agreement,
     "embedding_topk": embedding_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,

@@ -252,3 +252,20 @@ def test_training_corpus_reuses_memoized_decontam(spark):
     # RDD (the memoized frame, not a second checkpoint)
     rdds = set(re.findall(r"MapPartitionsRDD\[\d+\]", p))
     assert len(rdds) == 1, rdds
+
+
+def test_token_budget_prefix_sum_is_range_partitioned(spark):
+    """The budget selection's running total must be the two-phase
+    range-partitioned prefix sum — the corpus-wide window runs
+    partitioned by the range partition id, never as one unpartitioned
+    WindowExec holding the whole relation."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.corpus_token_budget(spark, SF_DIR))
+    assert "rangepartitioning" in p.lower(), p
+    # every Window over the corpus rows is keyed by _pid; the only
+    # unpartitioned window allowed is the offsets prefix over the
+    # partition-count-sized totals relation (its input carries _pt)
+    for seg in p.split("\n\n"):
+        if "Window" in seg.split("\n")[0] and "_pid" not in seg:
+            assert "_pt" in seg, seg

@@ -362,3 +362,30 @@ def test_cluster_representatives_match_python_argmax(spark, members, data):
         for r in cluster_representatives(clusters, sdf).collect()
     }
     assert got == _py_representatives(members, scores)
+
+
+# --- distributed prefix sum: the two-phase range-partitioned running
+# total vs a plain Python cumulative sum over the same total order ---
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+       st.integers(2, 8))
+def test_global_running_sum_matches_python_cumsum(spark, vals, nparts):
+    from biometric_stream_processing_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in global_running_sum(
+            df, [F.asc("k")], "v", "cum", num_partitions=nparts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
