@@ -102,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_quality",
         # --- new in round 5 (need first verdicts) ---
         "streaming_abandoned_clicks", "streaming_outer_pairs",
-        "corpus_token_budget", "cross_modal_dup_agreement",
         # --- last green r3: the round-4 middle block ---
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints", "contamination_overlaps",
@@ -111,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs", "documents_clean_corpus",
         "embedding_topk", "embedding_ivf_topk",
         "embedding_similar_pairs_bucketed", "embedding_srp_pairs",
+        # --- new in round 5, AFTER the shared-subtree owners so the
+        # LSH chain bills to minhash_lsh_pairs and the clean corpus
+        # to documents_clean_corpus, not to these composites ---
+        "corpus_token_budget", "cross_modal_dup_agreement",
         # --- last green r3: the round-4 tail block ---
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",

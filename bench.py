@@ -91,6 +91,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from biometric_stream_processing_spark.plans.documents_ops import (
         doc_winnow_fingerprints,
+        documents_clean_corpus,
         minhash_lsh_pairs,
         shared_ivf_cells,
     )
@@ -141,6 +142,12 @@ def main() -> None:
     cells.persist()
     fps = doc_winnow_fingerprints(spark, sf_dir)
     fps.persist()
+    # the clean corpus feeds three consumers (its own gate entry, the
+    # token-budget selection, the training-corpus capstone); lazy like
+    # the others — the first consumer in registration order
+    # (documents_clean_corpus itself) pays the whole chain on the clock
+    clean = documents_clean_corpus(spark, sf_dir)
+    clean.persist()
     # (The cluster table — shared by near_dup_clusters and
     # near_dup_representatives — cannot be persisted here: the
     # connected-components loop is EAGER, so building the frame would
@@ -169,6 +176,7 @@ def main() -> None:
     pairs.unpersist()
     cells.unpersist()
     fps.unpersist()
+    clean.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
