@@ -858,6 +858,38 @@ def streaming_outer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FUNNEL (CEP ordered-sequence matching) over the
+    events table — the streaming twin of
+    ``plans/events_ops.funnel_view_click_purchase``, whose DuckDB
+    oracle it shares: per user, earliest view → earliest click
+    at-or-after → earliest purchase at-or-after, held in three longs
+    of keyed state (``state.funnel_stream``). With the single-file
+    source the whole table is one micro-batch, so the per-batch
+    emission equals the batch funnel relation exactly; multi-batch
+    progression cadence is golden-tested in test_streaming_funnel.py.
+
+    NOTE (gate registration): implemented and oracled in round 5, but
+    the round-5 verdict-bearing prefix is fully occupied by the
+    rotation obligation — register this entry in ROUND 6's front
+    block (it is never-verified until then, so the CI gate-window
+    test forces exactly that)."""
+    import os
+    import uuid
+
+    from .state import funnel_stream
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = funnel_stream(src)
+        name = "fun_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_fun_"))
+    return out
+
+
 def dedup_registry_merge(
     src: DataFrame, checkpoint_dir: str
 ) -> dict[str, tuple[int, int]]:

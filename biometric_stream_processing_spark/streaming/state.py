@@ -247,6 +247,102 @@ def absence_stream(
     )
 
 
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, v_es long, c_es long, p_es long, stage int"
+)
+FUNNEL_STATE_SCHEMA = "v long, c long, p long"
+
+
+def funnel_fn():
+    """Per-key stateful function for ``funnel_stream``: the
+    view→click→purchase ordered-sequence machine with THREE LONGS of
+    state per user — the O(1)-state streaming form of the batch
+    chained-conditional-minima funnel
+    (``plans/events_ops.funnel_view_click_purchase``).
+
+    Why O(1) state is exact here: with watermark delay 0 the engine's
+    late-data contract (F6/W4, enforced below like the throttle)
+    guarantees no admissible event precedes anything already absorbed
+    across batches, and within a batch the processor sorts — so the
+    first view encountered IS the global earliest view, the first
+    click at-or-after it IS the batch plan's conditional minimum, and
+    likewise the purchase. A deployment wanting late-regression
+    repair would trade this for O(history) retained events; that
+    trade (state vs exactness under disorder) is the documented
+    contract, same as the reference's updateStateByKey machine."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            for es, et in zip(pdf["es"], pdf["event_type"]):
+                if wm_s > 0 and es < wm_s:
+                    continue  # late (F6/W4)
+                rows.append((int(es), str(et)))
+        rows.sort()
+
+        for es, et in rows:
+            if et == "view" and v < 0:
+                v = es
+            elif et == "click" and c < 0 and v >= 0 and es >= v:
+                c = es
+            elif et == "purchase" and p < 0 and c >= 0 and es >= c:
+                p = es
+
+        state.update((v, c, p))
+        out = []
+        if v >= 0:
+            stage = 1 + (c >= 0) + (p >= 0)
+            out.append((
+                key[0], v,
+                c if c >= 0 else None,
+                p if p >= 0 else None,
+                stage,
+            ))
+        yield pd.DataFrame(
+            out, columns=["user_id", "v_es", "c_es", "p_es", "stage"]
+        )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming funnel (CEP ordered-sequence matching): per user,
+    the earliest view, the earliest click at-or-after it, and the
+    earliest purchase at-or-after that — re-emitted for every user a
+    micro-batch touches (the update-mode cadence; over a single-batch
+    source the emission log equals the batch funnel relation, its
+    DuckDB oracle). Cross-batch progression and the late-event
+    contract are golden-tested in test_streaming_funnel.py."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id", "ts",
+            F.unix_timestamp("ts").alias("es"),
+            "event_type",
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        funnel_fn(),
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def alerts_stream_leading(
     events: DataFrame,
     length_s: int,
