@@ -164,3 +164,80 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_stratum)
         .select(strata_col, id_col, "sample_rank")
     )
+
+
+def decoded_hash32(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of ``md5(id || salt)`` decoded to a BIGINT in
+    [0, 2^32) — the uniform integer both engines can reproduce
+    exactly (the oracle decodes the same hex with integer place-value
+    arithmetic)."""
+    h = F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8
+    )
+    return F.conv(h, 16, 10).cast("long")
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    weight_cap: int,
+    id_col: str = "doc_id",
+    salt: str = ":wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling with inclusion probability
+    ``min(1, weight / weight_cap)`` — importance sampling for corpus
+    mixing (long/high-quality documents proportionally more likely),
+    in EXACT integer arithmetic: row included iff
+    ``hash32 * weight_cap < weight * 2^32``. No floats anywhere, so
+    there is no libm-rounding divergence between engines (a
+    ``u^(1/w)`` Efraimidis-Spirakis key would rank by ``pow``/``log``
+    whose last-ulp behavior differs across runtimes — rejected for
+    the hash-parity contract), and no ``rand()`` — the same document
+    is sampled on every run, any cluster layout, any retry.
+
+    Scale: a pure narrow filter — ZERO shuffle; the predicate pushes
+    to the scan alongside any other filter. Products stay well inside
+    BIGINT (hash < 2^32, integer weights: 2^32 · cap < 2^63 for caps
+    to ~2^30)."""
+    w = F.col(weight_col).cast("long")
+    keep = (
+        decoded_hash32(F.col(id_col), salt) * F.lit(weight_cap)
+        < w * F.lit(4294967296)
+    )
+    return df.where(keep).select(F.col(id_col), F.col(weight_col))
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: "dict[str, int]",
+    default_n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = ":mix",
+) -> DataFrame:
+    """Deterministic MIXTURE sampling — the data-mixing step of a
+    pretraining run: each stratum contributes its TARGET number of
+    documents (``targets[stratum]``, else ``default_n``), chosen as
+    the smallest salted hashes in the stratum (a reproducible uniform
+    draw per stratum, exact quota sizes). Generalizes
+    ``stratified_sample`` from one global quota to per-stratum
+    curriculum weights. Output (stratum, id, sample_rank).
+
+    Scale: identical contract to ``stratified_sample`` — one shuffle
+    on the stratum key, sort carries (id, hash) only; the
+    hash-threshold pruning mitigation documented there applies
+    unchanged to hot strata."""
+    from pyspark.sql import Window as W
+
+    quota = F.lit(default_n)
+    for name, n in targets.items():
+        quota = F.when(F.col(strata_col) == name, n).otherwise(quota)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = W.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(F.col(strata_col), F.col(id_col), h.alias("_h"),
+                  quota.alias("_q"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.col("_q"))
+        .select(strata_col, id_col, "sample_rank")
+    )

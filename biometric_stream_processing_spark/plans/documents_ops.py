@@ -716,6 +716,38 @@ def cross_modal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_CAP = 600              # weighted sample: P(doc) = n_chars/600
+MIX_TARGETS = {"src0": 10, "src1": 5, "src2": 3}   # curriculum quotas
+MIX_DEFAULT_N = 2              # quota for sources not named above
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling of the corpus with inclusion
+    probability proportional to document length
+    (operators/sampling.weighted_bernoulli_sample — exact integer
+    hash-threshold comparison, no floats, no rand()). ROUND-6 GATE
+    QUEUE: implemented + oracled in round 5; the round-5 prefix is
+    full, so registration lands in round 6's front block."""
+    from ..operators.sampling import weighted_bernoulli_sample
+
+    return weighted_bernoulli_sample(
+        _docs(spark, sf_dir), "n_chars", WSAMPLE_CAP
+    )
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data mixing: per-source document quotas
+    (operators/sampling.mixture_sample) — named sources contribute
+    their MIX_TARGETS count, everything else MIX_DEFAULT_N; draws are
+    salted-hash-deterministic with exact quota sizes. ROUND-6 GATE
+    QUEUE, same note as ``doc_weighted_sample``."""
+    from ..operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), MIX_TARGETS, MIX_DEFAULT_N
+    )
+
+
 TOKEN_BUDGET = 50_000  # corpus-selection budget (BPE-ish tokens)
 
 
@@ -1416,6 +1448,34 @@ ORACLE["corpus_token_budget"] = f"""
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM ({ORACLE["documents_clean_corpus"]}) c
     ) WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+# Weighted-sample twin: identical integer hash-threshold comparison
+# (the _SPLIT_HASH place-value decode over the ':wsample' salt).
+ORACLE["doc_weighted_sample"] = f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substring(md5(doc_id::VARCHAR || ':wsample'), 1, 8) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM h
+    WHERE {_SPLIT_HASH} * {WSAMPLE_CAP}
+          < n_chars::BIGINT * 4294967296
+"""
+
+# Mixture twin: per-source quota via CASE, rank on the ':mix' salted
+# hash string (lexicographic == numeric for equal-width hex).
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {n}" for s, n in MIX_TARGETS.items()
+) + f" ELSE {MIX_DEFAULT_N} END"
+ORACLE["corpus_mixture_sample"] = f"""
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':mix'), doc_id)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_MIX_CASE}
 """
 
 # Sample twin: ranking happens on the md5 hex STRING (lexicographic ==

@@ -517,3 +517,48 @@ def test_exact_decontaminate_drops_shared_rare_gram(spark):
     out = {r.doc_id for r in
            exact_decontaminate(df, n=3, max_df=2).collect()}
     assert out == {1, 2, 3, 4, 5}
+
+
+# --- round-5 samplers (round-6 gate queue) ---
+
+def test_weighted_sample_matches_python_integer_math(spark):
+    """The inclusion predicate replayed from scratch in Python
+    (hashlib md5 + integer threshold) — no floats on either side."""
+    import hashlib
+
+    from biometric_stream_processing_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    rows = [(i, w) for i, w in enumerate([0, 1, 50, 300, 599, 600, 10_000])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r.doc_id for r in
+           weighted_bernoulli_sample(df, "n_chars", 600).collect()}
+    want = set()
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}:wsample".encode()).hexdigest()[:8], 16)
+        if h * 600 < w * 4294967296:
+            want.add(i)
+    assert got == want
+    # certainties: weight 0 never sampled, weight >= cap always
+    assert 0 not in got and 5 in got and 6 in got
+
+
+def test_mixture_sample_exact_quotas_and_determinism(spark):
+    from biometric_stream_processing_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(f"s{i % 3}", i) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out1 = mixture_sample(df, {"s0": 7, "s1": 1}, 4)
+    counts = {
+        r.source: r.n
+        for r in out1.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {"s0": 7, "s1": 1, "s2": 4}
+    # repartition must not change the draw (content-derived hashes)
+    out2 = mixture_sample(df.repartition(7), {"s0": 7, "s1": 1}, 4)
+    assert sorted(map(tuple, out1.collect())) == \
+        sorted(map(tuple, out2.collect()))
