@@ -194,9 +194,13 @@ def absence_fn(horizon_s: int):
         elif state.exists:
             state.remove()
 
-        yield pd.DataFrame(
-            out, columns=["event_id", "user_id", "click_us"]
-        )
+        # constructing a pandas frame per key dominates wall time when
+        # most keys emit nothing (measured: the vast majority of users
+        # resolve) — yield only non-empty emissions
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "click_us"]
+            )
 
     return fn
 
