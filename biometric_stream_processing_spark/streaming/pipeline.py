@@ -782,7 +782,12 @@ def streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.events_ops import ABANDON_T_S
     from .state import absence_stream
 
-    with pinned_shuffle_partitions(spark):
+    # Python-STATEFUL entries invert the windowed-agg tuning: the
+    # per-key Arrow/state round-trips parallelize across Python
+    # workers, so MORE partitions win until state-commit overhead
+    # bites (measured at sf0.1: 2→6.3 s, 4→4.6 s, 8→3.9 s, 16→3.9 s,
+    # 32→5.5 s). 8 is the knee; the declarative entries keep 4.
+    with pinned_shuffle_partitions(spark, 8):
         ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
         src = _events_stream_source(
             spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
@@ -879,7 +884,8 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .state import funnel_stream
 
-    with pinned_shuffle_partitions(spark):
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
         ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
         src = _events_stream_source(
             spark, sf_dir, "events.parquet", ts_unit
