@@ -51,6 +51,10 @@ PASSAGE_WORDS = 32
 
 _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
+#: heavy hitters: sketch K items, assert containment of the exact top J
+HH_SKETCH_K = 50
+HH_EXACT_J = 10
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -211,6 +215,40 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY HITTERS over the corpus vocabulary via Spark 4's
+    ``approx_top_k`` (SpaceSaving-family sketch): one-pass frequent
+    items without the full groupBy — the cardinality-bounded path a
+    100 TB token stream needs when the exact vocabulary doesn't fit.
+
+    Bounded-error oracle (the HLL/approx-percentile pattern — engines'
+    sketches differ, so the oracled VALUE is the guarantee, not the
+    sketch): the exact top-``HH_EXACT_J`` words (tf desc, word asc)
+    each carry ``in_sketch`` = did the K-item sketch contain them. A
+    correct sketch with K ≫ J always covers the true top-J, so the
+    oracle is the exact top-J with ``in_sketch`` literally true.
+    Output (word, tf, in_sketch). ROUND-6 GATE QUEUE (round-5 prefix
+    full), same note as ``doc_weighted_sample``."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("word")
+    )
+    sketch = toks.select(
+        F.explode(
+            F.expr(f"approx_top_k(word, {HH_SKETCH_K})")
+        ).alias("_it")
+    ).select(F.col("_it.item").alias("word"))
+    exact_j = (
+        toks.groupBy("word").agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(HH_EXACT_J)
+    )
+    return exact_j.join(
+        F.broadcast(sketch.withColumn("_in", F.lit(True))), "word", "left"
+    ).select(
+        "word", "tf", F.coalesce("_in", F.lit(False)).alias("in_sketch")
+    )
+
+
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang) corpus report: document count, character
     totals/extremes, and total word count — the triage table a corpus
@@ -248,7 +286,20 @@ def source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitters twin: the exact top-J with the containment guarantee
+#: asserted as a literal (sketches differ across engines — the HLL /
+#: approx-percentile bounded-oracle pattern)
+ORACLE_HEAVY_HITTERS = f"""
+    WITH tok AS (
+      SELECT unnest({_WS}) AS word FROM documents
+    )
+    SELECT word, count(*)::BIGINT AS tf, true AS in_sketch
+    FROM tok GROUP BY word
+    ORDER BY tf DESC, word LIMIT {HH_EXACT_J}
+"""
+
 ORACLE = {
+    "corpus_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "corpus_vocab_topk": f"""
         WITH tok AS (
           SELECT doc_id, unnest({_WS}) AS word FROM documents

@@ -133,3 +133,20 @@ def test_unigram_logprob_known_distribution(spark):
            for r in unigram_logprob(df).collect()}
     assert got == {0: (3, -0.287682), 1: (1, -1.386294)}
     assert got[0][1] > got[1][1]
+
+
+def test_heavy_hitters_sketch_contains_exact_top(spark):
+    """The K-item approx_top_k sketch must cover the exact top-J
+    (K >> J containment guarantee the bounded oracle asserts), and
+    the emitted tf values are the EXACT counts, not sketch
+    estimates."""
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        HH_EXACT_J,
+        corpus_heavy_hitters,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = corpus_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == HH_EXACT_J
+    assert all(r.in_sketch for r in rows)
+    assert all(r.tf > 0 for r in rows)
