@@ -141,7 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # obligatory entries.) ROUND-6 OBLIGATION: front-load every
         # entry whose last green verdict is r4 (this tail; recompute
         # with list(queries())[50:]) and tail the r5-verified entries
-        # instead.
+        # instead — AND register the four ROUND-6 QUEUE queries built
+        # and oracled in round 5 but not registrable then (prefix
+        # full): streaming_funnel, doc_weighted_sample,
+        # corpus_mixture_sample, corpus_heavy_hitters. 43 tail + 4
+        # queued = 47 front entries, leaving 3 slots for round-6
+        # source changes.
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
