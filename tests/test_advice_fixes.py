@@ -156,3 +156,22 @@ def test_lsh_hot_bucket_bounded_and_complete(spark):
     ]
     assert len(sizes) == G
     assert 2 * max(sizes) < n / 2  # any cell sees < 25% of the bucket
+
+
+def test_pinned_shuffle_partitions_restores_on_exception(spark):
+    """The round-5 fix for the round-4 advice: an exception anywhere
+    inside a streaming entry's body (footer sniffing, staging, plan
+    construction) must not leave the shared session pinned at the
+    streaming state-parallelism value."""
+    import pytest
+
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        pinned_shuffle_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with pinned_shuffle_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("mid-body failure")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

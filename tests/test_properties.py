@@ -389,3 +389,32 @@ def test_global_running_sum_matches_python_cumsum(spark, vals, nparts):
         acc += v
         want[k] = acc
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                min_size=1, max_size=40),
+       st.integers(2, 6))
+def test_global_running_sum_desc_with_ties(spark, rows, nparts):
+    """The corpus query's exact shape: DESC primary key with heavy
+    ties, unique ascending tiebreak — the running total must follow
+    the same total order as a single-window evaluation."""
+    from biometric_stream_processing_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    data = [(i, q, v) for i, (q, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, q long, v long")
+    got = {
+        r.k: r.cum
+        for r in global_running_sum(
+            df, [F.desc("q"), F.asc("k")], "v", "cum",
+            num_partitions=nparts,
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, q, v in sorted(data, key=lambda t: (-t[1], t[0])):
+        acc += v
+        want[k] = acc
+    assert got == want
