@@ -269,3 +269,17 @@ def test_token_budget_prefix_sum_is_range_partitioned(spark):
     for seg in p.split("\n\n"):
         if "Window" in seg.split("\n")[0] and "_pid" not in seg:
             assert "_pt" in seg, seg
+
+
+def test_absence_antijoin_shuffles_on_user_id_only(spark):
+    """Batch absence detection must stay a single keyed anti-join:
+    every exchange hash-partitions on user_id and no nested-loop /
+    cartesian pair enumeration appears (the time-range residual rides
+    the equi-join, it never becomes the join strategy)."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.abandoned_clicks(spark, SF_DIR))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
+    assert all("user_id" in l or "_ru" in l for l in parts), parts
