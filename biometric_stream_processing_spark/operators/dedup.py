@@ -433,14 +433,23 @@ def connected_components(
 
     Execution shape: each iteration is one keyed aggregation over the
     symmetrized edge list joined to current labels (two shuffles on
-    node id), converging in ≤ component-diameter iterations —
-    near-dup components are clique-dense, so 2-3 in practice. Like
-    k-means (`operators/kmeans.py`), the driver holds only the loop
-    CONTROL (a changed-row count per iteration, via one `count()`);
-    labels and edges never leave the executors — the standard
-    iterate-to-fixpoint shape for graph algorithms on Spark.
-    ``localCheckpoint`` truncates each iteration's lineage so the
-    plan doesn't grow exponentially with iterations.
+    node id), converging in ≤ component-diameter iterations. Measured
+    diameters vary by graph: text near-dup components are clique-dense
+    (2-3 iterations) but the embedding similarity graph at sf0.1
+    chains to 16 — so per-iteration cost matters. The per-iteration
+    checkpoint is LAZY (eager=False): the convergence probe's
+    aggregation doubles as the materializing action, one job per
+    iteration instead of two (measured 7.4 → 4.7 s on the
+    16-iteration graph). Pointer jumping (label ← label-of-label,
+    O(log d) rounds) is a measured dead end at this scale: the extra
+    self-join per iteration costs more than the iterations it saves
+    (16 iters / 4.7 s plain vs 10 iters / 6.1 s jumped, identical
+    output). Like k-means (`operators/kmeans.py`), the driver holds
+    only the loop CONTROL (one scalar per iteration); labels and
+    edges never leave the executors — the standard iterate-to-
+    fixpoint shape for graph algorithms on Spark. ``localCheckpoint``
+    truncates each iteration's lineage so the plan doesn't grow with
+    iterations.
 
     Determinism: min-label is order-independent; the fixpoint is the
     unique transitive closure — bit-exact against the oracle's
@@ -473,7 +482,7 @@ def connected_components(
                     F.col("label"), F.coalesce("_nbr", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # labels can only DECREASE, so the total strictly drops on any
         # change — one aggregation over the just-checkpointed frame
