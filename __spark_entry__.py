@@ -17,6 +17,7 @@ from biometric_stream_processing_spark.plans import (
     corpus_ops,
     documents_ops,
     events_ops,
+    timeseries_ops,
 )
 from biometric_stream_processing_spark.session import tune_session
 from biometric_stream_processing_spark.streaming import (
@@ -138,15 +139,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module-side memo wrapper this round; its logical plan and
         # relation are identical — the r4 verdict still covers the
         # semantics, and the front's 50 slots are all taken by
-        # obligatory entries.) ROUND-6 OBLIGATION: front-load every
-        # entry whose last green verdict is r4 (this tail; recompute
-        # with list(queries())[50:]) and tail the r5-verified entries
-        # instead — AND register the four ROUND-6 QUEUE queries built
-        # and oracled in round 5 but not registrable then (prefix
-        # full): streaming_funnel, doc_weighted_sample,
-        # corpus_mixture_sample, corpus_heavy_hitters. 43 tail + 4
-        # queued = 47 front entries, leaving 3 slots for round-6
-        # source changes.
+        # obligatory entries.) ROUND-6 OBLIGATION: register the
+        # ROUND-6 QUEUE queries built and oracled in round 5 but not
+        # registrable then (prefix full): streaming_funnel,
+        # doc_weighted_sample, corpus_mixture_sample,
+        # corpus_heavy_hitters, plus the five plans/timeseries_ops
+        # entries (user_state_history, user_hourly_gapfill,
+        # running_zscore_flags, user_value_ewma, value_histogram) and
+        # any further queue notes in module docstrings. Front-load:
+        # (1) every never-verified query, (2) any entry whose source
+        # changed, (3) the oldest-verified entries, filling the
+        # 50-entry prefix. NOTE the registry will then exceed 100
+        # entries, so a strict two-round freshness window is
+        # infeasible at a 50-entry gate cap — the enforced policy
+        # (tests/test_gate_rotation.py) is the minimal feasible
+        # K = ceil(N_registered / 50)-round rotation: with N≈102,
+        # every entry must be green within the last 3 recorded
+        # rounds, and the prefix must always drain the oldest debt
+        # first.
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -178,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(biometric.ORACLE)
+    # ROUND-6 GATE QUEUE oracles (queries not yet registered — the
+    # round-5 prefix is full; see the rotation note in queries()):
+    # exposing them here keeps one definition per oracle and lets the
+    # local gate harness (tools/check_oracle.py --queued) verify them.
+    o.update(timeseries_ops.ORACLE)
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly

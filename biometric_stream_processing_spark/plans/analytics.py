@@ -411,9 +411,96 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns profiled by ``orders_profile``: (name, kind) where kind
+#: decides which min/max slot fills (numerics+timestamps → num as
+#: DOUBLE/epoch-seconds, varchars → str)
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER (data-quality observability): one long-format
+    row per column of ``orders`` with null count, exact distinct
+    count, and typed min/max (numerics and timestamps in ``min_num``/
+    ``max_num`` — timestamps as epoch seconds — strings in
+    ``min_str``/``max_str``). The profile every ingestion pipeline
+    runs before trusting a new drop.
+
+    Plan: ONE aggregation pass computes all 6×4 statistics (Catalyst
+    plans the multi-countDistinct via a single Expand — each input
+    row fans out once per distinct-column, partially aggregated
+    map-side), then a ``stack`` unpivots the 1-row result — no
+    per-column re-scan of the fact table. At 100 TB the exact
+    distinct counts are the expensive part; the scale knob is
+    swapping ``countDistinct`` → ``approx_count_distinct`` (HLL, no
+    Expand), which this module already exposes oracle-bounded in
+    ``approx_distinct_bounds`` — the exact form stays here because it
+    is hash-oracle-able. ROUND-6 GATE QUEUE (round-5 prefix full; see
+    ``__spark_entry__.queries``)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs, rows = [], []
+    for name, kind in _PROFILE_COLS:
+        c = F.col(name)
+        num = (
+            F.unix_timestamp(c) if kind == "ts"
+            else c.cast("double") if kind == "num"
+            else F.lit(None).cast("double")
+        )
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"_nn_{name}"),
+            F.countDistinct(c).alias(f"_nd_{name}"),
+            F.min(num).cast("double").alias(f"_mnn_{name}"),
+            F.max(num).cast("double").alias(f"_mxn_{name}"),
+            F.min(c if kind == "str" else F.lit(None).cast("string"))
+             .alias(f"_mns_{name}"),
+            F.max(c if kind == "str" else F.lit(None).cast("string"))
+             .alias(f"_mxs_{name}"),
+        ]
+        rows.append(
+            f"'{name}', _nn_{name}, _nd_{name}, _mnn_{name}, "
+            f"_mxn_{name}, _mns_{name}, _mxs_{name}"
+        )
+    stacked = (
+        f"stack({len(_PROFILE_COLS)}, {', '.join(rows)}) AS "
+        "(col_name, n_null, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    )
+    return o.agg(*aggs).select(F.expr(stacked))
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        num = (
+            f"epoch_us({name})//1000000" if kind == "ts"
+            else name if kind == "num" else "NULL"
+        )
+        s = name if kind == "str" else "NULL"
+        parts.append(f"""
+        SELECT '{name}' AS col_name,
+               CAST(count(*) FILTER (WHERE {name} IS NULL) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               CAST(min({num}) AS DOUBLE) AS min_num,
+               CAST(max({num}) AS DOUBLE) AS max_num,
+               CAST(min({s}) AS VARCHAR) AS min_str,
+               CAST(max({s}) AS VARCHAR) AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
 ORACLE = {
+    # ROUND-6 GATE QUEUE (query not registered yet — prefix full)
+    "orders_profile": _profile_oracle(),
     "disjunctive_revenue": f"""
         SELECT {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS revenue,
                count(*) AS n_lines

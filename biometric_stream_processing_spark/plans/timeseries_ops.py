@@ -1,0 +1,428 @@
+"""Time-series operator queries over ``events`` (beyond-reference
+surface, SURVEY §2.5/§2.6 family): SCD-2 state history
+(gaps-and-islands), hourly resampling with gap-fill + forward-fill,
+prior-window z-score anomaly flags, per-user EWMA smoothing, and a
+fixed-width value histogram. ALL ROUND-6 GATE QUEUE — implemented,
+oracled and unit-tested in round 5; the round-5 verdict prefix is
+full (see the rotation note in ``__spark_entry__.queries``), so these
+register in round 6's front block.
+
+Every query follows the repo's cross-engine-determinism rules
+(plans/biometric.py docstring): timestamps compared as exact integer
+epoch micro/seconds, money as integer cents, doubles only as the
+final step of identical integer arithmetic (IEEE ops on equal inputs
+are bit-identical), and ``round(…, 6)`` applied engine-side in both
+plans where a libm call (sqrt) is involved.
+
+Scale notes (design bar is 100 TB, not the sf0.1 bench):
+
+* every window here partitions by ``user_id`` — one hash exchange,
+  then all five operators ride the same partitioning; no global
+  (empty-PARTITION BY) window anywhere.
+* ``user_hourly_gapfill`` materializes the hour spine per user from
+  that user's own [min, max] span (``sequence`` + ``explode``) — the
+  spine is generated AFTER the per-user aggregation, so its row count
+  is O(users × span_hours), independent of the raw event count.
+* ``user_value_ewma`` is an honest sequential recurrence: the closed
+  form Σ v_j·(1−α)^{i−j} needs (1−α)^{−j} partial products that
+  overflow double past ~2500 rows per key, so a window-function
+  rewrite is numerically dead at scale — it runs as one Arrow-batched
+  ``applyInPandas`` pass per user (the packer's shape,
+  operators/sampling.py), O(events/user) state-free vector math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+#: z-score flags need this many PRIOR readings before scoring
+ZSCORE_MIN_PRIOR = 5
+#: |z| above this is flagged anomalous
+ZSCORE_THRESHOLD = 2.0
+#: EWMA smoothing factor — exactly representable in binary so the
+#: Python recurrence and the DuckDB recursive CTE compute identical
+#: doubles
+EWMA_ALPHA = 0.25
+#: histogram bucket width (value units) and bucket count (values are
+#: [0, ~500); out-of-range rows clamp into the edge buckets)
+HIST_WIDTH = 20
+HIST_BUCKETS = 25
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _us(c):
+    # ts is TIMESTAMP_NTZ after reader normalization; the cast
+    # interprets in the session tz (pinned UTC by tune_session) —
+    # same convention as events_ops.abandoned_within.
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events keyed for per-user time order: exact integer microsecond
+    timestamps, event_id tiebreak (unique), value as integer cents."""
+    return _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        _us(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+# ------------------------------------------------- SCD-2 state history
+
+def state_history(ev: DataFrame) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION (type 2) history: collapse each
+    user's event stream into maximal runs of consecutive equal
+    ``event_type`` — the gaps-and-islands operator that turns an
+    append-only change log into validity intervals (the CDC →
+    dimension-snapshot step every warehouse pipeline runs).
+
+    Emits one row per run: (user_id, run_id 1-based, state,
+    valid_from_us, valid_to_us, n_events) where ``valid_to_us`` is
+    the NEXT run's start (NULL on the current/open run) — half-open
+    [from, to) intervals that partition the user's timeline.
+
+    Plan: lag() marks change points, a running sum numbers the runs,
+    one grouped agg collapses them, lead() closes the intervals. All
+    four steps share the single ``user_id`` hash partitioning — one
+    exchange, three WindowExecs + one partial-agg exchange on the
+    (tiny) run relation."""
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    runs = ev.select(
+        "user_id", "event_id", "event_type", "us", chg.alias("_chg")
+    ).select(
+        "user_id", "event_type", "us",
+        F.sum("_chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("run_id"),
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),   # constant within a run
+        F.min("us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    nxt = W.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id", "run_id", "state", "valid_from_us",
+        F.lead("valid_from_us").over(nxt).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return state_history(_ordered(spark, sf_dir))
+
+
+# ------------------------------------- hourly resample + forward fill
+
+def hourly_gapfill(ev: DataFrame) -> DataFrame:
+    """RESAMPLE + GAP-FILL + FORWARD-FILL: per user, one row per hour
+    of that user's active span — observed hours carry their event
+    count and exact cents sum; missing hours appear with n=0, a NULL
+    observed sum, and the last observed sum carried forward
+    (``last_value IGNORE NULLS`` — the time-series imputation
+    primitive SQL engines express identically).
+
+    Output (user_id, hour_es, n, sum_cents, filled_sum_cents,
+    is_gap). ``filled_sum_cents`` is NULL only for gap hours before a
+    user's first observation (none exist by construction — the spine
+    starts at the user's min hour, which is observed)."""
+    hourly = ev.groupBy(
+        "user_id", F.expr("us div 3600000000").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    spine = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    ).select(
+        "user_id",
+        F.explode(F.sequence("_h0", "_h1")).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = W.partitionBy("user_id").orderBy("hour")
+    return joined.select(
+        "user_id",
+        (F.col("hour") * 3600).alias("hour_es"),
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        "sum_cents",
+        F.last("sum_cents", ignorenulls=True).over(w)
+         .alias("filled_sum_cents"),
+        F.col("sum_cents").isNull().alias("is_gap"),
+    )
+
+
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_gapfill(_ordered(spark, sf_dir))
+
+
+# ------------------------------------------- prior-window z-score CEP
+
+def running_zscore(ev: DataFrame) -> DataFrame:
+    """ANOMALY FLAGS against each user's own history: every reading is
+    scored against the mean/stddev of that user's STRICTLY PRIOR
+    readings (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) — the honest
+    streaming semantics (no look-ahead), which makes the streaming
+    twin (`streaming/pipeline.streaming_anomalies`) emit the exact
+    same relation.
+
+    Cross-engine determinism: the window aggregates are exact BIGINT
+    sums of cents and cents² (max |cents| ≈ 49 002 → Σcents² at 10⁹
+    rows/user ≈ 2.4×10¹⁸, inside int64); mean/variance/z are then the
+    SAME double expression over those integers in both engines, and z
+    is rounded to 6 dp. Readings with fewer than ``ZSCORE_MIN_PRIOR``
+    priors, or zero prior variance, emit NULL z / false flag."""
+    w = (
+        W.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "event_id", "user_id", "us", "cents",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("cents").over(w).alias("_s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("_s2"),
+    )
+    n = F.col("n_prior").cast("double")
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 - s * s / n) / (n - 1)
+    z = (F.col("cents").cast("double") - s / n) / F.sqrt(var)
+    ok = (F.col("n_prior") >= ZSCORE_MIN_PRIOR) & (var > 0)
+    zr = F.when(ok, F.round(z, 6))
+    return scored.select(
+        "event_id", "user_id", "us", "n_prior",
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) > ZSCORE_THRESHOLD, F.lit(False))
+         .alias("is_anomaly"),
+    )
+
+
+def running_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_zscore(_ordered(spark, sf_dir))
+
+
+# ------------------------------------------------------ EWMA smoother
+
+def ewma(ev: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-user EXPONENTIALLY-WEIGHTED MOVING AVERAGE of the reading
+    stream: s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁ over (us, event_id)
+    order — the smoothing pass a monitoring pipeline runs before
+    thresholding jittery gauges.
+
+    This is a reset-at-boundary RECURRENCE, not a window function
+    (see module docstring: the algebraic unrolling overflows), so it
+    runs as ``applyInPandas`` per user — the same honest-sequential
+    justification as the greedy packer (operators/sampling.py). The
+    kernel is Arrow-batched vectorized-ish Python; per-group cost is
+    O(rows), state is one float.
+
+    Parity: α = 0.25 is a dyadic rational, the recurrence is the same
+    IEEE double sequence DuckDB's recursive CTE computes, and the
+    final ``round(…, 6)`` happens ENGINE-SIDE in Spark (F.round,
+    half-up — same as DuckDB's round), not in numpy (half-even)."""
+    out_schema = "user_id long, event_id long, us long, ewma_raw double"
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        vals = pdf["cents"].to_numpy(dtype="float64")
+        acc = 0.0
+        out = []
+        for i, v in enumerate(vals):
+            acc = v if i == 0 else alpha * v + (1.0 - alpha) * acc
+            out.append(acc)
+        return pd.DataFrame({
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "us": pdf["us"],
+            "ewma_raw": out,
+        })
+
+    smoothed = (
+        ev.select("user_id", "event_id", "us", "cents")
+        .groupBy("user_id")
+        .applyInPandas(_kernel, out_schema)
+    )
+    return smoothed.select(
+        "user_id", "event_id", "us",
+        F.round(F.col("ewma_raw"), 6).alias("ewma_cents"),
+    )
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma(_ordered(spark, sf_dir))
+
+
+# --------------------------------------------------------- histogram
+
+def value_histogram_of(ev: DataFrame) -> DataFrame:
+    """Fixed-width HISTOGRAM of reading values per event type —
+    ``width_bucket`` semantics over [0, HIST_WIDTH·HIST_BUCKETS) with
+    clamp-to-edge for out-of-range values (none in the testdata;
+    the clamp is the 100 TB-robust behavior, not an assumption).
+    Output (event_type, bucket, lo, hi, n) for non-empty buckets.
+    One partial-aggregated groupBy on (type, bucket) — the exchange
+    carries ≤ |types|·|buckets| rows per input split."""
+    b = F.least(
+        F.greatest(
+            F.floor(F.col("cents") / (HIST_WIDTH * 100)), F.lit(0)
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        ev.select("event_type", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+        )
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram_of(_ordered(spark, sf_dir))
+
+
+# ---------------------------------------------------------- oracle SQL
+
+_EV = """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+"""
+
+ORACLE = {
+    "user_state_history": f"""
+        WITH ev AS ({_EV}),
+        flagged AS (
+          SELECT user_id, event_id, event_type, us,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), runs AS (
+          SELECT user_id, event_type, us,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM flagged
+        ), collapsed AS (
+          SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+                 min(event_type) AS state,
+                 min(us) AS valid_from_us,
+                 count(*) AS n_events
+          FROM runs GROUP BY user_id, run_id
+        )
+        SELECT user_id, run_id, state, valid_from_us,
+               lead(valid_from_us) OVER
+                 (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+               n_events
+        FROM collapsed
+    """,
+    "user_hourly_gapfill": f"""
+        WITH ev AS ({_EV}),
+        hourly AS (
+          SELECT user_id, us // 3600000000 AS hour,
+                 count(*) AS n, sum(cents) AS sum_cents
+          FROM ev GROUP BY 1, 2
+        ), spine AS (
+          SELECT user_id, unnest(range(min(hour), max(hour) + 1)) AS hour
+          FROM hourly GROUP BY user_id
+        )
+        SELECT s.user_id, s.hour * 3600 AS hour_es,
+               coalesce(h.n, 0) AS n,
+               CAST(h.sum_cents AS BIGINT) AS sum_cents,
+               CAST(last_value(h.sum_cents IGNORE NULLS) OVER
+                 (PARTITION BY s.user_id ORDER BY s.hour) AS BIGINT)
+                 AS filled_sum_cents,
+               h.sum_cents IS NULL AS is_gap
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+    "running_zscore_flags": f"""
+        WITH ev AS ({_EV}),
+        scored AS (
+          SELECT event_id, user_id, us, cents,
+                 count(*) OVER w AS n_prior,
+                 sum(cents) OVER w AS s,
+                 sum(cents * cents) OVER w AS s2
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), zz AS (
+          SELECT event_id, user_id, us,
+                 CAST(n_prior AS BIGINT) AS n_prior,
+                 CASE WHEN n_prior >= {ZSCORE_MIN_PRIOR}
+                       AND (s2::DOUBLE - s::DOUBLE * s::DOUBLE
+                            / n_prior::DOUBLE)
+                           / (n_prior::DOUBLE - 1) > 0
+                      THEN round(
+                        (cents::DOUBLE - s::DOUBLE / n_prior::DOUBLE)
+                        / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE
+                                / n_prior::DOUBLE)
+                               / (n_prior::DOUBLE - 1)), 6)
+                 END AS z
+          FROM scored
+        )
+        SELECT event_id, user_id, us, n_prior, z,
+               coalesce(abs(z) > {ZSCORE_THRESHOLD}, false) AS is_anomaly
+        FROM zz
+    """,
+    "user_value_ewma": f"""
+        WITH RECURSIVE ev AS ({_EV}),
+        o AS (
+          SELECT user_id, event_id, us, cents,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY us, event_id) AS rn
+          FROM ev
+        ), r AS (
+          SELECT user_id, event_id, us, rn, cents::DOUBLE AS ewma
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.event_id, o.us, o.rn,
+                 {EWMA_ALPHA} * o.cents::DOUBLE
+                   + {1.0 - EWMA_ALPHA} * r.ewma
+          FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, us, round(ewma, 6) AS ewma_cents
+        FROM r
+    """,
+    "value_histogram": f"""
+        WITH ev AS ({_EV}),
+        b AS (
+          SELECT event_type,
+                 least(greatest(cents // {HIST_WIDTH * 100}, 0),
+                       {HIST_BUCKETS - 1}) AS bucket
+          FROM ev
+        )
+        SELECT event_type, bucket,
+               bucket * {HIST_WIDTH} AS lo,
+               (bucket + 1) * {HIST_WIDTH} AS hi,
+               count(*) AS n
+        FROM b GROUP BY event_type, bucket
+    """,
+}
+
+#: ROUND-6 GATE QUEUE — merged into ``__spark_entry__.queries`` when
+#: the round-6 front block opens (see the rotation note there).
+QUERIES = {
+    "user_state_history": user_state_history,
+    "user_hourly_gapfill": user_hourly_gapfill,
+    "running_zscore_flags": running_zscore_flags,
+    "user_value_ewma": user_value_ewma,
+    "value_histogram": value_histogram,
+}

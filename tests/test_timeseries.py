@@ -1,0 +1,192 @@
+"""Unit tests for plans/timeseries_ops (SCD-2 history, gap-fill,
+prior-window z-score, EWMA, histogram) — hand-built frames with known
+answers plus independent-evaluator cross-checks (pandas ewm for the
+EWMA recurrence). DuckDB hash parity is covered by the module ORACLE
+entries (round-6 gate queue; checked locally via the same harness the
+driver runs)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.plans.timeseries_ops import (
+    EWMA_ALPHA,
+    HIST_BUCKETS,
+    HIST_WIDTH,
+    ZSCORE_MIN_PRIOR,
+    ewma,
+    hourly_gapfill,
+    running_zscore,
+    state_history,
+    value_histogram_of,
+)
+
+COLS = "event_id long, user_id long, event_type string, us long, cents long"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], COLS
+    )
+
+
+H = 3_600_000_000  # microseconds per hour
+
+
+def test_state_history_collapses_runs_and_closes_intervals(spark):
+    rows = [
+        # user 1: view view click view  -> 3 runs
+        (1, 1, "view", 100, 0),
+        (2, 1, "view", 200, 0),
+        (3, 1, "click", 300, 0),
+        (4, 1, "view", 400, 0),
+        # user 2: single event -> one open run
+        (5, 2, "buy", 50, 0),
+    ]
+    out = state_history(_ev(spark, rows)).orderBy("user_id", "run_id")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        (1, 1, "view", 100, 300, 2),
+        (1, 2, "click", 300, 400, 1),
+        (1, 3, "view", 400, None, 1),
+        (2, 1, "buy", 50, None, 1),
+    ]
+
+
+def test_state_history_intervals_partition_each_users_timeline(spark):
+    # consecutive rows chain: valid_to == next valid_from, final NULL
+    rows = [
+        (i, 7, t, i * 10, 0)
+        for i, t in enumerate(["a", "a", "b", "b", "b", "a", "c"], 1)
+    ]
+    out = (
+        state_history(_ev(spark, rows))
+        .orderBy("run_id")
+        .collect()
+    )
+    assert [r.state for r in out] == ["a", "b", "a", "c"]
+    for prev, nxt in zip(out, out[1:]):
+        assert prev.valid_to_us == nxt.valid_from_us
+    assert out[-1].valid_to_us is None
+    assert sum(r.n_events for r in out) == len(rows)
+
+
+def test_hourly_gapfill_fills_and_carries_forward(spark):
+    rows = [
+        (1, 1, "x", 0 * H + 5, 100),     # hour 0
+        (2, 1, "x", 0 * H + 6, 50),      # hour 0
+        (3, 1, "x", 3 * H + 1, 700),     # hour 3 (hours 1-2 are gaps)
+    ]
+    out = hourly_gapfill(_ev(spark, rows)).orderBy("hour_es")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        (1, 0, 2, 150, 150, False),
+        (1, 3600, 0, None, 150, True),
+        (1, 7200, 0, None, 150, True),
+        (1, 10800, 1, 700, 700, False),
+    ]
+
+
+def test_hourly_gapfill_spine_is_per_user(spark):
+    rows = [
+        (1, 1, "x", 0 * H, 10),
+        (2, 1, "x", 2 * H, 20),
+        (3, 2, "x", 5 * H, 30),   # user 2 spans one hour only
+    ]
+    out = hourly_gapfill(_ev(spark, rows))
+    per_user = {
+        r.user_id: r.n_hours
+        for r in out.groupBy("user_id").agg(
+            F.count("*").alias("n_hours")
+        ).collect()
+    }
+    assert per_user == {1: 3, 2: 1}
+
+
+def test_running_zscore_matches_brute_force(spark):
+    # deterministic-but-wiggly series for one user
+    vals = [100, 120, 80, 110, 90, 105, 5000, 95, 100, 102]
+    rows = [(i, 1, "x", i * 1000, v) for i, v in enumerate(vals, 1)]
+    out = {
+        r.event_id: r
+        for r in running_zscore(_ev(spark, rows)).collect()
+    }
+    for i in range(1, len(vals) + 1):
+        prior = vals[: i - 1]
+        r = out[i]
+        assert r.n_prior == len(prior)
+        if len(prior) < ZSCORE_MIN_PRIOR:
+            assert r.z is None and r.is_anomaly is False
+            continue
+        mean = sum(prior) / len(prior)
+        var = sum((v - mean) ** 2 for v in prior) / (len(prior) - 1)
+        z = (vals[i - 1] - mean) / math.sqrt(var)
+        assert r.z == pytest.approx(z, abs=2e-6)
+        assert r.is_anomaly == (abs(z) > 2.0)
+    # the 5000 spike must flag
+    assert out[7].is_anomaly
+
+
+def test_running_zscore_null_on_zero_variance(spark):
+    rows = [(i, 1, "x", i * 1000, 100) for i in range(1, 9)]
+    out = running_zscore(_ev(spark, rows)).collect()
+    assert all(r.z is None and r.is_anomaly is False for r in out)
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    vals = [100, 120, 80, 110, 90, 105, 50, 95]
+    rows = [(i, 1, "x", i * 1000, v) for i, v in enumerate(vals, 1)]
+    out = (
+        ewma(_ev(spark, rows))
+        .orderBy("event_id")
+        .select("ewma_cents")
+        .collect()
+    )
+    expect = (
+        pd.Series(vals, dtype="float64")
+        .ewm(alpha=EWMA_ALPHA, adjust=False)
+        .mean()
+    )
+    for got, want in zip(out, expect):
+        assert got.ewma_cents == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_ewma_is_per_user_and_ordered_by_time(spark):
+    # interleaved users; out-of-order input rows
+    rows = [
+        (4, 2, "x", 400, 200),
+        (1, 1, "x", 100, 100),
+        (3, 1, "x", 300, 50),
+        (2, 2, "x", 200, 100),
+    ]
+    out = {
+        (r.user_id, r.event_id): r.ewma_cents
+        for r in ewma(_ev(spark, rows)).collect()
+    }
+    assert out[(1, 1)] == 100.0
+    assert out[(1, 3)] == pytest.approx(0.25 * 50 + 0.75 * 100)
+    assert out[(2, 2)] == 100.0               # earlier ts than event 4
+    assert out[(2, 4)] == pytest.approx(0.25 * 200 + 0.75 * 100)
+
+
+def test_value_histogram_buckets_and_clamps(spark):
+    rows = [
+        (1, 1, "a", 0, 0),          # bucket 0 ([0, 20))
+        (2, 1, "a", 0, 1999),       # bucket 0 (19.99)
+        (3, 1, "a", 0, 2000),       # bucket 1 (exactly 20.00)
+        (4, 1, "a", 0, -500),       # clamps into bucket 0
+        (5, 1, "a", 0, 99_999_900), # clamps into the last bucket
+    ]
+    out = {
+        (r.event_type, r.bucket): (r.lo, r.hi, r.n)
+        for r in value_histogram_of(_ev(spark, rows)).collect()
+    }
+    assert out[("a", 0)] == (0, HIST_WIDTH, 3)
+    assert out[("a", 1)] == (HIST_WIDTH, 2 * HIST_WIDTH, 1)
+    last = HIST_BUCKETS - 1
+    assert out[("a", last)] == (last * HIST_WIDTH, HIST_BUCKETS * HIST_WIDTH, 1)
