@@ -534,3 +534,72 @@ def jaccard_verify(
     return out.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def triangle_stats(edges: DataFrame,
+                   a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """GRAPH STATISTICS of an undirected edge list (canonical a < b,
+    duplicates tolerated): node/edge counts, wedge (open-triple)
+    count, triangle count, and the global clustering coefficient
+    3·T/W — the structural summary a dedup pipeline reads off its
+    similarity graph (near-clique components ⇒ true duplicate sets;
+    low clustering ⇒ chains of borderline matches that transitive
+    closure would over-merge).
+
+    Triangle counting uses DEGREE-ORDERED ORIENTATION (the standard
+    distributed algorithm — e.g. Suri & Vassilvitskii's MR-count):
+    each edge is directed from its lower-(degree, id) endpoint to the
+    higher, wedges are enumerated only at each triangle's minimum
+    vertex, and every out-degree is O(√m) — so the wedge join's
+    fan-out is bounded regardless of hub skew, where naive id-ordered
+    orientation lets one low-id hub generate deg² wedge candidates.
+    Plan: two self-joins on node keys (wedge build, then closing-edge
+    semi join) plus one degree aggregation — no cartesian anywhere.
+
+    Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_coeff)."""
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)   # reused 4× below
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    # orient: src = endpoint with smaller (deg, id)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    keyed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    # wedges at the minimum vertex: pairs of out-neighbors of src
+    o1 = oriented.select("src", F.col("dst").alias("v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"))
+    wedge = o1.join(o2, "src").where(F.col("v") < F.col("w")).select(
+        F.col("v").alias("a"), F.col("w").alias("b")
+    )
+    tri = wedge.join(e, ["a", "b"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    summary = e.agg(F.count("*").alias("n_edges")).join(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) / 2")).cast("long")
+             .alias("n_wedges"),
+        )
+    ).join(tri)
+    return summary.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+    )

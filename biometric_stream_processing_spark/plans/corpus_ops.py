@@ -215,6 +215,128 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+#: bigram-LM interpolation weight: score = ln(λ·p_bi + (1−λ)·p_uni)
+BIGRAM_LAMBDA = 0.5
+#: posting-list preview length in ``term_posting_lists``
+POSTINGS_K = 8
+
+
+def bigram_logprob(df: DataFrame) -> DataFrame:
+    """BIGRAM-LM quality scoring with unigram interpolation — the
+    next step up from ``unigram_logprob``: each in-document bigram
+    (v, w) scores ln(λ·c(v,w)/c(v) + (1−λ)·c(w)/N) under the corpus
+    model, and a document reports the mean over its bigrams. The
+    interpolation term makes unseen-bigram smoothing explicit (here
+    every probe bigram exists in the model because the corpus IS the
+    model — the λ-mix is still the right functional form, and it
+    keeps the operator correct when scoring a held-out split against
+    a train-split model).
+
+    Cross-engine determinism: probabilities are ratios of exact
+    BIGINT counts; each bigram's log-prob rounds to 6 dp before the
+    exact-DECIMAL per-doc sum (the ``unigram_logprob`` recipe).
+
+    Scale: the (prev, cur) explode is localCheckpointed once and
+    feeds BOTH the bigram-count aggregation and the per-doc probe;
+    the model re-joins as broadcasts (bigram vocab ≪ corpus; hot
+    bigrams are single pre-aggregated rows). Documents with fewer
+    than 2 words emit no row. ROUND-6 GATE QUEUE (round-5 prefix
+    full; see ``__spark_entry__.queries``)."""
+    ws = words(F.col("text"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("prev"),
+            F.element_at(ws, i + 1).alias("cur"),
+        ),
+    )
+    bigrams = (
+        df.where(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bg).alias("_b"))
+        .select("doc_id", "_b.prev", "_b.cur")
+        .localCheckpoint(eager=False)
+    )
+    tok = df.select(F.explode(ws).alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("_cw"))
+    total = uni.agg(F.sum("_cw").cast("double").alias("_n"))
+    bi = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("_cvw"))
+    lam = BIGRAM_LAMBDA
+    model = (
+        bi.join(F.broadcast(uni.select(F.col("word").alias("prev"),
+                                       F.col("_cw").alias("_cv"))), "prev")
+        .join(F.broadcast(uni.select(F.col("word").alias("cur"),
+                                     F.col("_cw").alias("_cc"))), "cur")
+        .join(F.broadcast(total))
+        .select(
+            "prev", "cur",
+            F.round(
+                F.log(
+                    lam * F.col("_cvw") / F.col("_cv")
+                    + (1 - lam) * F.col("_cc") / F.col("_n")
+                ), 6
+            ).alias("_lp"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("_lp").cast("decimal(28,10)")).cast("double")
+             .alias("_sum_lp"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("_sum_lp") / F.col("n_bigrams"), 6)
+             .alias("avg_logprob"),
+        )
+    )
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def posting_lists(df: DataFrame, k: int = POSTINGS_K) -> DataFrame:
+    """INVERTED-INDEX build: per term, the document frequency and the
+    first ``k`` postings (smallest doc_ids, CSV for cross-engine hash
+    parity) — the search/retrieval index a corpus serves term lookups
+    from. The full production index materializes the complete sorted
+    posting list sharded by term; this query caps the emitted preview
+    at ``k`` so the OUTPUT stays bounded while ``df`` still reports
+    the true list length.
+
+    Plan: one (word, doc_id) distinct shuffle, a same-key window
+    (row_number caps the preview BEFORE any collect — per-group state
+    is O(k), never O(df)), and a same-key final aggregation — Catalyst
+    reuses the hash partitioning across all three, so the term key
+    shuffles exactly once. Hot terms (stopwords) are the skew story:
+    their distinct-pair sets split across partitions in the distinct's
+    partial aggregation, and the capped collect bounds driver-visible
+    state. ROUND-6 GATE QUEUE (round-5 prefix full)."""
+    pairs = df.select(
+        F.explode(words(F.col("text"))).alias("word"), "doc_id"
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("word").orderBy("doc_id")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= k, F.col("doc_id"))
+                )
+            ), ","
+        ).alias("postings_csv"),
+    )
+
+
+def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return posting_lists(_docs(spark, sf_dir))
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAVY HITTERS over the corpus vocabulary via Spark 4's
     ``approx_top_k`` (SpaceSaving-family sketch): one-pass frequent
@@ -300,6 +422,56 @@ ORACLE_HEAVY_HITTERS = f"""
 
 ORACLE = {
     "corpus_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    # ROUND-6 GATE QUEUE (queries not registered yet — prefix full)
+    "doc_bigram_logprob": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> {{'prev': ws[i], 'cur': ws[i+1]}})) AS b
+          FROM d WHERE len(ws) >= 2
+        ), bigrams AS (
+          SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg
+        ), tok AS (
+          SELECT unnest({_WS}) AS word FROM documents
+        ), uni AS (
+          SELECT word, count(*) AS cw FROM tok GROUP BY word
+        ), t AS (SELECT sum(cw)::DOUBLE AS n FROM uni),
+        bi AS (
+          SELECT prev, cur, count(*) AS cvw
+          FROM bigrams GROUP BY prev, cur
+        ), model AS (
+          SELECT bi.prev, bi.cur,
+                 round(ln({BIGRAM_LAMBDA} * bi.cvw / uv.cw
+                          + {1 - BIGRAM_LAMBDA} * uc.cw / t.n), 6) AS lp
+          FROM bi
+          JOIN uni uv ON bi.prev = uv.word
+          JOIN uni uc ON bi.cur = uc.word
+          CROSS JOIN t
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_logprob
+        FROM bigrams JOIN model USING (prev, cur)
+        GROUP BY doc_id
+    """,
+    "term_posting_lists": f"""
+        WITH pairs AS (
+          SELECT DISTINCT word, doc_id FROM (
+            SELECT unnest({_WS}) AS word, doc_id FROM documents
+          )
+        ), ranked AS (
+          SELECT word, doc_id,
+                 row_number() OVER (PARTITION BY word ORDER BY doc_id)
+                   AS rn
+          FROM pairs
+        )
+        SELECT word, count(*) AS df,
+               array_to_string(
+                 list_sort(list(doc_id) FILTER (WHERE rn <= {POSTINGS_K})),
+                 ',') AS postings_csv
+        FROM ranked GROUP BY word
+    """,
     "corpus_vocab_topk": f"""
         WITH tok AS (
           SELECT doc_id, unnest({_WS}) AS word FROM documents

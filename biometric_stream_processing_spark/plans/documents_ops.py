@@ -716,6 +716,26 @@ def cross_modal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural summary of the verified near-dup SIMILARITY GRAPH
+    (operators/dedup.triangle_stats over the bigram-Jaccard LSH
+    pairs): node/edge/wedge/triangle counts and the global clustering
+    coefficient. High clustering says the pair graph is a union of
+    near-cliques — transitive closure (``near_dup_clusters``) merges
+    true duplicate sets; low clustering warns of borderline-match
+    chains where closure over-merges. Triangle counting is
+    degree-ordered-oriented (O(√m) out-degree bound — see the
+    operator docstring); the oracle recounts via the naive ordered
+    three-way self-join, so the skew-safe plan is verified against
+    the textbook definition. ROUND-6 GATE QUEUE (round-5 prefix
+    full; see ``__spark_entry__.queries``)."""
+    from ..operators.dedup import triangle_stats
+
+    return triangle_stats(
+        ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
+    )
+
+
 WSAMPLE_CAP = 600              # weighted sample: P(doc) = n_chars/600
 MIX_TARGETS = {"src0": 10, "src1": 5, "src2": 3}   # curriculum quotas
 MIX_DEFAULT_N = 2              # quota for sources not named above
@@ -1435,6 +1455,34 @@ ORACLE["cross_modal_dup_agreement"] = f"""
            ON p.id_a = ca.vec_id
     LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) cb
            ON p.id_b = cb.vec_id
+"""
+
+# Graph-stats twin: the NAIVE textbook definitions — ordered 3-way
+# self-join triangles, degree-sum wedges — against the degree-ordered
+# oriented Spark plan. ROUND-6 GATE QUEUE.
+ORACLE["dup_graph_stats"] = f"""
+    WITH e AS (
+      SELECT id_a AS a, id_b AS b
+      FROM ({ORACLE["ngram_jaccard_dups"]}) _pg
+    ), deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY node
+    ), s AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+              FROM deg) AS n_wedges,
+             (SELECT count(*)
+              FROM e e1
+              JOIN e e2 ON e1.a = e2.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM s
 """
 
 # Budget-selection twin: the SINGLE-WINDOW form of the running total

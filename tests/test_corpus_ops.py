@@ -150,3 +150,61 @@ def test_heavy_hitters_sketch_contains_exact_top(spark):
     assert len(rows) == HH_EXACT_J
     assert all(r.in_sketch for r in rows)
     assert all(r.tf > 0 for r in rows)
+
+
+# ------------------------------------------------ bigram LM / postings
+
+def test_bigram_logprob_tiny_corpus_exact(spark):
+    """Hand-computed interpolated bigram scores on a 2-doc corpus."""
+    import math
+
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        BIGRAM_LAMBDA,
+        bigram_logprob,
+    )
+    # corpus: doc0 = "a b a", doc1 = "b a"
+    # unigrams: a=3, b=2, N=5
+    # bigrams: (a,b)=1, (b,a)=2
+    # c(prev): a=3, b=2
+    lam = BIGRAM_LAMBDA
+    lp_ab = round(math.log(lam * 1 / 3 + (1 - lam) * 2 / 5), 6)
+    lp_ba = round(math.log(lam * 2 / 2 + (1 - lam) * 3 / 5), 6)
+    df = _docs(spark, ["a b a", "b a"])
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert rows[0].n_bigrams == 2
+    assert rows[0].avg_logprob == round((lp_ab + lp_ba) / 2, 6)
+    assert rows[1].n_bigrams == 1
+    assert rows[1].avg_logprob == lp_ba
+
+
+def test_bigram_logprob_skips_short_docs(spark):
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        bigram_logprob,
+    )
+
+    df = _docs(spark, ["solo", "", "x y"])
+    rows = {r.doc_id for r in bigram_logprob(df).collect()}
+    assert rows == {2}
+
+
+def test_posting_lists_df_and_capped_preview(spark):
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        posting_lists,
+    )
+
+    df = _docs(spark, ["w"] * 5 + ["rare w"])  # rare only in doc 5
+    out = {r.word: r for r in posting_lists(df, k=3).collect()}
+    assert out["w"].df == 6
+    assert out["w"].postings_csv == "0,1,2"   # smallest 3 of 6
+    assert out["rare"].df == 1
+    assert out["rare"].postings_csv == "5"
+
+
+def test_posting_lists_distinct_within_doc(spark):
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        posting_lists,
+    )
+
+    df = _docs(spark, ["dup dup dup"])
+    out = posting_lists(df, k=5).collect()
+    assert [(r.word, r.df, r.postings_csv) for r in out] == [("dup", 1, "0")]

@@ -1,0 +1,88 @@
+"""Tests for operators/dedup.triangle_stats — hand graphs with known
+triangle/wedge counts, a brute-force cross-check on pseudo-random
+graphs, and the hub-skew case the degree-ordered orientation exists
+for."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+from biometric_stream_processing_spark.operators.dedup import triangle_stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long"
+    )
+
+
+def _brute(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = {n for e in es for n in e}
+    deg = {n: sum(n in e for e in es) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    return len(nodes), len(es), wedges, tris
+
+
+def _check(spark, pairs):
+    row = triangle_stats(_edges(spark, pairs)).collect()[0]
+    n, e, w, t = _brute(pairs)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n, e, w, t
+    ), (pairs, tuple(row))
+    if w:
+        assert row.clustering_coeff == round(3 * t / w, 6)
+    else:
+        assert row.clustering_coeff == 0.0
+
+
+def test_single_triangle(spark):
+    row = triangle_stats(_edges(spark, [(1, 2), (1, 3), (2, 3)])).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        3, 3, 3, 1
+    )
+    assert row.clustering_coeff == 1.0
+
+
+def test_square_has_no_triangles(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+
+
+def test_star_hub_counts_wedges_not_triangles(spark):
+    # hub 0 with 6 leaves: 15 wedges, 0 triangles — the shape where a
+    # low-id hub would explode naive id-ordered wedge generation
+    _check(spark, [(0, i) for i in range(1, 7)])
+
+
+def test_clique_k5(spark):
+    _check(spark, list(combinations(range(5), 2)))
+
+
+def test_hub_plus_rim_triangles(spark):
+    # wheel: hub 0 to rim 1..5 plus the rim cycle -> 5 triangles
+    rim = [(i, i + 1) for i in range(1, 5)] + [(1, 5)]
+    _check(spark, [(0, i) for i in range(1, 6)] + rim)
+
+
+def test_duplicate_and_unordered_edges_are_canonicalized(spark):
+    # triangle given with duplicates; also reversed-order rows are
+    # dropped by the a<b filter (inputs are contractually canonical,
+    # duplicates tolerated)
+    _check(spark, [(1, 2), (1, 2), (1, 3), (2, 3), (2, 3)])
+
+
+def test_pseudo_random_graphs_match_brute_force(spark):
+    # deterministic md5-derived edge sets, a few densities
+    for seed in ("g1", "g2", "g3"):
+        pairs = []
+        for a, b in combinations(range(12), 2):
+            h = hashlib.md5(f"{seed}:{a}:{b}".encode()).digest()[0]
+            if h < 80:  # ~31% density
+                pairs.append((a, b))
+        _check(spark, pairs)

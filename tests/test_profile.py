@@ -1,0 +1,34 @@
+"""Tests for the analytics column profiler (orders_profile)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from biometric_stream_processing_spark.plans.analytics import orders_profile
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_orders_profile_matches_independent_counts(spark):
+    rows = {r.col_name: r for r in orders_profile(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    con = duckdb.connect()
+    n, nd_key, nd_status, mn_price, mx_price = con.execute(
+        f"""SELECT count(*), count(DISTINCT o_orderkey),
+                   count(DISTINCT o_orderstatus),
+                   min(o_totalprice), max(o_totalprice)
+            FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchone()
+    assert rows["o_orderkey"].n_distinct == nd_key == n
+    assert rows["o_orderkey"].n_null == 0
+    assert rows["o_orderstatus"].n_distinct == nd_status
+    assert rows["o_totalprice"].min_num == mn_price
+    assert rows["o_totalprice"].max_num == mx_price
+    # typed slots: strings only for varchar columns, nums for the rest
+    assert rows["o_orderstatus"].min_num is None
+    assert rows["o_orderstatus"].min_str is not None
+    assert rows["o_orderdate"].min_num is not None   # epoch seconds
+    assert rows["o_orderdate"].min_str is None
