@@ -193,6 +193,10 @@ def oracle_sql() -> dict[str, str]:
     # exposing them here keeps one definition per oracle and lets the
     # local gate harness (tools/check_oracle.py --queued) verify them.
     o.update(timeseries_ops.ORACLE)
+    # streaming z-score twin shares the batch prior-window oracle
+    # (kernel sorts by (us, event_id); single-batch source ⇒ the
+    # absorption order equals the batch window's total order)
+    o["streaming_anomalies"] = timeseries_ops.ORACLE["running_zscore_flags"]
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly

@@ -896,6 +896,39 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user Z-SCORE ANOMALY flags — the streaming twin
+    of ``plans/timeseries_ops.running_zscore_flags``, whose DuckDB
+    oracle it shares: every reading scored against the mean/stddev of
+    that user's strictly-prior readings, held in THREE LONGS of keyed
+    state (``state.zscore_stream``). With the single-file source the
+    whole table is one micro-batch and the kernel's (us, event_id)
+    sort makes the absorption order equal the batch window's total
+    order, so the emission equals the batch relation exactly;
+    cross-batch running-state cadence and the late-drop contract are
+    golden-tested in test_streaming_zscore.py.
+
+    NOTE (gate registration): ROUND-6 GATE QUEUE — implemented and
+    oracled in round 5; the round-5 verdict-bearing prefix is full,
+    so this registers in round 6's front block."""
+    import os
+    import uuid
+
+    from ..plans.timeseries_ops import ZSCORE_MIN_PRIOR, ZSCORE_THRESHOLD
+    from .state import zscore_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = zscore_stream(src, ZSCORE_MIN_PRIOR, ZSCORE_THRESHOLD)
+        name = "zsc_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_zsc_"))
+    return out
+
+
 def dedup_registry_merge(
     src: DataFrame, checkpoint_dir: str
 ) -> dict[str, tuple[int, int]]:

@@ -27,6 +27,7 @@ in/out; keys are independent → scales with shuffle partitions.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -387,4 +388,103 @@ def alerts_stream_leading(
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, us long, n_prior long, z_raw double"
+)
+ZSCORE_STATE_SCHEMA = "n long, s long, s2 long"
+
+
+def zscore_fn(min_prior: int):
+    """Per-key stateful function for ``zscore_stream``: running
+    prior-window anomaly scoring with THREE LONGS of state per user —
+    count, Σcents, Σcents² of everything already absorbed. Each
+    admissible reading is scored against the state BEFORE absorbing
+    it (strictly-prior semantics — no look-ahead), which is exactly
+    the batch twin's ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frame
+    (``plans/timeseries_ops.running_zscore``).
+
+    Exactness contract (same as the funnel machine): watermark delay
+    0 drops cross-batch late arrivals (F6/W4), and the processor
+    sorts within a batch by (us, event_id) — so the absorption order
+    equals the batch total order. z is emitted RAW; the engine-side
+    ``F.round(…, 6)`` in the wrapper keeps rounding identical to the
+    batch plan and the DuckDB oracle (Python's round() is half-even —
+    the WAV-decode rounding lesson)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s, s2 = state.get if state.exists else (0, 0, 0)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for us, eid, cents in zip(
+                pdf["tus"], pdf["event_id"], pdf["cents"]
+            ):
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid), int(cents)))
+        rows.sort()
+
+        out = []
+        for us, eid, cents in rows:
+            z = None
+            if n >= min_prior:
+                var = (s2 - s * s / n) / (n - 1)
+                if var > 0:
+                    z = (cents - s / n) / math.sqrt(var)
+            out.append((eid, key[0], us, n, z))
+            n, s, s2 = n + 1, s + cents, s2 + cents * cents
+
+        state.update((n, s, s2))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "user_id", "us", "n_prior", "z_raw"],
+            )
+
+    return fn
+
+
+def zscore_stream(
+    events: DataFrame,
+    min_prior: int,
+    threshold: float,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-user z-score anomaly flags — the streaming twin
+    of ``plans/timeseries_ops.running_zscore_flags``, whose DuckDB
+    oracle it shares. O(1) state (count/Σ/Σ²), emission 1-to-1 with
+    admissible input rows."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    scored = keyed.groupBy("user_id").applyInPandasWithState(
+        zscore_fn(min_prior),
+        ZSCORE_OUTPUT_SCHEMA,
+        ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    zr = F.round(F.col("z_raw"), 6)
+    return scored.select(
+        "event_id", "user_id", "us", "n_prior",
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) > threshold, F.lit(False))
+         .alias("is_anomaly"),
     )
