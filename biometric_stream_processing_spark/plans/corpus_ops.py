@@ -306,14 +306,15 @@ def posting_lists(df: DataFrame, k: int = POSTINGS_K) -> DataFrame:
     at ``k`` so the OUTPUT stays bounded while ``df`` still reports
     the true list length.
 
-    Plan: one (word, doc_id) distinct shuffle, a same-key window
-    (row_number caps the preview BEFORE any collect — per-group state
-    is O(k), never O(df)), and a same-key final aggregation — Catalyst
-    reuses the hash partitioning across all three, so the term key
-    shuffles exactly once. Hot terms (stopwords) are the skew story:
-    their distinct-pair sets split across partitions in the distinct's
-    partial aggregation, and the capped collect bounds driver-visible
-    state. ROUND-6 GATE QUEUE (round-5 prefix full)."""
+    Plan: the (word, doc_id) distinct shuffles once on the pair key
+    WITH map-side partial dedup (each input split contributes its
+    distinct pairs, not its token stream — the hot-stopword volume
+    guard), then the globally-distinct pairs shuffle once more on the
+    term key, where the window (row_number caps the preview BEFORE
+    any collect — per-group state is O(k), never O(df)) and the final
+    aggregation share the partitioning. Two shuffles total, the
+    second over the already-deduplicated relation. ROUND-6 GATE QUEUE
+    (round-5 prefix full)."""
     pairs = df.select(
         F.explode(words(F.col("text"))).alias("word"), "doc_id"
     ).distinct()

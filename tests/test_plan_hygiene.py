@@ -283,3 +283,107 @@ def test_absence_antijoin_shuffles_on_user_id_only(spark):
     assert "CartesianProduct" not in p
     parts = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
     assert all("user_id" in l or "_ru" in l for l in parts), parts
+
+
+def _shuffles(p: str) -> list[str]:
+    """Detail-section shuffle exchanges (skip broadcasts + reuses)."""
+    out = []
+    lines = p.splitlines()
+    for i, l in enumerate(lines):
+        ls = l.strip()
+        if ls.startswith("(") and ls.endswith(" Exchange"):
+            args = next(
+                (x for x in lines[i:i + 6] if "Arguments:" in x), ""
+            )
+            out.append(args.strip())
+    return out
+
+
+def test_timeseries_windows_share_one_user_exchange(spark):
+    """SCD-2 history and the z-score scorer run lag/sum/lead windows
+    and a grouped agg off a SINGLE user_id hash exchange — and no
+    operator ever degrades to a global single-partition window."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+
+    for fn in (timeseries_ops.user_state_history,
+               timeseries_ops.running_zscore_flags):
+        p = _plan(fn(spark, SF_DIR))
+        sh = _shuffles(p)
+        assert len(sh) == 1, (fn.__name__, sh)
+        assert "user_id" in sh[0]
+        assert "SinglePartition" not in p
+
+
+def test_gapfill_forward_fill_reuses_join_partitioning(spark):
+    """The spine explode rides the per-user span aggregation and the
+    forward-fill window reuses the join's user partitioning — two
+    keyed shuffles total ((user, hour) aggregate + user span), no
+    extra exchange for the window, no single-partition stage."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+
+    p = _plan(timeseries_ops.user_hourly_gapfill(spark, SF_DIR))
+    assert len(_shuffles(p)) <= 2, _shuffles(p)
+    assert "SinglePartition" not in p
+    assert "Cartesian" not in p
+
+
+def test_posting_lists_two_shuffles_dedup_before_term_key(spark):
+    """Inverted-index build: shuffle 1 is the (word, doc_id) distinct
+    (map-side partial dedup guards stopword volume), shuffle 2 moves
+    the already-distinct pairs to the term key where window + agg
+    share partitioning."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.term_posting_lists(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 2, sh
+    assert "word" in sh[0] and "doc_id" in sh[0]   # pair-key dedup
+    assert "word" in sh[1] and "doc_id" not in sh[1]  # term key
+    assert "HashAggregate" in p  # partial dedup exists
+
+
+def test_bigram_model_joins_broadcast(spark):
+    """The bigram-LM model must re-join the probe as broadcasts (the
+    vocabulary is MB-scale at any corpus size); the only nested-loop
+    is the 1-row corpus-total scalar join."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_bigram_logprob(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "Cartesian" not in p
+
+
+def test_orders_profile_single_scan_multi_distinct_expand(spark):
+    """The 24-statistic profile must come from ONE pass over orders:
+    a single parquet scan feeding the multi-countDistinct Expand."""
+    from biometric_stream_processing_spark.plans import analytics
+
+    p = _plan(analytics.orders_profile(spark, SF_DIR))
+    detail_scans = [l for l in p.splitlines()
+                    if l.strip().startswith("(1) Scan parquet")]
+    assert p.count("Scan parquet") == 2  # tree + detail of ONE scan
+    assert detail_scans, p
+    assert "Expand" in p
+
+
+def test_triangle_stats_no_cartesian_wedge_join(spark):
+    """Degree-ordered triangle counting: wedge build and closing-edge
+    joins must be keyed (hash/SMJ) — never a cartesian expansion."""
+    from pyspark.sql import functions as F
+
+    from biometric_stream_processing_spark.operators.dedup import (
+        triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "id_a long, id_b long"
+    )
+    p = _plan(triangle_stats(edges))
+    assert "Cartesian" not in p
+    # the three scalar-summary combines are 1-row×1-row nested loops;
+    # the wedge and closing-edge joins themselves must be equi-joins
+    joins = [l for l in p.splitlines() if "Join Inner" in l
+             or "SortMergeJoin" in l or "ShuffledHashJoin" in l
+             or "BroadcastHashJoin" in l]
+    assert any("HashJoin" in l or "SortMergeJoin" in l for l in joins), p
