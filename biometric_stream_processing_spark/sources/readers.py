@@ -88,3 +88,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the SQL surface."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The canonical schema for a test table (post-normalization) —
+    the single registry both wire-format readers parse against."""
+    return load_table(spark, sf_dir, name).schema
+
+
+def load_jsonl(
+    spark: SparkSession, path: str, schema, strict: bool = False
+) -> DataFrame:
+    """JSON-lines ingestion with an EXPLICIT schema — the batch twin
+    of the reference's JSON source (P1/P2,
+    `BiometricAlertStreamProcessor.scala:17-23` strict parse vs the
+    permissive variant): ``strict=True`` is FAILFAST (any malformed
+    record aborts — the reference's throwing deserializer),
+    ``strict=False`` is PERMISSIVE (malformed records surface as
+    all-null rows; unknown keys are dropped by the schema
+    projection). Always pass the schema: inference double-scans the
+    input and types drift run-to-run — both unacceptable at 100 TB."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .json(path)
+    )
+
+
+def load_csv(
+    spark: SparkSession, path: str, schema, strict: bool = False
+) -> DataFrame:
+    """Headered CSV ingestion with an explicit schema; same
+    strict/permissive contract as ``load_jsonl``."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .csv(path)
+    )

@@ -1,0 +1,67 @@
+"""Batch sinks: partitioned parquet layouts and BUCKETED tables —
+the write-side half of the engine's scale story. The reference only
+ever sinks to console/Kafka (`BiometricAlertStreamProcessor.scala:60`,
+`KafkaBiometricAlertStreamProcessor.scala:112-121`; streaming twins in
+``streaming/sinks.py``); a batch analytics engine additionally needs
+durable columnar output shaped for the NEXT job:
+
+* ``write_partitioned`` — hive-style ``col=value`` directory layout;
+  a downstream filter on the partition column prunes whole
+  directories before any IO (partition pruning — the batch analogue
+  of predicate pushdown, asserted in tests/test_writers.py).
+* ``write_bucketed_table`` — pre-shuffled, per-bucket-sorted layout
+  registered in the session catalog. Two tables bucketed the same way
+  join WITHOUT ANY EXCHANGE: the shuffle was paid once at write time
+  and amortizes over every subsequent join/aggregation on the bucket
+  key — at 100 TB this is the difference between re-shuffling the
+  fact table per query and never shuffling it again. The no-shuffle
+  join plan is CI-pinned.
+
+Bucket-count sizing at scale: buckets are the unit of join
+parallelism AND the per-file row-group target — pick
+``n_buckets ≈ table_bytes / (0.5-1 GiB)`` so bucket files stay in the
+optimal parquet range; too few buckets caps parallelism, too many
+produces small-file pressure on the namenode/listing path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet: one directory per distinct
+    partition-column tuple. Low-cardinality columns only (each value
+    is a directory) — date/source/lang, never a key column."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed+sorted managed table in the session
+    catalog. ``bucketBy`` requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the files); sorting within buckets makes
+    downstream merge joins scan-ordered."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucketed metadata intact — a plain
+    ``spark.read.parquet`` of the files would LOSE bucketing and
+    reintroduce the join shuffle)."""
+    return spark.table(table)

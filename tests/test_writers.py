@@ -1,0 +1,126 @@
+"""Tests for the batch write/ingest surface (sources/writers.py,
+readers.load_jsonl/load_csv): wire-format round-trips, the
+strict/permissive P2 contract, partition pruning on partitioned
+output, and the bucketed-table NO-SHUFFLE join — the write-side scale
+guarantees, CI-pinned."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.sources.readers import (
+    load_csv,
+    load_jsonl,
+    load_table,
+    table_schema,
+)
+from biometric_stream_processing_spark.sources.writers import (
+    read_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+from tests.test_streaming import tmpdir  # noqa: F401
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_jsonl_round_trip_documents(spark, tmpdir):  # noqa: F811
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmpdir / "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = load_jsonl(
+        spark, path, table_schema(spark, SF_DIR, "documents")
+    )
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_round_trip_documents(spark, tmpdir):  # noqa: F811
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmpdir / "docs_csv")
+    docs.write.mode("overwrite").option("header", "true").csv(path)
+    back = load_csv(spark, path, table_schema(spark, SF_DIR, "documents"))
+    # empty-string documents read back NULL in CSV (the format cannot
+    # distinguish them) — normalize both sides for the compare
+    norm = lambda df: {  # noqa: E731
+        tuple(r) for r in df.withColumn(
+            "text", F.coalesce("text", F.lit(""))
+        ).collect()
+    }
+    assert norm(back) == norm(docs)
+
+
+def test_jsonl_permissive_nulls_malformed_strict_raises(spark, tmpdir):  # noqa: F811
+    path = str(tmpdir / "mixed_jsonl")
+    lines = spark.createDataFrame(
+        [('{"doc_id": 1, "text": "ok"}',), ("{not json at all",)],
+        "value string",
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    schema = "doc_id long, text string"
+    rows = load_jsonl(spark, path, schema).collect()
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} == {1, None}  # malformed → nulls
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        load_jsonl(spark, path, schema, strict=True).collect()
+
+
+def test_partitioned_write_prunes_directories(spark, tmpdir):  # noqa: F811
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmpdir / "docs_by_source")
+    write_partitioned(docs, path, ["source"])
+    back = spark.read.parquet(path)
+    one = back.where(F.col("source") == "src0")
+    p = _plan(one)
+    # the filter must land in PartitionFilters (directory pruning),
+    # not PushedFilters (row-group pruning)
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "source" in pf
+    want = docs.where(F.col("source") == "src0").count()
+    assert one.count() == want
+
+
+def test_bucketed_join_has_no_exchange(spark, tmpdir):  # noqa: F811
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO Exchange nodes — the write-time shuffle amortized."""
+    # managed tables land in the session's static warehouse dir; the
+    # finally-block DROP TABLE removes their data
+    docs = load_table(spark, SF_DIR, "documents")
+    write_bucketed_table(
+        spark, docs.select("doc_id", "source"), "bt_docs_meta",
+        "doc_id", 4,
+    )
+    write_bucketed_table(
+        spark, docs.select("doc_id", "n_chars"), "bt_docs_len",
+        "doc_id", 4,
+    )
+    try:
+        # disable broadcast so the join exercises the bucketed path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_table(spark, "bt_docs_meta").join(
+                read_table(spark, "bt_docs_len"), "doc_id"
+            )
+            p = _plan(j)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p, p
+            assert j.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs_meta")
+        spark.sql("DROP TABLE IF EXISTS bt_docs_len")
