@@ -736,6 +736,96 @@ def dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT CONTAMINATION MATRIX — the audit report behind the
+    decontamination cut (``decontaminated_train_docs`` removes train
+    docs; this measures ALL pairwise split overlap): for every split
+    pair (a < b), the number of distinct DECONTAM_N-gram hashes
+    present in both splits and the number of documents on each side
+    touching a shared gram. The table a curator reads to decide
+    whether held-out splits are actually held out.
+
+    Scale/skew: the gram relation is per-doc-distinct and
+    localCheckpointed once (the ``exact_decontaminate`` shape, built
+    inline — the shared helper stays untouched so parked gate entries
+    keep their fingerprints); every join below runs against the
+    PRE-AGGREGATED per-(gram, split) presence relation, ≤ |splits|
+    rows per gram — so a ubiquitous gram fans out 3×, never
+    docs². ROUND-6 GATE QUEUE (round-5 prefix full)."""
+    from ..operators.sampling import split_expr
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        split_expr(F.col("doc_id"), SPLIT_WEIGHTS).alias("_split"),
+        words(F.col("text")).alias("_ws"),
+    )
+    grams = (
+        toks.select(
+            "doc_id", "_split",
+            F.explode(shingles(F.col("_ws"), DECONTAM_N)).alias("_gs"),
+        )
+        .select("doc_id", "_split", F.md5("_gs").alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pres = grams.groupBy("_g", "_split").agg(F.count("*").alias("_nd"))
+    pa = pres.select("_g", F.col("_split").alias("split_a"))
+    pb = pres.select("_g", F.col("_split").alias("split_b"))
+    shared = (
+        pa.join(pb, "_g")
+        .where(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    other = pres.select("_g", F.col("_split").alias("_o"))
+    aff = (
+        grams.join(other, "_g")
+        .where(F.col("_split") != F.col("_o"))
+        .select("_split", "_o", "doc_id")
+        .distinct()
+        .groupBy("_split", "_o")
+        .agg(F.count("*").alias("_n_docs"))
+    )
+    aff_a = aff.select(
+        F.col("_split").alias("split_a"), F.col("_o").alias("split_b"),
+        F.col("_n_docs").alias("_da"),
+    )
+    aff_b = aff.select(
+        F.col("_o").alias("split_a"), F.col("_split").alias("split_b"),
+        F.col("_n_docs").alias("_db"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        shared.join(aff_a, ["split_a", "split_b"], "left")
+        .join(aff_b, ["split_a", "split_b"], "left")
+        .select(
+            "split_a", "split_b", "n_shared_grams",
+            F.coalesce("_da", zero).alias("docs_a_affected"),
+            F.coalesce("_db", zero).alias("docs_b_affected"),
+        )
+    )
+
+
+def above_median_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-THRESHOLD FILTER: documents strictly longer than their
+    source's exact median length — the groupwise-quantile cut every
+    quality pipeline runs ("drop the short half of source X"). The
+    per-source exact interpolated median aggregates once (sort-based
+    within each group) and re-joins as a broadcast — the corpus-
+    statistics broadcast-back shape (tfidf/unigram-LM); the fact side
+    never shuffles. Both engines interpolate medians of exact BIGINTs
+    identically. ROUND-6 GATE QUEUE (round-5 prefix full)."""
+    d = _docs(spark, sf_dir)
+    med = d.groupBy("source").agg(
+        F.percentile("n_chars", 0.5).alias("src_median")
+    )
+    return (
+        d.join(F.broadcast(med), "source")
+        .where(F.col("n_chars") > F.col("src_median"))
+        .select("doc_id", "source", "n_chars", "src_median")
+    )
+
+
 WSAMPLE_CAP = 600              # weighted sample: P(doc) = n_chars/600
 MIX_TARGETS = {"src0": 10, "src1": 5, "src2": 3}   # curriculum quotas
 MIX_DEFAULT_N = 2              # quota for sources not named above
@@ -1455,6 +1545,67 @@ ORACLE["cross_modal_dup_agreement"] = f"""
            ON p.id_a = ca.vec_id
     LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) cb
            ON p.id_b = cb.vec_id
+"""
+
+# Cross-split overlap twin: same split hash + gram explode, naive
+# joins over the presence relation. ROUND-6 GATE QUEUE.
+ORACLE["split_overlap_matrix"] = f"""
+    WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    h AS (
+      SELECT doc_id, ws,
+             substring(md5(doc_id::VARCHAR || ':split'), 1, 8) AS h
+      FROM d
+    ), s AS (
+      SELECT doc_id, ws,
+             CASE WHEN {_SPLIT_HASH} % 100 < {SPLIT_WEIGHTS["train"]}
+                    THEN 'train'
+                  WHEN {_SPLIT_HASH} % 100
+                       < {SPLIT_WEIGHTS["train"] + SPLIT_WEIGHTS["val"]}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    ), grams AS (
+      SELECT DISTINCT doc_id, split, gh FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(
+                 range(1, len(ws) - {DECONTAM_N - 2}),
+                 i -> md5(array_to_string(ws[i : i + {DECONTAM_N - 1}],
+                                          ' ')))) AS gh
+        FROM s WHERE len(ws) >= {DECONTAM_N}
+      )
+    ), pres AS (
+      SELECT gh, split, count(*) AS nd FROM grams GROUP BY gh, split
+    ), shared AS (
+      SELECT a.split AS split_a, b.split AS split_b,
+             count(*) AS n_shared_grams
+      FROM pres a JOIN pres b ON a.gh = b.gh AND a.split < b.split
+      GROUP BY 1, 2
+    ), aff AS (
+      SELECT g.split AS s, o.split AS o,
+             count(DISTINCT g.doc_id) AS n_docs
+      FROM grams g
+      JOIN (SELECT DISTINCT gh, split FROM pres) o
+        ON g.gh = o.gh AND g.split <> o.split
+      GROUP BY 1, 2
+    )
+    SELECT split_a, split_b, n_shared_grams,
+           CAST(coalesce(aa.n_docs, 0) AS BIGINT) AS docs_a_affected,
+           CAST(coalesce(ab.n_docs, 0) AS BIGINT) AS docs_b_affected
+    FROM shared
+    LEFT JOIN aff aa ON aa.s = split_a AND aa.o = split_b
+    LEFT JOIN aff ab ON ab.s = split_b AND ab.o = split_a
+"""
+
+# Groupwise-quantile filter twin: both engines interpolate the median
+# of exact BIGINTs identically. ROUND-6 GATE QUEUE.
+ORACLE["above_median_length_docs"] = """
+    WITH med AS (
+      SELECT source, median(n_chars) AS src_median
+      FROM documents GROUP BY source
+    )
+    SELECT doc_id, d.source, n_chars, src_median
+    FROM documents d JOIN med ON d.source = med.source
+    WHERE n_chars > src_median
 """
 
 # Graph-stats twin: the NAIVE textbook definitions — ordered 3-way

@@ -562,3 +562,59 @@ def test_mixture_sample_exact_quotas_and_determinism(spark):
     out2 = mixture_sample(df.repartition(7), {"s0": 7, "s1": 1}, 4)
     assert sorted(map(tuple, out1.collect())) == \
         sorted(map(tuple, out2.collect()))
+
+
+def test_split_overlap_matrix_invariants(spark):
+    """Pair rows are ordered and unique; affected-doc counts are
+    bounded by split sizes and consistent with gram sharing."""
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        doc_split_assignment,
+        split_overlap_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = split_overlap_matrix(spark, sf).collect()
+    pairs = [(r.split_a, r.split_b) for r in rows]
+    assert len(set(pairs)) == len(pairs)
+    assert all(a < b for a, b in pairs)
+    sizes = {
+        r.split: r.n
+        for r in doc_split_assignment(spark, sf)
+        .groupBy("split").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r.docs_a_affected <= sizes[r.split_a]
+        assert 0 <= r.docs_b_affected <= sizes[r.split_b]
+        # a shared gram touches ≥1 doc on each side, and vice versa
+        assert (r.n_shared_grams > 0) == (r.docs_a_affected > 0)
+        assert (r.n_shared_grams > 0) == (r.docs_b_affected > 0)
+
+
+def test_above_median_length_docs_is_strict_upper_half(spark):
+    import duckdb
+
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        above_median_length_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = above_median_length_docs(spark, sf).collect()
+    med = dict(duckdb.sql(
+        f"SELECT source, median(n_chars) FROM "
+        f"'{sf}/documents.parquet' GROUP BY source"
+    ).fetchall())
+    assert rows
+    for r in rows:
+        assert r.src_median == med[r.source]
+        assert r.n_chars > r.src_median
+    # strictly-above-median keeps at most half of each source
+    per_src_total = dict(duckdb.sql(
+        f"SELECT source, count(*) FROM "
+        f"'{sf}/documents.parquet' GROUP BY source"
+    ).fetchall())
+    from collections import Counter
+
+    kept = Counter(r.source for r in rows)
+    for src, n in kept.items():
+        assert n <= per_src_total[src] / 2
