@@ -338,6 +338,73 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posting_lists(_docs(spark, sf_dir))
 
 
+#: PMI collocations: minimum bigram count and emitted top-k
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(df: DataFrame, min_count: int = PMI_MIN_COUNT,
+                     k: int = PMI_TOP_K) -> DataFrame:
+    """COLLOCATION MINING via pointwise mutual information:
+    pmi(v, w) = ln( (c_vw / N_bi) / ((c_v / N_tok) · (c_w / N_tok)) )
+    over the corpus bigram/unigram counts — the phrase-detection pass
+    (word2vec's phrase step, "new york"-style merges) a tokenization
+    pipeline runs before vocabulary induction. Low-count bigrams are
+    PMI noise, so pairs below ``min_count`` are cut; output is the
+    top ``k`` by (pmi desc, prev, cur) — a deterministic total order.
+
+    Determinism: pmi is a single ln() over a ratio of exact BIGINT
+    counts, rounded to 6 dp (the idf recipe). Plan: the bigram and
+    unigram aggregations are the ``bigram_logprob`` shapes (explode →
+    partial-agged shuffle); count joins broadcast; the top-k is
+    TakeOrderedAndProject. ROUND-6 GATE QUEUE (round-5 prefix
+    full)."""
+    ws = words(F.col("text"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("prev"),
+            F.element_at(ws, i + 1).alias("cur"),
+        ),
+    )
+    bigrams = (
+        df.where(F.size(ws) >= 2)
+        .select(F.explode(bg).alias("_b"))
+        .select("_b.prev", "_b.cur")
+    )
+    tok = df.select(F.explode(ws).alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("_cw"))
+    n_tok = uni.agg(F.sum("_cw").cast("double").alias("_nt"))
+    bi = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("c_vw"))
+    n_bi = bi.agg(F.sum("c_vw").cast("double").alias("_nb"))
+    scored = (
+        bi.where(F.col("c_vw") >= min_count)
+        .join(F.broadcast(uni.select(F.col("word").alias("prev"),
+                                     F.col("_cw").alias("_cv"))), "prev")
+        .join(F.broadcast(uni.select(F.col("word").alias("cur"),
+                                     F.col("_cw").alias("_cc"))), "cur")
+        .join(F.broadcast(n_bi))
+        .join(F.broadcast(n_tok))
+        .select(
+            "prev", "cur", "c_vw",
+            F.round(
+                F.log(
+                    (F.col("c_vw") / F.col("_nb"))
+                    / ((F.col("_cv") / F.col("_nt"))
+                       * (F.col("_cc") / F.col("_nt")))
+                ), 6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("prev"), F.asc("cur")
+    ).limit(k)
+
+
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAVY HITTERS over the corpus vocabulary via Spark 4's
     ``approx_top_k`` (SpaceSaving-family sketch): one-pass frequent
@@ -455,6 +522,33 @@ ORACLE = {
                      / count(*), 6) AS avg_logprob
         FROM bigrams JOIN model USING (prev, cur)
         GROUP BY doc_id
+    """,
+    "corpus_pmi_collocations": f"""
+        WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        bigrams AS (
+          SELECT b.prev AS prev, b.cur AS cur FROM (
+            SELECT unnest(list_transform(range(1, len(ws)),
+                   i -> {{'prev': ws[i], 'cur': ws[i+1]}})) AS b
+            FROM d WHERE len(ws) >= 2
+          )
+        ), tok AS (
+          SELECT unnest({_WS}) AS word FROM documents
+        ), uni AS (
+          SELECT word, count(*) AS cw FROM tok GROUP BY word
+        ), nt AS (SELECT sum(cw)::DOUBLE AS n FROM uni),
+        bi AS (
+          SELECT prev, cur, count(*) AS c_vw
+          FROM bigrams GROUP BY prev, cur
+        ), nb AS (SELECT sum(c_vw)::DOUBLE AS n FROM bi)
+        SELECT prev, cur, c_vw,
+               round(ln((c_vw / nb.n)
+                        / ((uv.cw / nt.n) * (uc.cw / nt.n))), 6) AS pmi
+        FROM bi
+        JOIN uni uv ON bi.prev = uv.word
+        JOIN uni uc ON bi.cur = uc.word
+        CROSS JOIN nb CROSS JOIN nt
+        WHERE c_vw >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, prev, cur LIMIT {PMI_TOP_K}
     """,
     "term_posting_lists": f"""
         WITH pairs AS (

@@ -296,6 +296,63 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram_of(_ordered(spark, sf_dir))
 
 
+# ------------------------------------------------- cohort retention
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """COHORT RETENTION: group users by first-seen day (their cohort),
+    then count distinct users active at each day offset from their
+    cohort day — the standard product-analytics retention triangle.
+    Output (cohort_day, day_offset, n_users); day 0 row carries the
+    cohort size.
+
+    Plan: per-user first-day aggregation and the per-(user, day)
+    activity dedup BOTH key on user_id — one exchange feeds the
+    aggregate, the dedup, and the join; only the final tiny
+    (cohort, offset) rollup reshuffles."""
+    act = ev.select(
+        "user_id", F.expr("us div 86400000000").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(_ordered(spark, sf_dir))
+
+
+#: rolling-median window: this many trailing rows (inclusive)
+ROLLMED_ROWS = 6
+
+
+def rolling_median(ev: DataFrame, n_rows: int = ROLLMED_ROWS) -> DataFrame:
+    """ROLLING EXACT MEDIAN per user over the trailing ``n_rows``
+    readings — the robust-smoothing twin of ``ewma`` (a median ignores
+    the spike EWMA chases; monitoring pipelines run both). Exact
+    percentile as a WINDOW aggregate over a ROWS frame — the window-
+    function family's quantile member (§2.6 beyond rank/ntile/RANGE).
+    Both engines interpolate the median of exact BIGINT cents
+    identically. Per-user partitioning, one exchange."""
+    w = (
+        W.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(-(n_rows - 1), W.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "us",
+        F.percentile("cents", 0.5).over(w).alias("median_cents"),
+    )
+
+
+def user_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_median(_ordered(spark, sf_dir))
+
+
 # ---------------------------------------------------------- oracle SQL
 
 _EV = """
@@ -401,6 +458,28 @@ ORACLE = {
         SELECT user_id, event_id, us, round(ewma, 6) AS ewma_cents
         FROM r
     """,
+    "user_retention_cohorts": f"""
+        WITH ev AS ({_EV}),
+        act AS (
+          SELECT DISTINCT user_id, us // 86400000000 AS day FROM ev
+        ), first AS (
+          SELECT user_id, min(day) AS cohort_day
+          FROM act GROUP BY user_id
+        )
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               count(DISTINCT act.user_id)::BIGINT AS n_users
+        FROM act JOIN first ON act.user_id = first.user_id
+        GROUP BY 1, 2
+    """,
+    "user_rolling_median": f"""
+        WITH ev AS ({_EV})
+        SELECT user_id, event_id, us,
+               median(cents) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN {ROLLMED_ROWS - 1} PRECEDING
+                          AND CURRENT ROW) AS median_cents
+        FROM ev
+    """,
     "value_histogram": f"""
         WITH ev AS ({_EV}),
         b AS (
@@ -425,4 +504,6 @@ QUERIES = {
     "running_zscore_flags": running_zscore_flags,
     "user_value_ewma": user_value_ewma,
     "value_histogram": value_histogram,
+    "user_retention_cohorts": user_retention_cohorts,
+    "user_rolling_median": user_rolling_median,
 }

@@ -208,3 +208,32 @@ def test_posting_lists_distinct_within_doc(spark):
     df = _docs(spark, ["dup dup dup"])
     out = posting_lists(df, k=5).collect()
     assert [(r.word, r.df, r.postings_csv) for r in out] == [("dup", 1, "0")]
+
+
+def test_pmi_collocations_hand_case(spark):
+    import math
+
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        pmi_collocations,
+    )
+
+    # "a b" always co-occurs; "c" floats alone
+    df = _docs(spark, ["a b c a b", "a b", "c a b"])
+    out = {
+        (r.prev, r.cur): r
+        for r in pmi_collocations(df, min_count=2, k=10).collect()
+    }
+    # tokens: a=4, b=4, c=2 (N=10); bigrams: doc0 (a,b),(b,c),(c,a),
+    # (a,b); doc1 (a,b); doc2 (c,a),(a,b) -> (a,b)=4, (b,c)=1,
+    # (c,a)=2; N_bi=7; min_count=2 keeps (a,b) and (c,a)
+    assert set(out) == {("a", "b"), ("c", "a")}
+    pmi_ab = round(math.log((4 / 7) / ((4 / 10) * (4 / 10))), 6)
+    assert out[("a", "b")].c_vw == 4
+    assert out[("a", "b")].pmi == pmi_ab
+    pmi_ca = round(math.log((2 / 7) / ((2 / 10) * (4 / 10))), 6)
+    assert out[("c", "a")].pmi == pmi_ca
+    # ordering: highest pmi first
+    ordered = sorted(out.values(), key=lambda r: -r.pmi)
+    assert [r.pmi for r in ordered] == sorted(
+        (r.pmi for r in out.values()), reverse=True
+    )

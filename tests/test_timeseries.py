@@ -190,3 +190,45 @@ def test_value_histogram_buckets_and_clamps(spark):
     assert out[("a", 1)] == (HIST_WIDTH, 2 * HIST_WIDTH, 1)
     last = HIST_BUCKETS - 1
     assert out[("a", last)] == (last * HIST_WIDTH, HIST_BUCKETS * HIST_WIDTH, 1)
+
+
+DAY = 86_400_000_000  # microseconds per day
+
+
+def test_retention_cohorts_hand_case(spark):
+    from biometric_stream_processing_spark.plans.timeseries_ops import (
+        retention_cohorts,
+    )
+    rows = [
+        # user 1: days 0, 1, 3 (cohort 0); two events on day 0
+        (1, 1, "x", 0 * DAY + 5, 0),
+        (2, 1, "x", 0 * DAY + 9, 0),
+        (3, 1, "x", 1 * DAY, 0),
+        (4, 1, "x", 3 * DAY, 0),
+        # user 2: days 1, 3 (cohort 1)
+        (5, 2, "x", 1 * DAY, 0),
+        (6, 2, "x", 3 * DAY, 0),
+    ]
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,
+        (1, 0): 1, (1, 2): 1,
+    }
+
+
+def test_rolling_median_hand_case(spark):
+    from biometric_stream_processing_spark.plans.timeseries_ops import (
+        rolling_median,
+    )
+    vals = [10, 30, 20, 100, 40]
+    rows = [(i, 1, "x", i * 1000, v) for i, v in enumerate(vals, 1)]
+    out = {
+        r.event_id: r.median_cents
+        for r in rolling_median(_ev(spark, rows), n_rows=3).collect()
+    }
+    # trailing-3 medians: [10], [10,30]→20, [10,30,20]→20,
+    # [30,20,100]→30, [20,100,40]→40
+    assert out == {1: 10.0, 2: 20.0, 3: 20.0, 4: 30.0, 5: 40.0}
