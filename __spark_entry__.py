@@ -139,24 +139,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module-side memo wrapper this round; its logical plan and
         # relation are identical — the r4 verdict still covers the
         # semantics, and the front's 50 slots are all taken by
-        # obligatory entries.) ROUND-6 OBLIGATION: register the
-        # ROUND-6 QUEUE queries built and oracled in round 5 but not
-        # registrable then (prefix full): streaming_funnel,
-        # doc_weighted_sample, corpus_mixture_sample,
-        # corpus_heavy_hitters, plus the five plans/timeseries_ops
-        # entries (user_state_history, user_hourly_gapfill,
-        # running_zscore_flags, user_value_ewma, value_histogram) and
-        # any further queue notes in module docstrings. Front-load:
+        # obligatory entries.) ROUND-6 OBLIGATION: register every
+        # entry of ``queued_queries()`` (the ROUND-6 GATE QUEUE —
+        # built, oracled, unit-tested and locally hash-verified in
+        # round 5 but not registrable then: prefix full). Front-load:
         # (1) every never-verified query, (2) any entry whose source
         # changed, (3) the oldest-verified entries, filling the
         # 50-entry prefix. NOTE the registry will then exceed 100
-        # entries, so a strict two-round freshness window is
-        # infeasible at a 50-entry gate cap — the enforced policy
-        # (tests/test_gate_rotation.py) is the minimal feasible
-        # K = ceil(N_registered / 50)-round rotation: with N≈102,
-        # every entry must be green within the last 3 recorded
+        # entries (93 + ~19 queued), so a strict two-round freshness
+        # window is infeasible at a 50-entry gate cap — the enforced
+        # policy (tests/test_gate_rotation.py) is the minimal
+        # feasible K = ceil(N_registered / 50)-round rotation: at
+        # N≈112 every entry must be green within the last 3 recorded
         # rounds, and the prefix must always drain the oldest debt
-        # first.
+        # first. With 19 never-verified entries the round-6 prefix
+        # takes all 19 + the 31 oldest-verified; the r4-green tail
+        # entries then get their turn in round 7 — inside the
+        # 3-round window.
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -185,6 +184,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: all_q[n] for n in ordered}
 
 
+def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ROUND-6 GATE QUEUE: implemented, oracled and unit-tested in
+    round 5, NOT yet in ``queries()`` (the round-5 verdict prefix is
+    fully occupied by rotation obligations). Round 6 registers these
+    in its front block — see the obligation note in ``queries()``.
+    ``tools/check_oracle.py --queued`` verifies them against
+    ``oracle_sql()`` exactly like registered entries."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+        run.__wrapped__ = fn
+        return run
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in timeseries_ops.QUERIES.items():
+        q[name] = _wrap(fn)
+    q["doc_weighted_sample"] = _wrap(documents_ops.doc_weighted_sample)
+    q["corpus_mixture_sample"] = _wrap(documents_ops.corpus_mixture_sample)
+    q["dup_graph_stats"] = _wrap(documents_ops.dup_graph_stats)
+    q["split_overlap_matrix"] = _wrap(documents_ops.split_overlap_matrix)
+    q["above_median_length_docs"] = _wrap(
+        documents_ops.above_median_length_docs
+    )
+    q["corpus_heavy_hitters"] = _wrap(corpus_ops.corpus_heavy_hitters)
+    q["doc_bigram_logprob"] = _wrap(corpus_ops.doc_bigram_logprob)
+    q["term_posting_lists"] = _wrap(corpus_ops.term_posting_lists)
+    q["corpus_pmi_collocations"] = _wrap(
+        corpus_ops.corpus_pmi_collocations
+    )
+    q["orders_profile"] = _wrap(analytics.orders_profile)
+    q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
+    q["streaming_anomalies"] = _wrap(
+        streaming_pipeline.streaming_anomalies
+    )
+    return q
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(biometric.ORACLE)
@@ -197,6 +236,9 @@ def oracle_sql() -> dict[str, str]:
     # (kernel sorts by (us, event_id); single-batch source ⇒ the
     # absorption order equals the batch window's total order)
     o["streaming_anomalies"] = timeseries_ops.ORACLE["running_zscore_flags"]
+    # streaming funnel over a single-batch source emits the batch
+    # funnel relation (cross-batch cadence golden-tested)
+    o["streaming_funnel"] = events_ops.ORACLE["funnel_view_click_purchase"]
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly

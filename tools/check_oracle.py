@@ -5,7 +5,11 @@ Runs every ``queries()`` entry from ``__spark_entry__`` against its
 row count, column names, and an order-insensitive value hash (columns
 sorted by name, rows sorted, values stringified with float rounding).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--queued] [sf_dir] [query ...]
+
+``--queued`` checks the ROUND-6 GATE QUEUE
+(``__spark_entry__.queued_queries`` — implemented but not yet
+registered) instead of the registered set.
 """
 
 from __future__ import annotations
@@ -51,8 +55,12 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    queued = "--queued" in args
+    if queued:
+        args.remove("--queued")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from biometric_stream_processing_spark.session import get_spark
@@ -64,7 +72,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
+    qs = entrymod.queued_queries() if queued else entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     ran = 0
