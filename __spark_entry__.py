@@ -221,6 +221,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies
     )
+    q["streaming_state_history"] = _wrap(
+        streaming_pipeline.streaming_state_history
+    )
     return q
 
 
@@ -239,6 +242,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming funnel over a single-batch source emits the batch
     # funnel relation (cross-batch cadence golden-tested)
     o["streaming_funnel"] = events_ops.ORACLE["funnel_view_click_purchase"]
+    # streaming SCD-2: closed runs emit on state change, open runs on
+    # sentinel timer flush — the union equals the batch relation
+    o["streaming_state_history"] = timeseries_ops.ORACLE["user_state_history"]
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly

@@ -929,6 +929,37 @@ def streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-2 STATE HISTORY — the streaming twin of
+    ``plans/timeseries_ops.user_state_history``, whose DuckDB oracle
+    it shares: each user's event stream collapses into maximal
+    same-event_type runs, emitted INCREMENTALLY — a run emits the
+    moment its successor opens (the CDC-to-dimension pipeline shape),
+    and the final open run (valid_to NULL) emits via event-time timer
+    when the watermark-flush sentinel passes ``state.SCD2_FLUSH_AT_MS``
+    (an ordinary watermark advance must not flush — the key may still
+    get data). Cross-batch run continuation and the flush cadence are
+    golden-tested in test_streaming_scd2.py.
+
+    ROUND-6 GATE QUEUE — see ``__spark_entry__.queued_queries``."""
+    import os
+    import uuid
+
+    from .state import scd2_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
+        )
+        out = scd2_stream(src)
+        name = "scd_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_scd_"))
+    return out.where(F.col("user_id") != SENTINEL_USER_ID)
+
+
 def dedup_registry_merge(
     src: DataFrame, checkpoint_dir: str
 ) -> dict[str, tuple[int, int]]:

@@ -488,3 +488,123 @@ def zscore_stream(
         F.coalesce(F.abs(zr) > threshold, F.lit(False))
          .alias("is_anomaly"),
     )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, run_id long, state string, valid_from_us long, "
+    "valid_to_us long, n_events long"
+)
+SCD2_STATE_SCHEMA = (
+    "cur_state string, valid_from long, n long, run_id long"
+)
+#: timer timestamp (ms) between all real data and the far-future
+#: sentinel (7e15 µs): keys flush their OPEN run only when the
+#: sentinel pushes the watermark past this — an ordinary batch
+#: advancing the clock must NOT flush (more data may follow)
+SCD2_FLUSH_AT_MS = 6_000_000_000_000
+
+
+def scd2_fn():
+    """Per-key stateful function for ``scd2_stream``: the
+    gaps-and-islands SCD-2 collapse as a streaming machine with FOUR
+    FIELDS of state per user (current run's state/start/count/index).
+    A run EMITS the moment its successor opens (valid_to = the
+    state-changing event's time — exactly the batch twin's lead());
+    the final open run (valid_to NULL) emits via the event-time timer
+    when the watermark-flush sentinel passes ``SCD2_FLUSH_AT_MS`` —
+    an ordinary watermark advance below that mark must not flush,
+    because the key may still receive data in later batches.
+
+    Exactness contract (the funnel/z-score argument): watermark-0
+    late drop + in-batch (us, event_id) sort ⇒ absorption order
+    equals the batch total order, so the union of emissions over the
+    stream's lifetime IS the batch ``user_state_history`` relation."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            out = []
+            if state.exists:
+                cur, frm, n, rid = state.get
+                out.append((key[0], rid, cur, frm, None, n))
+                state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=[
+                    "user_id", "run_id", "state", "valid_from_us",
+                    "valid_to_us", "n_events",
+                ])
+            return
+
+        cur, frm, n, rid = state.get if state.exists else (
+            None, 0, 0, 0
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            for us, eid, et in zip(
+                pdf["tus"], pdf["event_id"], pdf["event_type"]
+            ):
+                if str(et) == "__sentinel__":
+                    continue  # clock-only row (watermark carrier)
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid), str(et)))
+        rows.sort()
+
+        out = []
+        for us, _eid, et in rows:
+            if cur is None:
+                cur, frm, n, rid = et, us, 1, 1
+            elif et == cur:
+                n += 1
+            else:
+                out.append((key[0], rid, cur, frm, us, n))
+                cur, frm, n, rid = et, us, 1, rid + 1
+
+        if cur is not None:
+            state.update((cur, frm, n, rid))
+            state.setTimeoutTimestamp(
+                max(SCD2_FLUSH_AT_MS,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "run_id", "state", "valid_from_us",
+                "valid_to_us", "n_events",
+            ])
+
+    return fn
+
+
+def scd2_stream(
+    events: DataFrame,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming SCD-2 state history — the streaming twin of
+    ``plans/timeseries_ops.user_state_history``, whose DuckDB oracle
+    it shares. Closed runs emit on state change; open runs emit on
+    sentinel-driven timer flush. The sentinel row must survive any
+    input filter (it carries the flushing watermark), so no pre-op
+    event-type filter is applied here."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            "event_type",
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        scd2_fn(),
+        SCD2_OUTPUT_SCHEMA,
+        SCD2_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
