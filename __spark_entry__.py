@@ -217,6 +217,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_ops.corpus_pmi_collocations
     )
     q["orders_profile"] = _wrap(analytics.orders_profile)
+    q["hll_user_rollup"] = _wrap(events_ops.hll_user_rollup)
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies

@@ -391,9 +391,62 @@ def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL relative-error tolerance (Datasketches default lgK=12 ⇒
+#: ~1.6% standard error; 5% is >3σ)
+HLL_REL_TOL = 0.05
+
+
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH ROLLUP: per-event-type HyperLogLog sketches of
+    the user set, UNION-MERGED into the overall distinct count — the
+    re-aggregation pattern a 100 TB warehouse lives on (store partial
+    sketches per partition/day, answer any rollup by merging bytes —
+    never rescan, and unlike counts the merge is overlap-correct).
+    `approx_distinct_bounds` already oracles the one-shot estimator;
+    THIS query exercises sketch MERGE: the '__all__' row's estimate
+    comes only from ``hll_union_agg`` over the per-type sketches.
+
+    Bounded oracle (the HLL/approx-percentile pattern — sketch
+    internals differ across engines, so the oracled VALUE is the
+    accuracy guarantee): each scope asserts
+    |estimate − exact| ≤ HLL_REL_TOL · exact, which a correct sketch
+    at lgK=12 meets with >3σ margin. ROUND-6 GATE QUEUE."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.countDistinct("user_id").alias("_exact"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("_sk") - F.col("_exact"))
+        <= HLL_REL_TOL * F.col("_exact")
+    )
+    typed = per.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        ok.alias("est_ok"),
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("_exact"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    overall = merged.join(F.broadcast(exact_all)).select(
+        F.lit("__all__").alias("scope"),
+        (F.abs(F.col("_est") - F.col("_exact"))
+         <= HLL_REL_TOL * F.col("_exact")).alias("est_ok"),
+    )
+    return typed.unionAll(overall)
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
+    # ROUND-6 GATE QUEUE: the accuracy guarantee as literal truth —
+    # a correct lgK=12 sketch is within 5% with >3σ margin
+    "hll_user_rollup": """
+        SELECT 'type:' || event_type AS scope, true AS est_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS scope, true AS est_ok
+    """,
     "user_value_rolling_1h": """
         SELECT user_id, event_id, es,
                -- CAST: DuckDB integer sums return HUGEINT, which the

@@ -1,0 +1,34 @@
+"""Tests for the mergeable-sketch rollup surface
+(events_ops.hll_user_rollup): the union-merge must be
+overlap-correct — estimating the distinct union, not summing
+per-group counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_union_is_overlap_correct(spark):
+    # 3 types sharing the SAME 40 users: per-type distinct = 40,
+    # union = 40 (a count rollup would claim 120)
+    rows = [(t, u) for t in ("a", "b", "c") for u in range(40)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    per = df.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    assert abs(merged - 40) <= 2          # union estimate, not 120
+    assert merged < 60                    # far from the naive sum
+
+
+def test_hll_user_rollup_all_scopes_ok(spark):
+    from biometric_stream_processing_spark.plans.events_ops import (
+        hll_user_rollup,
+    )
+
+    rows = hll_user_rollup(spark, "/root/testdata/sf0.001").collect()
+    scopes = {r.scope for r in rows}
+    assert "__all__" in scopes and len(scopes) == len(rows)
+    assert all(r.est_ok for r in rows)
