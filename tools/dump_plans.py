@@ -87,6 +87,27 @@ SHOWCASE = [
      "order, per-partition windows keyed by partition id, broadcast "
      "offsets; the only unpartitioned window runs over the "
      "partition-count-sized totals relation, never the corpus."),
+    # --- round-5 queue (registered in round 6; plans already CI-pinned)
+    ("running_zscore_flags",
+     "Prior-window anomaly scoring: a SINGLE user_id exchange feeds "
+     "the count/sum/sumsq window frames; the z expression is pure "
+     "codegen over exact BIGINT window sums — no Python, no second "
+     "shuffle, no single-partition window."),
+    ("term_posting_lists",
+     "Inverted-index build: shuffle 1 is the (word, doc_id) distinct "
+     "with map-side partial dedup (the stopword volume guard); "
+     "shuffle 2 moves only the globally-distinct pairs to the term "
+     "key, where the row_number preview cap and the final aggregation "
+     "share the partitioning."),
+    ("dup_graph_stats",
+     "Degree-ordered triangle counting: degree join, wedge build and "
+     "closing-edge check are all KEYED joins (hash/sort-merge) — no "
+     "cartesian; the only nested-loops are the 1-row scalar summary "
+     "combines."),
+    ("orders_profile",
+     "Column profiler: ONE parquet scan feeds the multi-countDistinct "
+     "`Expand`; the 24 statistics unpivot from a 1-row aggregate — "
+     "no per-column re-scan."),
 ]
 
 
@@ -97,7 +118,7 @@ def main() -> None:
     from biometric_stream_processing_spark.session import get_spark
 
     spark = get_spark("dump-plans")
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.queued_queries()}
 
     out = [
         "# PLANS — annotated physical plans for the headline queries",
