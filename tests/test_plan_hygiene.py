@@ -354,17 +354,23 @@ def test_bigram_model_joins_broadcast(spark):
     assert "Cartesian" not in p
 
 
-def test_orders_profile_single_scan_multi_distinct_expand(spark):
-    """The 24-statistic profile must come from ONE pass over orders:
-    a single parquet scan feeding the multi-countDistinct Expand."""
+def test_orders_profile_hash_expand_no_sorted_distinct(spark):
+    """The profile's two deliberate passes: the multi-countDistinct
+    Expand must stay HASH-aggregated (fusing string min/max into it
+    would force a full-table SortAggregate — the measured 10× trap),
+    and the min/max/null pass is a global fold joined 1×1."""
     from biometric_stream_processing_spark.plans import analytics
 
     p = _plan(analytics.orders_profile(spark, SF_DIR))
-    detail_scans = [l for l in p.splitlines()
-                    if l.strip().startswith("(1) Scan parquet")]
-    assert p.count("Scan parquet") == 2  # tree + detail of ONE scan
-    assert detail_scans, p
     assert "Expand" in p
+    assert "HashAggregate" in p
+    # no full-table sort anywhere: SortAggregate may appear only for
+    # the global (keyless) min/max fold, which needs no Sort node
+    lines = p.splitlines()
+    sort_nodes = [l for l in lines
+                  if l.strip().split(" ")[-1] == "Sort"
+                  or "+- Sort " in l]
+    assert not sort_nodes, sort_nodes
 
 
 def test_triangle_stats_no_cartesian_wedge_join(spark):
