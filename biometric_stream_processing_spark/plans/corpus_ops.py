@@ -221,6 +221,35 @@ BIGRAM_LAMBDA = 0.5
 POSTINGS_K = 8
 
 
+def unigram_counts(df: DataFrame) -> DataFrame:
+    """(word, _cw) corpus unigram counts — the subtree shared by the
+    bigram-LM scorer and the PMI collocation miner (exposed like
+    ``documents_ops.shared_minhash_bands`` so a caller running both
+    can ``persist()`` it once; all expressions deterministic)."""
+    tok = df.select(F.explode(words(F.col("text"))).alias("word"))
+    return tok.groupBy("word").agg(F.count("*").alias("_cw"))
+
+
+def bigram_pair_counts(df: DataFrame) -> DataFrame:
+    """(prev, cur, c_vw) corpus bigram counts — shared subtree, same
+    contract as ``unigram_counts``."""
+    ws = words(F.col("text"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("prev"),
+            F.element_at(ws, i + 1).alias("cur"),
+        ),
+    )
+    return (
+        df.where(F.size(ws) >= 2)
+        .select(F.explode(bg).alias("_b"))
+        .select("_b.prev", "_b.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_vw"))
+    )
+
+
 def bigram_logprob(df: DataFrame) -> DataFrame:
     """BIGRAM-LM quality scoring with unigram interpolation — the
     next step up from ``unigram_logprob``: each in-document bigram
@@ -256,8 +285,11 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
         .select("doc_id", "_b.prev", "_b.cur")
         .localCheckpoint(eager=False)
     )
-    tok = df.select(F.explode(ws).alias("word"))
-    uni = tok.groupBy("word").agg(F.count("*").alias("_cw"))
+    # uni comes from the SHARED subtree (plan-equal with the PMI
+    # miner's — one persist() covers both queries); the doc-level
+    # bigram explode above stays local because the probe needs
+    # doc_id, and the checkpoint already makes count+probe one pass
+    uni = unigram_counts(df)
     total = uni.agg(F.sum("_cw").cast("double").alias("_n"))
     bi = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("_cvw"))
     lam = BIGRAM_LAMBDA
@@ -359,23 +391,9 @@ def pmi_collocations(df: DataFrame, min_count: int = PMI_MIN_COUNT,
     partial-agged shuffle); count joins broadcast; the top-k is
     TakeOrderedAndProject. ROUND-6 GATE QUEUE (round-5 prefix
     full)."""
-    ws = words(F.col("text"))
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(
-            F.element_at(ws, i).alias("prev"),
-            F.element_at(ws, i + 1).alias("cur"),
-        ),
-    )
-    bigrams = (
-        df.where(F.size(ws) >= 2)
-        .select(F.explode(bg).alias("_b"))
-        .select("_b.prev", "_b.cur")
-    )
-    tok = df.select(F.explode(ws).alias("word"))
-    uni = tok.groupBy("word").agg(F.count("*").alias("_cw"))
+    uni = unigram_counts(df)
     n_tok = uni.agg(F.sum("_cw").cast("double").alias("_nt"))
-    bi = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("c_vw"))
+    bi = bigram_pair_counts(df)
     n_bi = bi.agg(F.sum("c_vw").cast("double").alias("_nb"))
     scored = (
         bi.where(F.col("c_vw") >= min_count)
