@@ -1,0 +1,183 @@
+"""Distributed PCA over embedding columns — the dimensionality-
+reduction step an embedding pipeline runs before indexing/clustering
+(whitening, compaction, de-correlation), built on the same
+MODEL-EXCHANGE shape as ``operators/kmeans.py``: the DATA never
+leaves the executors; only O(d²) sufficient statistics and the
+O(k·d) fitted model cross the driver boundary.
+
+Execution shape (the classic two-pass-free distributed PCA):
+
+1. ``covariance_partials`` — ONE ``mapInPandas`` pass emits per-batch
+   sufficient statistics (n, Σx, ΣxxT flattened). Matrix
+   accumulation is numpy BLAS over Arrow batches — the justified
+   Python surface (dense matmul is foreign to SQL expressions, the
+   multimodal-ops argument); each batch collapses to d + d² doubles,
+   so the pass is a pure map with O(d²) output per batch regardless
+   of row count.
+2. driver merge + ``numpy.linalg.eigh`` on the d×d covariance —
+   O(d³) on 64×64 is microseconds; every distributed PCA
+   (MLlib's RowMatrix included) ships this exact step.
+3. ``pca_project`` — scores via one more Arrow-batched matmul pass
+   against the broadcast (closure-captured) component matrix.
+
+Determinism: partial stats are summed on the driver in sorted
+partition order and eigenvectors are sign-fixed (largest-|component|
+coordinate made positive), so repeated fits on the same partitioning
+are bit-stable. The gate oracle is BOUNDED (the HLL pattern):
+eigendecomposition is not expressible in SQL, so the oracled values
+are the mathematical guarantees (eigenvalue ordering, orthonormality,
+Rayleigh dominance, projected-variance ≡ eigenvalue), each computed
+over the DISTRIBUTED pipeline's actual output.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (k, d) rows = principal axes, desc
+    eigenvalues: np.ndarray   # (k,) sample variances along axes
+    total_variance: float     # trace of the sample covariance
+    n: int
+
+
+def covariance_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-Arrow-batch sufficient statistics: one row per batch with
+    (n, sum flattened, xtx flattened). Output is O(d²) per batch."""
+
+    def _stats(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "xtx": [(X.T @ X).ravel().tolist()],
+            })
+
+    return df.select(vec_col).mapInPandas(
+        _stats, "n long, s array<double>, xtx array<double>"
+    )
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding",
+            k: int = 8) -> PCAModel:
+    """Fit PCA from one distributed statistics pass + a driver-side
+    64×64 eigendecomposition (the kmeans model-exchange contract)."""
+    return _fit_full(df, vec_col, k)[0]
+
+
+def _fit_full(df: DataFrame, vec_col: str,
+              k: int) -> "tuple[PCAModel, np.ndarray]":
+    parts = covariance_partials(df, vec_col).collect()
+    # deterministic merge order (driver float sums are associative-
+    # order-sensitive; sorted partials pin the order)
+    parts = sorted(parts, key=lambda r: (r["n"], r["s"][:2]))
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        xtx += np.asarray(r["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0          # kill accumulation asymmetry
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order].T            # (k, d)
+    # sign fix: the largest-|x| coordinate of each axis is positive
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    model = PCAModel(
+        mean=mean,
+        components=comp,
+        eigenvalues=evals[order],
+        total_variance=float(np.trace(cov)),
+        n=int(n),
+    )
+    return model, cov
+
+
+def pca_project(df: DataFrame, model: PCAModel,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Scores = (x − mean) @ componentsᵀ, one Arrow-batched matmul
+    pass; the O(k·d) model ships in the task closure (no join)."""
+    mean = model.mean
+    comp_t = model.components.T  # (d, k)
+
+    def _proj(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = (X - mean) @ comp_t
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "scores": list(S.tolist()),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _proj, f"{id_col} long, scores array<double>"
+    )
+
+
+def pca_quality_report(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 8,
+                       rel_tol: float = 1e-6) -> DataFrame:
+    """The bounded-oracle gate surface: each mathematical guarantee of
+    a correct PCA, evaluated against the DISTRIBUTED pipeline's
+    output. ``projected_var_matches_eigvals`` is the end-to-end check:
+    the sample variance of each projected coordinate (computed by a
+    Spark aggregation over the distributed projection) must equal the
+    corresponding eigenvalue."""
+    spark = df.sparkSession
+    # one statistics pass serves fit AND the Rayleigh check
+    model, cov = _fit_full(df, vec_col, k)
+    g = model.components @ model.components.T
+    orthonormal = bool(
+        np.max(np.abs(g - np.eye(g.shape[0]))) < 1e-8
+    )
+    nonincreasing = bool(
+        np.all(np.diff(model.eigenvalues) <= 1e-12)
+    )
+    # λ₁ = max Rayleigh quotient ≥ variance along ANY coordinate axis
+    rayleigh = bool(
+        model.eigenvalues[0] >= float(np.max(np.diag(cov))) - 1e-9
+    )
+    explained = bool(
+        float(np.sum(model.eigenvalues))
+        <= model.total_variance * (1 + rel_tol)
+    )
+    proj = pca_project(df, model, vec_col, id_col)
+    var_rows = (
+        proj.select([
+            F.var_samp(F.col("scores")[i]).alias(f"v{i}")
+            for i in range(k)
+        ]).collect()[0]
+    )
+    pvars = np.array([var_rows[f"v{i}"] for i in range(k)])
+    proj_match = bool(
+        np.all(
+            np.abs(pvars - model.eigenvalues)
+            <= rel_tol * np.maximum(model.eigenvalues, 1e-12)
+        )
+    )
+    rows = [
+        ("eigenvalues_nonincreasing", nonincreasing),
+        ("components_orthonormal", orthonormal),
+        ("pc1_dominates_axes", rayleigh),
+        ("explained_le_total", explained),
+        ("projected_var_matches_eigvals", proj_match),
+    ]
+    return spark.createDataFrame(rows, "check string, ok boolean")

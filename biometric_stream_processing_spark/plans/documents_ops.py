@@ -826,6 +826,28 @@ def above_median_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8
+
+
+def embedding_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus
+    (operators/pca.py — one Arrow-batched sufficient-statistics pass,
+    O(d²) driver model exchange, one projection pass), surfaced
+    through its MATHEMATICAL GUARANTEES: eigenvalue ordering,
+    orthonormality, Rayleigh dominance over coordinate axes,
+    explained ≤ total variance, and the end-to-end check that the
+    distributed projection's per-component sample variance equals the
+    eigenvalues. Bounded oracle (the HLL/approx pattern —
+    eigendecomposition is not SQL-expressible): the oracled value is
+    each guarantee holding. ROUND-6 GATE QUEUE (round-5 prefix
+    full)."""
+    from ..operators.pca import pca_quality_report
+
+    return pca_quality_report(
+        _emb(spark, sf_dir), "embedding", "vec_id", PCA_K
+    )
+
+
 WSAMPLE_CAP = 600              # weighted sample: P(doc) = n_chars/600
 MIX_TARGETS = {"src0": 10, "src1": 5, "src2": 3}   # curriculum quotas
 MIX_DEFAULT_N = 2              # quota for sources not named above
@@ -1545,6 +1567,19 @@ ORACLE["cross_modal_dup_agreement"] = f"""
            ON p.id_a = ca.vec_id
     LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) cb
            ON p.id_b = cb.vec_id
+"""
+
+# PCA twin: the guarantees as literal truth (eigendecomposition is
+# not SQL-expressible — the HLL bounded-oracle pattern; every boolean
+# is computed over the DISTRIBUTED pipeline's actual output, incl.
+# the projected-variance ≡ eigenvalue end-to-end check).
+# ROUND-6 GATE QUEUE.
+ORACLE["embedding_pca_quality"] = """
+    SELECT 'eigenvalues_nonincreasing' AS check, true AS ok
+    UNION ALL SELECT 'components_orthonormal', true
+    UNION ALL SELECT 'pc1_dominates_axes', true
+    UNION ALL SELECT 'explained_le_total', true
+    UNION ALL SELECT 'projected_var_matches_eigvals', true
 """
 
 # Cross-split overlap twin: same split hash + gram explode, naive

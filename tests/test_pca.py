@@ -1,0 +1,112 @@
+"""Tests for the distributed PCA operator (operators/pca.py):
+exactness vs a local numpy PCA on the same data, known-geometry
+recovery, sign-fix determinism, and the quality-report guarantees."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from biometric_stream_processing_spark.operators.pca import (
+    pca_fit,
+    pca_project,
+    pca_quality_report,
+)
+
+
+def _vecs(spark, X):
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(X)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _dataset(n=200, d=6, seed="pca"):
+    """Deterministic anisotropic cloud: md5-free — a fixed LCG."""
+    state = sum(ord(c) for c in seed) or 1
+    out = []
+    for _ in range(n * d):
+        state = (state * 48271) % 2147483647
+        out.append(state / 2147483647 - 0.5)
+    X = np.array(out).reshape(n, d)
+    scale = np.array([10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    return X * scale
+
+
+def test_fit_matches_local_numpy_pca(spark):
+    X = _dataset()
+    # float32 storage quantizes the inputs — compare against numpy on
+    # the SAME quantized values
+    Xq = X.astype(np.float32).astype(np.float64)
+    model = pca_fit(_vecs(spark, X), k=4)
+    cov = np.cov(Xq.T, ddof=1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert model.n == len(X)
+    assert np.allclose(model.mean, Xq.mean(axis=0), atol=1e-9)
+    assert np.allclose(model.eigenvalues, evals[:4], rtol=1e-8)
+    assert math.isclose(
+        model.total_variance, float(np.trace(cov)), rel_tol=1e-9
+    )
+
+
+def test_known_dominant_direction_recovered(spark):
+    # points on a line along (1, 1, 0)/√2 with tiny noise
+    t = np.linspace(-1, 1, 101)
+    X = np.stack([t, t, 0.001 * np.sin(t * 7)], axis=1)
+    model = pca_fit(_vecs(spark, X), k=1)
+    pc1 = model.components[0]
+    want = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+    assert abs(abs(float(pc1 @ want)) - 1.0) < 1e-4
+
+
+def test_sign_fix_is_deterministic(spark):
+    X = _dataset(n=80)
+    df = _vecs(spark, X)
+    a = pca_fit(df, k=3)
+    b = pca_fit(df.repartition(7), k=3)
+    # same axes and signs regardless of partitioning (stat merge is
+    # order-pinned; sign fixed by largest-|coord|)
+    assert np.allclose(a.components, b.components, atol=1e-9)
+    for row in a.components:
+        j = int(np.argmax(np.abs(row)))
+        assert row[j] > 0
+
+
+def test_projection_variance_equals_eigenvalues(spark):
+    X = _dataset(n=150)
+    df = _vecs(spark, X)
+    model = pca_fit(df, k=3)
+    S = np.array([
+        r.scores
+        for r in pca_project(df, model).orderBy("vec_id").collect()
+    ])
+    pvar = S.var(axis=0, ddof=1)
+    assert np.allclose(pvar, model.eigenvalues, rtol=1e-8)
+    # components de-correlate: off-diagonal covariance ~ 0
+    c = np.cov(S.T, ddof=1)
+    off = c - np.diag(np.diag(c))
+    assert np.max(np.abs(off)) < 1e-6 * model.eigenvalues[0]
+
+
+def test_quality_report_all_green(spark):
+    X = _dataset(n=120)
+    rep = {
+        r.check: r.ok
+        for r in pca_quality_report(
+            _vecs(spark, X), k=4
+        ).collect()
+    }
+    assert rep == {
+        "eigenvalues_nonincreasing": True,
+        "components_orthonormal": True,
+        "pc1_dominates_axes": True,
+        "explained_le_total": True,
+        "projected_var_matches_eigvals": True,
+    }
+
+
+def test_fit_rejects_degenerate_input(spark):
+    with pytest.raises(ValueError):
+        pca_fit(_vecs(spark, np.zeros((1, 4))), k=2)
