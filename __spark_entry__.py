@@ -219,6 +219,10 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_profile"] = _wrap(analytics.orders_profile)
     q["hll_user_rollup"] = _wrap(events_ops.hll_user_rollup)
     q["embedding_pca_quality"] = _wrap(documents_ops.embedding_pca_quality)
+    q["source_quality_ols"] = _wrap(documents_ops.source_quality_ols)
+    q["orders_constraint_report"] = _wrap(
+        analytics.orders_constraint_report
+    )
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies

@@ -1,0 +1,93 @@
+"""Grouped ordinary least squares via SUFFICIENT STATISTICS — the
+closed-form regression an analytics engine computes in one grouped
+aggregation (n, Σx, Σy, Σxy, Σx², Σy² per group), never an iterative
+solver: at 100 TB the statistics partially aggregate map-side and the
+model algebra runs on group-count-many rows.
+
+Cross-engine determinism (the repo's exact-sum discipline): inputs
+cast to DECIMAL(18,6) (exact for 6-dp-rounded values), products to
+DECIMAL(28,12) (a scale-6 × scale-6 product has scale 12 EXACTLY, so
+the downcast never rounds; 18+18-wide multiplies stay under both
+engines' 38-digit cap), decimal sums are order-independent — and the
+slope/intercept/R² algebra is
+the SAME double expression over those exact sums in both engines, so
+results are bit-identical and hash-oracle-able (unlike an iterative
+fit, whose float trajectory diverges across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC_IN = "decimal(18,6)"
+_DEC_PROD = "decimal(28,12)"
+
+
+def grouped_ols(
+    df: DataFrame, group_cols: list[str], x: Column, y: Column
+) -> DataFrame:
+    """Per-group OLS of ``y`` on ``x``: returns (group…, n, slope,
+    intercept, r2), each a deterministic double derived from exact
+    decimal sums. Groups with zero x-variance emit NULL
+    slope/intercept/r2 (vertical fit undefined); r2 is NULL when y
+    has zero variance."""
+    xd, yd = x.cast(_DEC_IN), y.cast(_DEC_IN)
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.sum((xd * yd).cast(_DEC_PROD)).cast("double").alias("_sxy"),
+        F.sum((xd * xd).cast(_DEC_PROD)).cast("double").alias("_sxx"),
+        F.sum((yd * yd).cast(_DEC_PROD)).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    cov_n = n * sxy - sx * sy
+    slope = F.when(den_x > 0, cov_n / den_x)
+    intercept = F.when(den_x > 0, (sy - (cov_n / den_x) * sx) / n)
+    r2 = F.when(
+        (den_x > 0) & (den_y > 0), (cov_n * cov_n) / (den_x * den_y)
+    )
+    return stats.select(
+        *group_cols, "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+#: oracle fragment builder: the identical algebra in DuckDB SQL
+def ols_oracle_sql(
+    table_expr: str, group_cols: str, x_expr: str, y_expr: str
+) -> str:
+    return f"""
+        WITH stats AS (
+          SELECT {group_cols}, count(*) AS n,
+                 CAST(sum(CAST({x_expr} AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST({y_expr} AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(CAST({x_expr} AS DECIMAL(18,6))
+                      * CAST({y_expr} AS DECIMAL(18,6))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(CAST({x_expr} AS DECIMAL(18,6))
+                      * CAST({x_expr} AS DECIMAL(18,6))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(CAST({y_expr} AS DECIMAL(18,6))
+                      * CAST({y_expr} AS DECIMAL(18,6))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS syy
+          FROM {table_expr} GROUP BY {group_cols}
+        )
+        SELECT {group_cols}, n,
+               round(CASE WHEN n*sxx - sx*sx > 0
+                 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+               round(CASE WHEN n*sxx - sx*sx > 0
+                 THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                      / CAST(n AS DOUBLE) END, 6) AS intercept,
+               round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                 THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                      / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+        FROM stats
+    """

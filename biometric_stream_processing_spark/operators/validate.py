@@ -1,0 +1,135 @@
+"""Declarative DATA-VALIDATION rules (the Deequ/Great-Expectations
+surface a batch engine ships for ingestion gates): a rule list
+evaluates to one (rule, n_violations) row per rule.
+
+Rule kinds and their plans:
+
+* ``not_null`` / ``in_range`` / ``in_set`` / ``matches`` — row
+  predicates; ALL of them fold into ONE shared scan-aggregation pass
+  (a conditional count per rule), however many are declared.
+* ``unique`` — needs a grouped count (one shuffle on the key);
+  violations = Σ(extra copies) = n − distinct.
+* ``foreign_key`` — a broadcast LEFT ANTI join against the (small)
+  referenced key set; violations = orphan rows. At 100 TB the dim
+  side is the broadcast and the fact side never shuffles.
+
+The report is a UNION of those sub-aggregates — each a 1-row frame —
+so the validation cost is one fact scan + one scan per unique rule +
+one per FK rule, independent of the rule count within each class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str                       # not_null|in_range|in_set|matches|
+                                    # unique|foreign_key
+    col: str = ""
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str = ""
+    ref: str = ""                   # FK: referenced frame key column
+    params: dict = field(default_factory=dict)
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "not_null", col)
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    return Rule(f"in_range({col},{lo},{hi})", "in_range", col, lo, hi)
+
+
+def in_set(col: str, *values) -> Rule:
+    return Rule(
+        f"in_set({col})", "in_set", col, values=tuple(values)
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"matches({col})", "matches", col, pattern=pattern)
+
+
+def unique(col: str) -> Rule:
+    return Rule(f"unique({col})", "unique", col)
+
+
+def foreign_key(col: str, ref_col: str) -> Rule:
+    return Rule(f"fk({col}->{ref_col})", "foreign_key", col,
+                ref=ref_col)
+
+
+def _violation_pred(r: Rule) -> Column:
+    c = F.col(r.col)
+    if r.kind == "not_null":
+        return c.isNull()
+    if r.kind == "in_range":
+        return c.isNull() | (c < r.lo) | (c > r.hi)
+    if r.kind == "in_set":
+        return c.isNull() | ~c.isin(*r.values)
+    if r.kind == "matches":
+        return c.isNull() | ~c.rlike(r.pattern)
+    raise ValueError(r.kind)
+
+
+def constraint_report(
+    df: DataFrame,
+    rules: list[Rule],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate ``rules`` against ``df``; ``refs`` maps a
+    ``foreign_key`` rule's ``ref`` name to the referenced frame
+    (single key column). Output (rule, n_violations), one row per
+    rule in declaration order (rule names carry the order)."""
+    refs = refs or {}
+    row_rules = [r for r in rules
+                 if r.kind in ("not_null", "in_range", "in_set",
+                               "matches")]
+    parts: list[DataFrame] = []
+    if row_rules:
+        aggs = [
+            F.sum(_violation_pred(r).cast("long")).alias(r.name)
+            for r in row_rules
+        ]
+        one = df.agg(*aggs)
+        stacked = ", ".join(
+            f"'{r.name}', `{r.name}`" for r in row_rules
+        )
+        parts.append(one.select(F.expr(
+            f"stack({len(row_rules)}, {stacked}) AS "
+            "(rule, n_violations)"
+        )))
+    for r in rules:
+        if r.kind == "unique":
+            parts.append(
+                df.agg(
+                    (F.count(r.col) - F.countDistinct(r.col))
+                    .alias("n_violations")
+                ).select(
+                    F.lit(r.name).alias("rule"), "n_violations"
+                )
+            )
+        elif r.kind == "foreign_key":
+            ref_df = refs[r.ref].select(
+                F.col(refs[r.ref].columns[0]).alias("_k")
+            ).distinct()
+            orphans = df.where(F.col(r.col).isNotNull()).join(
+                F.broadcast(ref_df),
+                F.col(r.col) == F.col("_k"),
+                "left_anti",
+            )
+            parts.append(orphans.agg(
+                F.count("*").alias("n_violations")
+            ).select(F.lit(r.name).alias("rule"), "n_violations"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -486,6 +486,47 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: in_range bound for o_totalprice — deliberately INSIDE the data
+#: range so the rule actually fires (a report of all-zeros proves
+#: nothing about the violation counting)
+PRICE_CAP = 400_000.0
+
+
+def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-VALIDATION report over orders
+    (operators/validate.constraint_report — the Deequ-style ingestion
+    gate): null/uniqueness/domain/pattern/range/referential rules in
+    one pass each per rule class (all row-predicate rules share ONE
+    scan-aggregation; the FK check is a broadcast anti-join; unique
+    is one keyed aggregate). ``in_range`` is set inside the data's
+    actual price range so the report carries real non-zero violation
+    counts. ROUND-6 GATE QUEUE."""
+    from ..operators.validate import (
+        constraint_report,
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        foreign_key("o_custkey", "customer"),
+        in_range("o_totalprice", 0.0, PRICE_CAP),
+        in_set("o_orderstatus", "O", "F", "P"),
+        matches("o_orderpriority", "^[1-5]-"),
+        not_null("o_orderdate"),
+    ]
+    return constraint_report(
+        o, rules, refs={"customer": c.select("c_custkey")}
+    )
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 
@@ -513,6 +554,45 @@ def _profile_oracle() -> str:
 ORACLE = {
     # ROUND-6 GATE QUEUE (query not registered yet — prefix full)
     "orders_profile": _profile_oracle(),
+    "orders_constraint_report": f"""
+        SELECT 'not_null(o_orderkey)' AS rule,
+               CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+                 AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'fk(o_custkey->customer)',
+               CAST(count(*) FILTER (
+                 WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)
+                 AS BIGINT)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,{PRICE_CAP})',
+               CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                 OR o_totalprice < 0.0
+                 OR o_totalprice > {PRICE_CAP}) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'matches(o_orderpriority)',
+               CAST(count(*) FILTER (WHERE o_orderpriority IS NULL
+                 OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'not_null(o_orderdate)',
+               CAST(count(*) FILTER (WHERE o_orderdate IS NULL)
+                 AS BIGINT)
+        FROM orders
+    """,
     "disjunctive_revenue": f"""
         SELECT {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS revenue,
                count(*) AS n_lines

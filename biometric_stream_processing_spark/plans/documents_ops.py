@@ -826,6 +826,28 @@ def above_median_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS of quality score on document length
+    (operators/regression.grouped_ols — closed-form via exact-decimal
+    sufficient statistics, never an iterative solver): the curation
+    diagnostic "does longer mean better in source X?" with slope,
+    intercept and R² per source. Fully hash-oracled — the statistics
+    are order-independent decimal sums and the model algebra is the
+    identical double expression in both engines (an iterative fit
+    could never hash-match). Rows with undefined quality (empty docs)
+    are excluded on both sides. ROUND-6 GATE QUEUE."""
+    from ..operators.regression import grouped_ols
+
+    q = doc_lang_quality(spark, sf_dir).where(
+        F.col("quality_score").isNotNull()
+    ).select("doc_id", "quality_score")
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    joined = q.join(d, "doc_id")
+    return grouped_ols(
+        joined, ["source"], F.col("n_chars"), F.col("quality_score")
+    )
+
+
 PCA_K = 8
 
 
@@ -1568,6 +1590,19 @@ ORACLE["cross_modal_dup_agreement"] = f"""
     LEFT JOIN ({ORACLE["embedding_dup_clusters"]}) cb
            ON p.id_b = cb.vec_id
 """
+
+# OLS twin: the identical sufficient-statistics algebra via the
+# shared fragment builder (operators/regression.ols_oracle_sql),
+# composed over the doc_lang_quality oracle. ROUND-6 GATE QUEUE.
+from ..operators.regression import ols_oracle_sql as _ols_sql  # noqa: E402
+
+ORACLE["source_quality_ols"] = _ols_sql(
+    f"""(SELECT q.quality_score, d2.source, d2.n_chars
+         FROM ({ORACLE["doc_lang_quality"]}) q
+         JOIN documents d2 ON q.doc_id = d2.doc_id
+         WHERE q.quality_score IS NOT NULL)""",
+    "source", "n_chars", "quality_score",
+)
 
 # PCA twin: the guarantees as literal truth (eigendecomposition is
 # not SQL-expressible — the HLL bounded-oracle pattern; every boolean

@@ -1,0 +1,70 @@
+"""Tests for operators/regression.grouped_ols — exact closed-form
+answers on hand data, numpy cross-check, and the degenerate-variance
+contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.regression import (
+    grouped_ols,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double, y double")
+
+
+def test_perfect_line_recovered_exactly(spark):
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    out = grouped_ols(
+        _df(spark, rows), ["g"], F.col("x"), F.col("y")
+    ).collect()[0]
+    assert (out.slope, out.intercept, out.r2) == (2.0, 3.0, 1.0)
+    assert out.n == 10
+
+
+def test_matches_numpy_polyfit_per_group(spark):
+    data = {
+        "a": [(0, 1.1), (1, 1.9), (2, 3.2), (3, 3.8), (4, 5.1)],
+        "b": [(0, 5.0), (1, 4.2), (2, 2.9), (3, 2.1)],
+    }
+    rows = [
+        (g, float(x), float(y))
+        for g, pts in data.items() for x, y in pts
+    ]
+    out = {
+        r.g: r
+        for r in grouped_ols(
+            _df(spark, rows), ["g"], F.col("x"), F.col("y")
+        ).collect()
+    }
+    for g, pts in data.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert out[g].slope == pytest.approx(slope, abs=1e-6)
+        assert out[g].intercept == pytest.approx(intercept, abs=1e-6)
+        assert out[g].r2 == pytest.approx(r * r, abs=1e-6)
+
+
+def test_zero_x_variance_yields_nulls(spark):
+    rows = [("a", 5.0, float(y)) for y in range(4)]
+    out = grouped_ols(
+        _df(spark, rows), ["g"], F.col("x"), F.col("y")
+    ).collect()[0]
+    assert out.slope is None and out.intercept is None and out.r2 is None
+
+
+def test_zero_y_variance_fits_flat_line_with_null_r2(spark):
+    rows = [("a", float(x), 7.0) for x in range(5)]
+    out = grouped_ols(
+        _df(spark, rows), ["g"], F.col("x"), F.col("y")
+    ).collect()[0]
+    assert out.slope == 0.0
+    assert out.intercept == 7.0
+    assert out.r2 is None

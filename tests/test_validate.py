@@ -1,0 +1,61 @@
+"""Tests for operators/validate.constraint_report — every rule kind
+against a hand frame with KNOWN violation counts (including nulls,
+range edges, FK orphans and duplicate keys)."""
+
+from __future__ import annotations
+
+from biometric_stream_processing_spark.operators.validate import (
+    constraint_report,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+
+
+def test_every_rule_kind_counts_exactly(spark):
+    rows = [
+        # (k, price, status, code)
+        (1, 10.0, "O", "1-A"),
+        (1, 20.0, "F", "2-B"),      # duplicate key
+        (2, None, "X", "9-C"),      # null price, bad status+code
+        (3, 150.0, "O", None),      # out of range, null code
+        (None, 50.0, None, "3-D"),  # null key + status
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, price double, status string, code string"
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    rules = [
+        not_null("k"),
+        unique("k"),
+        foreign_key("k", "ref"),
+        in_range("price", 0.0, 100.0),
+        in_set("status", "O", "F"),
+        matches("code", "^[1-5]-"),
+    ]
+    out = {
+        r.rule: r.n_violations
+        for r in constraint_report(df, rules, {"ref": ref}).collect()
+    }
+    assert out == {
+        "not_null(k)": 1,
+        "unique(k)": 1,            # one extra copy of k=1
+        "fk(k->ref)": 1,           # k=3 orphan (null k not counted)
+        "in_range(price,0.0,100.0)": 2,   # null + 150
+        "in_set(status)": 2,       # X + null
+        "matches(code)": 2,        # 9-C + null
+    }
+
+
+def test_clean_frame_reports_all_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 6.0)], "k long, price double"
+    )
+    out = constraint_report(
+        df, [not_null("k"), unique("k"), in_range("price", 0.0, 10.0)]
+    ).collect()
+    assert all(r.n_violations == 0 for r in out)
+    assert len(out) == 3
