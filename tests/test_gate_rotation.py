@@ -156,3 +156,21 @@ def test_changed_queries_reenter_the_gate_window():
         f"tail entries whose implementation/oracle changed since the "
         f"last round: {parked_changed} — front-load them"
     )
+
+
+def test_queue_registry_consistency():
+    """The round-6 queue must be registrable as-is: disjoint from the
+    registered set, every entry oracled (or an explicitly documented
+    rows-only case — currently none), and wrapped with the same
+    tune_session contract (the __wrapped__ attr gate_sources hashes)."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    queued = entrymod.queued_queries()
+    registered = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(queued).isdisjoint(registered)
+    assert [n for n in queued if n not in oracles] == []
+    assert all(hasattr(fn, "__wrapped__") for fn in queued.values())
