@@ -58,19 +58,25 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(ws: Column, n: int = 2) -> Column:
-    """Word n-gram shingles from a words array (1-indexed element_at,
-    mirroring SQL list indexing). Documents with fewer than ``n`` words
-    yield an empty array — without the guard, ``F.sequence(1, size-n+1)``
-    would produce a DESCENDING range and ``element_at`` index 0 throws.
-    """
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]
-        ),
+    """Word n-gram shingles from a words array. Built as a transform
+    over ``arrays_zip`` of ``n`` SLICES (each shifted by one) rather
+    than lambda-indexed ``element_at`` — identical output, measured
+    ~6× faster at sf0.1 (n=2: 3.6→0.6 s, n=3: 5.2→0.9 s for the
+    corpus gram aggregation): per-element indexed array access inside
+    a higher-order lambda is the interpreted-expression class of the
+    winnowing ~300× dead end, while slice+zip is n vectorized copies
+    and the remaining lambda only concatenates adjacent struct
+    fields. Documents with fewer than ``n`` words yield an empty
+    array (the slice lengths would go non-positive without the
+    guard)."""
+    m = F.size(ws)
+    z = F.arrays_zip(
+        *[F.slice(ws, k + 1, m - (n - 1)).alias(f"w{k}") for k in range(n)]
     )
-    return F.when(F.size(ws) >= n, grams).otherwise(
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)])
+    )
+    return F.when(m >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

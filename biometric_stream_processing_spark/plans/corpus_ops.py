@@ -230,20 +230,27 @@ def unigram_counts(df: DataFrame) -> DataFrame:
     return tok.groupBy("word").agg(F.count("*").alias("_cw"))
 
 
+def bigram_structs(ws) -> "F.Column":
+    """array<struct<prev, cur>> of consecutive word pairs via
+    ``arrays_zip`` of two SLICES — measured 7× faster at sf0.1 than
+    the per-element ``element_at`` transform lambda (0.6 s vs 4.1 s
+    for the count aggregation: lambda-indexed array access is the
+    same interpreted-expression class as the winnowing ~300× dead
+    end; slice+zip is one vectorized copy)."""
+    n = F.size(ws)
+    return F.arrays_zip(
+        F.slice(ws, 1, n - 1).alias("prev"),
+        F.slice(ws, 2, n - 1).alias("cur"),
+    )
+
+
 def bigram_pair_counts(df: DataFrame) -> DataFrame:
     """(prev, cur, c_vw) corpus bigram counts — shared subtree, same
     contract as ``unigram_counts``."""
     ws = words(F.col("text"))
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(
-            F.element_at(ws, i).alias("prev"),
-            F.element_at(ws, i + 1).alias("cur"),
-        ),
-    )
     return (
         df.where(F.size(ws) >= 2)
-        .select(F.explode(bg).alias("_b"))
+        .select(F.explode(bigram_structs(ws)).alias("_b"))
         .select("_b.prev", "_b.cur")
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("c_vw"))
@@ -272,16 +279,9 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
     than 2 words emit no row. ROUND-6 GATE QUEUE (round-5 prefix
     full; see ``__spark_entry__.queries``)."""
     ws = words(F.col("text"))
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(
-            F.element_at(ws, i).alias("prev"),
-            F.element_at(ws, i + 1).alias("cur"),
-        ),
-    )
     bigrams = (
         df.where(F.size(ws) >= 2)
-        .select("doc_id", F.explode(bg).alias("_b"))
+        .select("doc_id", F.explode(bigram_structs(ws)).alias("_b"))
         .select("doc_id", "_b.prev", "_b.cur")
         .localCheckpoint(eager=False)
     )
