@@ -144,8 +144,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # built, oracled, unit-tested and locally hash-verified in
         # round 5 but not registrable then: prefix full). Front-load:
         # (1) every never-verified query, (2) any entry whose source
-        # changed, (3) the oldest-verified entries, filling the
-        # 50-entry prefix. NOTE the registry will then exceed 100
+        # changed — INCLUDING the transitive-helper case the
+        # fingerprint file cannot see: the round-5 shingles()
+        # vectorization (functions/text.py) sits under the parked
+        # doc_repetition_stats / decontaminated_train_docs /
+        # training_corpus, so front-load those three in round 6 even
+        # though GATE_SOURCES is unchanged (all 93 registered queries
+        # were re-verified hash-green locally after the change —
+        # evidence, not exemption), (3) the oldest-verified entries,
+        # filling the 50-entry prefix. NOTE the registry will then exceed 100
         # entries (93 + ~19 queued), so a strict two-round freshness
         # window is infeasible at a 50-entry gate cap — the enforced
         # policy (tests/test_gate_rotation.py) is the minimal
@@ -222,6 +229,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_quality_ols"] = _wrap(documents_ops.source_quality_ols)
     q["orders_constraint_report"] = _wrap(
         analytics.orders_constraint_report
+    )
+    q["multimodal_decode_png"] = _wrap(
+        documents_ops.multimodal_decode_png
     )
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(

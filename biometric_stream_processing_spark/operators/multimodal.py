@@ -85,6 +85,118 @@ def attach_wav(
     return df.select(id_col, text_col).mapInPandas(synth, schema=schema)
 
 
+PNG_W = 8
+
+
+def attach_png(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = PNG_W,
+) -> DataFrame:
+    """Synthesize a VALID 8-bit grayscale PNG per row (signature +
+    IHDR + zlib IDAT with filter-0 scanlines + CRC'd chunks — stdlib
+    zlib only) from the text column's UTF-8 bytes: the deterministic
+    COMPRESSED-codec fixture that lets the real ``decode_media`` PNG
+    branch be exercised and hash-oracled. Rows with fewer than one
+    scanline of bytes drop out."""
+    import struct
+    import zlib
+
+    schema = f"{id_col} long, content binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                data = t.encode("utf-8")
+                h = len(data) // width
+                if h == 0:
+                    continue
+                raw = b"".join(
+                    b"\x00" + data[r * width:(r + 1) * width]
+                    for r in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(synth, schema=schema)
+
+
+def _png_decode(b: bytes) -> tuple:
+    """Baseline PNG decoder (pure Python + stdlib zlib): 8-bit
+    grayscale / truecolor, non-interlaced, ALL five scanline filters
+    (None/Sub/Up/Average/Paeth). Returns (width, height, channels,
+    unfiltered pixel bytes)."""
+    import zlib
+
+    pos, w, h, ct, idat = 8, None, None, None, b""
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bitd, ct, inter = body[8], body[9], body[12]
+            if bitd != 8 or ct not in (0, 2) or inter != 0:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB non-interlaced PNG"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(idat)
+    bpp = 1 if ct == 0 else 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _row in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:      # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                est = a + up - c
+                pa, pb, pc = abs(est - a), abs(est - up), abs(est - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += line
+        prev = line
+    return w, h, bpp, bytes(out)
+
+
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
@@ -99,12 +211,18 @@ def decode_media(
     - ``P6`` PPM (binary RGB): header parse → width, height, pixel
       count, mean pixel byte value.
 
-    Compressed formats (JPEG/PNG/MP3/H.264 …) still raise
-    NotImplementedError per payload — they genuinely need codec
-    libraries this environment lacks; swapping in PIL/pyav changes
-    only ``_decode_one``. Emitted schema is format-generic with NULLs
-    where a field does not apply. Same Arrow/mapInPandas shape as the
-    featurizer: binary in, one stats row out per payload.
+    - baseline ``PNG`` (8-bit gray/RGB, non-interlaced; round 5):
+      chunk walk + stdlib-zlib inflate + full scanline unfiltering
+      (all five filters incl. Paeth) → width, height, pixel count,
+      mean component byte — a real COMPRESSED codec, closing part of
+      the former "compressed formats raise" boundary.
+
+    Codec formats needing libraries this environment lacks
+    (JPEG/MP3/H.264 …) still raise NotImplementedError per payload;
+    swapping in PIL/pyav changes only ``_decode_one``. Emitted schema
+    is format-generic with NULLs where a field does not apply. Same
+    Arrow/mapInPandas shape as the featurizer: binary in, one stats
+    row out per payload.
 
     Float parity: means round HALF-UP via Decimal, not Python's
     banker's ``round()`` — sample counts are often powers of two, so
@@ -165,9 +283,16 @@ def decode_media(
                 raise ValueError("truncated PPM pixel data")
             mean = _round6(sum(pix) / len(pix)) if pix else None
             return ("image/ppm", None, None, w, h, w * h, mean)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            # round-5: DEFLATE rides stdlib zlib, so PNG needs no
+            # external codec — full baseline decode (all 5 filters)
+            w, h, bpp, pix = _png_decode(b)
+            mean = _round6(sum(pix) / len(pix)) if pix else None
+            return ("image/png", None, None, w, h, w * h, mean)
         raise NotImplementedError(
-            "payload is not RIFF/WAVE PCM16 or P6 PPM; compressed media "
-            "needs a codec library not present in this environment"
+            "payload is not RIFF/WAVE PCM16, P6 PPM or baseline PNG; "
+            "other compressed media needs codec libraries not present "
+            "in this environment"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

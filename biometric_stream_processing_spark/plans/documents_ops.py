@@ -507,6 +507,29 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESIZE_W = 4
 RESIZE_H = 4
+#: PNG fixture width (operators/multimodal.PNG_W twin — kept as a
+#: module constant so the oracle f-string and the Spark query share
+#: one definition)
+MM_PNG_W = 8
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-codec decoder, hash-oracled end-to-end:
+    synthesize a valid zlib-compressed 8-bit grayscale PNG from each
+    document's UTF-8 bytes (operators/multimodal.attach_png), run it
+    through the real baseline PNG decoder (chunk walk + inflate +
+    full scanline unfiltering, ``decode_media``), emit per-payload
+    pixel stats. Round-trip through DEFLATE means DuckDB can recompute
+    the stats analytically from the original bytes (hex-decode fold —
+    the WAV twin's trick): compression is lossless, so mean(pixels) ==
+    mean(first width·height text bytes). ROUND-6 GATE QUEUE."""
+    from ..operators.multimodal import attach_png, decode_media
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return decode_media(attach_png(d, width=MM_PNG_W)).select(
+        "doc_id", "media_type", "width", "height",
+        "n_units", "mean_value",
+    )
 
 
 def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,6 +1831,28 @@ ORACLE["multimodal_decode_audio"] = f"""
                     ELSE ({_WAV_SAMPLE}) END))::DOUBLE / m, 6)
            END AS mean_value
     FROM b
+"""
+
+# PNG-decode twin: DEFLATE is lossless, so the decoded pixels are the
+# first PNG_W·h document bytes — the mean replays as the same
+# hex-decode fold as the WAV twin. ROUND-6 GATE QUEUE.
+_PNG_BYTE = (
+    "((strpos('0123456789ABCDEF', hx[2*i + 1]) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', hx[2*i + 2]) - 1))"
+)
+ORACLE["multimodal_decode_png"] = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             (octet_length(encode(text)) // {MM_PNG_W})::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, 'image/png' AS media_type,
+           {MM_PNG_W}::BIGINT AS width, h AS height,
+           ({MM_PNG_W} * h)::BIGINT AS n_units,
+           round(list_sum(list_transform(
+             range(0, ({MM_PNG_W} * h)::INTEGER), i -> {_PNG_BYTE}
+           ))::DOUBLE / ({MM_PNG_W} * h), 6) AS mean_value
+    FROM b WHERE h >= 1
 """
 
 # Resize twin: nearest-neighbor sampling replayed as integer index

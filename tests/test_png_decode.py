@@ -1,0 +1,118 @@
+"""Tests for the baseline PNG decoder (operators/multimodal._png_decode
++ attach_png): filter-by-filter round trips (an in-test ENCODER applies
+each PNG filter; the decoder must invert it exactly), RGB support,
+the synthesized-fixture path, and malformed-payload contracts."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from biometric_stream_processing_spark.operators.multimodal import (
+    PNG_W,
+    _png_decode,
+    attach_png,
+    decode_media,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png(w, h, ct, raw) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+def _filter_row(f, line, prev, bpp):
+    """PNG encoder-side filtering (the decoder's exact inverse)."""
+    out = bytearray([f])
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            v = line[i]
+        elif f == 1:
+            v = (line[i] - a) & 0xFF
+        elif f == 2:
+            v = (line[i] - b) & 0xFF
+        elif f == 3:
+            v = (line[i] - (a + b) // 2) & 0xFF
+        else:
+            est = a + b - c
+            pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            v = (line[i] - pred) & 0xFF
+        out.append(v)
+    return bytes(out)
+
+
+def _pixels(w, h, bpp, seed=3):
+    return bytes(
+        (i * 37 + seed * 11 + (i * i) % 251) % 256
+        for i in range(w * h * bpp)
+    )
+
+
+@pytest.mark.parametrize("flt", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ct,bpp", [(0, 1), (2, 3)])
+def test_each_filter_round_trips(flt, ct, bpp):
+    w, h = 5, 4
+    pix = _pixels(w, h, bpp)
+    stride = w * bpp
+    raw, prev = b"", bytes(stride)
+    for r in range(h):
+        line = pix[r * stride:(r + 1) * stride]
+        raw += _filter_row(flt, line, prev, bpp)
+        prev = line
+    got_w, got_h, got_bpp, got = _png_decode(_png(w, h, ct, raw))
+    assert (got_w, got_h, got_bpp) == (w, h, bpp)
+    assert got == pix
+
+
+def test_mixed_filters_per_row_round_trip():
+    w, h, bpp = 4, 5, 3
+    pix = _pixels(w, h, bpp, seed=9)
+    stride = w * bpp
+    raw, prev = b"", bytes(stride)
+    for r in range(h):
+        line = pix[r * stride:(r + 1) * stride]
+        raw += _filter_row(r % 5, line, prev, bpp)
+        prev = line
+    assert _png_decode(_png(w, h, 2, raw))[3] == pix
+
+
+def test_unsupported_features_raise():
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
+             + _chunk(b"IDAT", zlib.compress(b"\x00" * 9)))
+    with pytest.raises(NotImplementedError):
+        _png_decode(png16)
+    with pytest.raises(ValueError):
+        _png_decode(_png(2, 2, 0, b"\x00\x01\x02"))  # size mismatch
+    with pytest.raises(ValueError):
+        # filter byte 7 is invalid
+        _png_decode(_png(1, 1, 0, b"\x07\x10"))
+
+
+def test_attach_png_then_decode_recovers_text_bytes(spark):
+    texts = ["the quick brown fox jumps over the lazy dog", "tiny"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decode_media(attach_png(df)).collect()}
+    data = texts[0].encode()
+    h = len(data) // PNG_W
+    assert 1 not in out                       # "tiny" < one scanline
+    r = out[0]
+    assert (r.media_type, r.width, r.height) == ("image/png", PNG_W, h)
+    keep = data[: PNG_W * h]
+    assert r.mean_value == pytest.approx(
+        round(sum(keep) / len(keep), 6), abs=1e-9
+    )
