@@ -234,6 +234,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_decode_png"] = _wrap(
         documents_ops.multimodal_decode_png
     )
+    q["sql_nation_revenue"] = _wrap(analytics.sql_nation_revenue)
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies

@@ -527,6 +527,33 @@ def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NATION_REVENUE_SQL = """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-STRING API surface: the same ANSI text runs on the
+    registered views (``readers.register_views``) through
+    ``spark.sql`` AND in DuckDB as its own oracle — one query string,
+    two engines, hash-equal results. Proof the engine's SQL front end
+    is first-class (identical Catalyst plan to the DataFrame form:
+    broadcast dims, exact-decimal revenue sum). ROUND-6 GATE
+    QUEUE."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NATION_REVENUE_SQL)
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 
@@ -554,6 +581,8 @@ def _profile_oracle() -> str:
 ORACLE = {
     # ROUND-6 GATE QUEUE (query not registered yet — prefix full)
     "orders_profile": _profile_oracle(),
+    # the literal same SQL string the Spark query runs (ROUND-6 QUEUE)
+    "sql_nation_revenue": _NATION_REVENUE_SQL,
     "orders_constraint_report": f"""
         SELECT 'not_null(o_orderkey)' AS rule,
                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
