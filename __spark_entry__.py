@@ -235,6 +235,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         documents_ops.multimodal_decode_png
     )
     q["sql_nation_revenue"] = _wrap(analytics.sql_nation_revenue)
+    q["streaming_approx_users"] = _wrap(
+        streaming_pipeline.streaming_approx_users
+    )
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies
@@ -263,6 +266,13 @@ def oracle_sql() -> dict[str, str]:
     # streaming SCD-2: closed runs emit on state change, open runs on
     # sentinel timer flush — the union equals the batch relation
     o["streaming_state_history"] = timeseries_ops.ORACLE["user_state_history"]
+    # streaming approx-distinct: bounded oracle (sketches differ per
+    # engine) — the guarantee per (hourly window, type) as literal truth
+    o["streaming_approx_users"] = """
+        SELECT ((epoch_us(ts)//1000000) // 3600) * 3600 AS wstart,
+               event_type, true AS est_ok
+        FROM events GROUP BY 1, 2
+    """
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly

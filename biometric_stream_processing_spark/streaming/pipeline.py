@@ -759,6 +759,69 @@ def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: streaming approx-distinct bounded check: default HLL++ rsd = 5%,
+#: accept 3σ relative error with a small absolute slack for tiny groups
+APPROX_USERS_REL = 0.15
+APPROX_USERS_ABS = 3
+
+
+def streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE DISTINCT on streams: hourly tumbling windows per
+    event type with ``approx_count_distinct(user_id)`` — exact
+    ``countDistinct`` is UNSUPPORTED on streaming frames (its state
+    would be the full value set per group), so the HLL++ sketch IS
+    the stream-native cardinality path; its per-group state is the
+    fixed-size sketch regardless of user count — the property that
+    makes it deployable at 100 TB/day. Complete-mode snapshot over
+    the single-batch source.
+
+    Bounded oracle (the approx_distinct_bounds pattern — sketches
+    differ across engines): the STREAMED estimate is compared against
+    the exact batch distinct per (window, type) and the oracled value
+    is the tolerance check (3σ of the 5% default rsd + small-group
+    slack). ROUND-6 GATE QUEUE."""
+    import os
+    import uuid
+
+    from ..operators.windows import tumbling_window_start
+    from ..sources.readers import load_table
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        agg = (
+            src.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.approx_count_distinct("user_id").alias("_approx"))
+        )
+        name = "axu_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(
+            agg, name, scratch_dir("bspe_axu_"), output_mode="complete"
+        )
+    streamed = out.select(
+        F.unix_timestamp(F.col("window.start")).alias("wstart"),
+        "event_type", "_approx",
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            tumbling_window_start(F.col("ts"), 3600).alias("wstart"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("_exact"))
+    )
+    tol = F.greatest(
+        F.ceil(APPROX_USERS_REL * F.col("_exact")),
+        F.lit(APPROX_USERS_ABS),
+    )
+    return streamed.join(exact, ["wstart", "event_type"]).select(
+        "wstart", "event_type",
+        (F.abs(F.col("_approx") - F.col("_exact")) <= tol)
+        .alias("est_ok"),
+    )
+
+
 def streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ABSENCE detection (`A NOT FOLLOWED BY B WITHIN T`) —
     the CEP-negation twin of ``plans/events_ops.abandoned_clicks``,
