@@ -153,14 +153,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were re-verified hash-green locally after the change —
         # evidence, not exemption), (3) the oldest-verified entries,
         # filling the 50-entry prefix. NOTE the registry will then exceed 100
-        # entries (93 + 25 queued = 118), so a strict two-round freshness
+        # entries (93 + 27 queued = 120), so a strict two-round freshness
         # window is infeasible at a 50-entry gate cap — the enforced
         # policy (tests/test_gate_rotation.py) is the minimal
         # feasible K = ceil(N_registered / 50)-round rotation: at
-        # N≈118 every entry must be green within the last 3 recorded
+        # N≈120 every entry must be green within the last 3 recorded
         # rounds, and the prefix must always drain the oldest debt
-        # first. With 25 never-verified entries the round-6 prefix
-        # takes all 25 + the 25 oldest-verified (starting with the
+        # first. With 27 never-verified entries the round-6 prefix
+        # takes all 27 + the 23 oldest-verified (starting with the
         # three shingles-transitive entries named above); the r4-green tail
         # entries then get their turn in round 7 — inside the
         # 3-round window.

@@ -232,3 +232,39 @@ def test_rolling_median_hand_case(spark):
     # trailing-3 medians: [10], [10,30]→20, [10,30,20]→20,
     # [30,20,100]→30, [20,100,40]→40
     assert out == {1: 10.0, 2: 20.0, 3: 20.0, 4: 30.0, 5: 40.0}
+
+
+def test_state_history_matches_brute_force_random(spark):
+    """Property-style cross-check vs an independent Python evaluator
+    on md5-derived pseudo-random event streams."""
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).digest()[0]
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(25):
+            eid += 1
+            t = ["a", "b", "c"][h(f"{u}:{i}:t") % 3]
+            us = h(f"{u}:{i}:u") * 1000 + i  # jittered, unique per user
+            rows.append((eid, u, t, us, 0))
+    # independent evaluator
+    want = []
+    for u in range(4):
+        evs = sorted(
+            [(r[3], r[0], r[2]) for r in rows if r[1] == u]
+        )
+        runs = []
+        for us, _eid, t in evs:
+            if not runs or runs[-1][0] != t:
+                runs.append([t, us, 0])
+            runs[-1][2] += 1
+        for i, (t, frm, n) in enumerate(runs):
+            to = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((u, i + 1, t, frm, to, n))
+    got = sorted(
+        tuple(r) for r in state_history(_ev(spark, rows)).collect()
+    )
+    assert got == sorted(want)
