@@ -153,14 +153,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were re-verified hash-green locally after the change —
         # evidence, not exemption), (3) the oldest-verified entries,
         # filling the 50-entry prefix. NOTE the registry will then exceed 100
-        # entries (93 + 27 queued = 120), so a strict two-round freshness
+        # entries (93 + 29 queued = 122), so a strict two-round freshness
         # window is infeasible at a 50-entry gate cap — the enforced
         # policy (tests/test_gate_rotation.py) is the minimal
         # feasible K = ceil(N_registered / 50)-round rotation: at
-        # N≈120 every entry must be green within the last 3 recorded
+        # N≈122 every entry must be green within the last 3 recorded
         # rounds, and the prefix must always drain the oldest debt
-        # first. With 27 never-verified entries the round-6 prefix
-        # takes all 27 + the 23 oldest-verified (starting with the
+        # first. With 29 never-verified entries the round-6 prefix
+        # takes all 29 + the 21 oldest-verified (starting with the
         # three shingles-transitive entries named above); the r4-green tail
         # entries then get their turn in round 7 — inside the
         # 3-round window.
@@ -238,6 +238,10 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_approx_users"] = _wrap(
         streaming_pipeline.streaming_approx_users
     )
+    q["parse_props_variant"] = _wrap(events_ops.parse_props_variant)
+    q["streaming_native_dedup"] = _wrap(
+        streaming_pipeline.streaming_native_dedup
+    )
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(
         streaming_pipeline.streaming_anomalies
@@ -272,6 +276,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT ((epoch_us(ts)//1000000) // 3600) * 3600 AS wstart,
                event_type, true AS est_ok
         FROM events GROUP BY 1, 2
+    """
+    # native dropDuplicatesWithinWatermark over the twice-staged
+    # source collapses every duplicated event — the emission is the
+    # plain batch events relation
+    o["streaming_native_dedup"] = """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
     """
     # append mode + the watermark-flush sentinel (streaming/pipeline.py
     # _staged_events_dir_with_sentinel) closes every session, so the

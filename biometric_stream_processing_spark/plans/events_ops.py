@@ -391,6 +391,27 @@ def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing through Spark 4's VARIANT type — the
+    schema-on-read path for JSON whose shape is not known up front
+    (``parse_props_json`` is the schema-declared twin): ``parse_json``
+    builds the binary variant once, ``try_variant_get`` extracts
+    typed fields lazily (missing/mistyped paths → NULL, never an
+    error), and ``schema_of_variant`` reports the discovered shape
+    per row. At 100 TB the variant encoding is columnar-friendly
+    (shredded storage) where a raw JSON string re-parses per access.
+    ROUND-6 GATE QUEUE."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.schema_of_variant(v).alias("props_schema"),
+    )
+
+
 #: HLL relative-error tolerance (Datasketches default lgK=12 ⇒
 #: ~1.6% standard error; 5% is >3σ)
 HLL_REL_TOL = 0.05
@@ -439,6 +460,16 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
+    # ROUND-6 GATE QUEUE: the VARIANT path must agree with plain JSON
+    # extraction; props is {"k": <int>} throughout the testdata, so
+    # the discovered schema is the literal struct string
+    "parse_props_variant": """
+        SELECT event_id, user_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               CAST(NULL AS VARCHAR) AS missing,
+               'OBJECT<k: BIGINT>' AS props_schema
+        FROM events
+    """,
     # ROUND-6 GATE QUEUE: the accuracy guarantee as literal truth —
     # a correct lgK=12 sketch is within 5% with >3σ margin
     "hll_user_rollup": """

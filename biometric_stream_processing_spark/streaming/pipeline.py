@@ -759,6 +759,45 @@ def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming deduplication (`dropDuplicatesWithinWatermark`,
+    the engine's built-in twin of the custom registry/foreachBatch
+    dedup entries) over REAL duplicate traffic: the staged source
+    holds the events file TWICE, so every event arrives twice and the
+    operator must collapse each pair on ``event_id``. State per key
+    is dropped once the watermark passes the event time plus the
+    delay — the bounded-state contract that distinguishes this from
+    plain ``dropDuplicates`` (whose state never expires; the operator
+    exists precisely for the at-least-once-source dedup deployment).
+    The deduplicated emission equals the batch events relation —
+    exact-integer columns so the oracle hash-matches. ROUND-6 GATE
+    QUEUE."""
+    import os
+    import uuid
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        staged = scratch_dir("bspe_dup2_")
+        for alias in ("ev_a.parquet", "ev_b.parquet"):
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(staged, alias),
+            )
+        src = _events_stream_source(spark, staged, "*.parquet", ts_unit)
+        dd = (
+            src.withWatermark("ts", "0 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id", "user_id", "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        name = "ndd_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(dd, name, scratch_dir("bspe_ndd_"))
+    return out
+
+
 #: streaming approx-distinct bounded check: default HLL++ rsd = 5%,
 #: accept 3σ relative error with a small absolute slack for tiny groups
 APPROX_USERS_REL = 0.15
