@@ -393,3 +393,25 @@ def test_triangle_stats_no_cartesian_wedge_join(spark):
              or "SortMergeJoin" in l or "ShuffledHashJoin" in l
              or "BroadcastHashJoin" in l]
     assert any("HashJoin" in l or "SortMergeJoin" in l for l in joins), p
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The hint surface: the same logical join compiles to the hinted
+    physical strategy — merge forces SMJ where the dim would
+    otherwise broadcast, shuffle_hash forces a hash join build."""
+    from biometric_stream_processing_spark.sources.readers import (
+        load_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    p = _plan(o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"]))
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+    p = _plan(
+        o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    )
+    assert "ShuffledHashJoin" in p
+    p = _plan(
+        o.join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"])
+    )
+    assert "BroadcastHashJoin" in p

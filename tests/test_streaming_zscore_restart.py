@@ -1,0 +1,70 @@
+"""Restart golden for the streaming z-score scorer: stop the query
+mid-stream, restart from the same checkpoint, and assert the running
+(count, Σ, Σ²) state SURVIVED — a post-restart reading is scored
+against the full pre-restart history, and no pre-restart emission is
+duplicated (parquet sink + `_spark_metadata` exactly-once view)."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+)
+from biometric_stream_processing_spark.streaming.state import zscore_stream
+from tests.test_streaming import tmpdir  # noqa: F401
+from tests.test_streaming_zscore import _z
+
+T0 = datetime(2024, 1, 1)
+SCHEMA = "ts timestamp, event_id long, user_id long, value double"
+
+
+def _write(spark, indir, rows):
+    data = [
+        (T0 + timedelta(seconds=off), eid, uid, float(v))
+        for off, eid, uid, v in rows
+    ]
+    spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(indir))
+
+
+def _start(spark, indir, ckpt, outdir):
+    src = read_events_stream(
+        spark, str(indir), SCHEMA, max_files_per_trigger=1
+    )
+    out = zscore_stream(src, min_prior=2, threshold=2.0)
+    return (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt)).start()
+    )
+
+
+def test_running_stats_survive_restart(spark, tmpdir):  # noqa: F811
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    pre = [100, 120, 80]
+    _write(spark, indir, [(i, i + 1, 7, v) for i, v in enumerate(pre)])
+    q = _start(spark, indir, ckpt, outdir)
+    q.processAllAvailable(); q.stop()
+
+    _write(spark, indir, [(10, 9, 7, 500)])
+    q = _start(spark, indir, ckpt, outdir)   # same checkpoint
+    q.processAllAvailable(); q.stop()
+
+    rows = {
+        r.event_id: r
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    # exactly one row per event — nothing replayed twice
+    assert sorted(rows) == [1, 2, 3, 9]
+    post = rows[9]
+    assert post.n_prior == 3                 # full pre-restart history
+    cents = [v * 100 for v in pre]
+    assert post.z == pytest.approx(round(_z(cents, 50000), 6))
+    assert post.is_anomaly
