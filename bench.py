@@ -114,6 +114,13 @@ def main() -> None:
 
     spark = get_spark("bench", extra_confs=BENCH_CONFS)
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_QUEUED=1 appends the round-6 gate queue
+    # (queued_queries) — the one-flip integration path when the queue
+    # registers; queued entries run AFTER the registered set so
+    # first-consumer billing of shared subtrees stays comparable
+    # round-over-round.
+    if os.environ.get("SPARK_GRAFT_BENCH_QUEUED") == "1":
+        qs = {**qs, **entrymod.queued_queries()}
 
     # Warm the JVM + parquet footer caches with the flagship, and the
     # Python daemon/worker pool + Arrow lanes with the one
