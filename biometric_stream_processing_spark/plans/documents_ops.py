@@ -970,6 +970,45 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, centroids, nprobe=NPROBE, k=IVF_K)
 
 
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVALUATION in-engine: recall@k of the IVF index
+    against the exact brute-force ground truth — the measurement every
+    ANN deployment runs before trusting its index (the recall/nprobe
+    trade the IVF docstrings describe, quantified). One row:
+    (k, n_queries, avg_recall, min_recall); avg computed as
+    Σhits / (k·n_queries) over exact integer hit counts (an avg of
+    per-query ratios would sum inexact 1/3-thirds in engine-dependent
+    order). Both inputs are the already-audited deterministic topk
+    plans; the join is a semi join on (query, neighbor).
+    ROUND-6 GATE QUEUE."""
+    truth = embedding_topk(spark, sf_dir).where(
+        F.col("rank") <= IVF_K
+    ).select("query_id", "neighbor_id")
+    approx = embedding_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count("*").alias("_n_hit"))
+    )
+    per = (
+        truth.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce("_n_hit", F.lit(0).cast("long"))
+                .alias("_n_hit"))
+    )
+    return per.agg(
+        F.lit(IVF_K).alias("k"),
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("_n_hit").cast("double")
+            / (IVF_K * F.count("*")), 6
+        ).alias("avg_recall"),
+        F.round(F.min("_n_hit").cast("double") / IVF_K, 6)
+         .alias("min_recall"),
+    )
+
+
 KMEANS_ITER = 2
 
 
@@ -1626,6 +1665,34 @@ ORACLE["source_quality_ols"] = _ols_sql(
          WHERE q.quality_score IS NOT NULL)""",
     "source", "n_chars", "quality_score",
 )
+
+# ANN recall twin: both topk oracles composed as CTEs; exact integer
+# hit counts, Σhits/(k·n) division (order-independent).
+# ROUND-6 GATE QUEUE.
+ORACLE["ivf_recall_report"] = f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id
+      FROM ({ORACLE["embedding_topk"]}) WHERE rank <= {IVF_K}
+    ), appr AS (
+      SELECT query_id, neighbor_id
+      FROM ({ORACLE["embedding_ivf_topk"]})
+    ), hit AS (
+      SELECT t.query_id, count(*) AS n_hit
+      FROM truth t JOIN appr a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY t.query_id
+    ), per AS (
+      SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit
+      FROM (SELECT DISTINCT query_id FROM truth) q
+      LEFT JOIN hit h ON q.query_id = h.query_id
+    )
+    SELECT {IVF_K} AS k, count(*) AS n_queries,
+           round(CAST(sum(n_hit) AS DOUBLE)
+                 / ({IVF_K} * count(*)), 6) AS avg_recall,
+           round(CAST(min(n_hit) AS DOUBLE) / {IVF_K}, 6)
+             AS min_recall
+    FROM per
+"""
 
 # PCA twin: the guarantees as literal truth (eigendecomposition is
 # not SQL-expressible — the HLL bounded-oracle pattern; every boolean
