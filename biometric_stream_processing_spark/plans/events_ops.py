@@ -391,6 +391,42 @@ def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dynamic session gaps: a purchase closes the visit quickly, other
+#: activity keeps it open for the full window
+DYN_GAP_PURCHASE_S = 1800
+DYN_GAP_DEFAULT_S = 7200
+
+
+def dynamic_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 with a PER-EVENT gap — the native ``session_window`` with a
+    COLUMN gap expression (Spark 3.2+'s dynamic-gap form): a purchase
+    extends its session by only ``DYN_GAP_PURCHASE_S`` while any other
+    event holds it open for ``DYN_GAP_DEFAULT_S`` — the
+    "checkout ends the visit sooner" sessionization no fixed gap can
+    express. Each event contributes the interval [ts, ts+gap(event));
+    overlapping intervals merge.
+
+    The oracle generalizes the fixed-gap gaps-and-islands SQL: a new
+    session starts when the event time reaches the RUNNING MAX of all
+    prior interval ends (a plain lag() is wrong here — with unequal
+    gaps an earlier event can hold the session open longer than its
+    successor). ROUND-6 GATE QUEUE."""
+    ev = _events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{DYN_GAP_PURCHASE_S} seconds"),
+    ).otherwise(F.lit(f"{DYN_GAP_DEFAULT_S} seconds"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            epoch_seconds(F.col("session_window.start")).alias("start_es"),
+            "n_events",
+        )
+    )
+
+
 def parse_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing through Spark 4's VARIANT type — the
     schema-on-read path for JSON whose shape is not known up front
@@ -460,6 +496,36 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
+    # ROUND-6 GATE QUEUE: dynamic-gap sessionization — running-max-of-
+    # interval-ends islands (lag() is wrong with unequal gaps)
+    "dynamic_session_stats": f"""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase'
+                      THEN {DYN_GAP_PURCHASE_S}::BIGINT * 1000000
+                      ELSE {DYN_GAP_DEFAULT_S}::BIGINT * 1000000
+                 END AS gap_us
+          FROM events
+        ), flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN max(us + gap_us) OVER w IS NULL
+                       OR us >= max(us + gap_us) OVER w
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+        ), sessions AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(us) // 1000000 AS start_es,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
     # ROUND-6 GATE QUEUE: the VARIANT path must agree with plain JSON
     # extraction; props is {"k": <int>} throughout the testdata, so
     # the discovered schema is the literal struct string

@@ -268,3 +268,49 @@ def test_state_history_matches_brute_force_random(spark):
         tuple(r) for r in state_history(_ev(spark, rows)).collect()
     )
     assert got == sorted(want)
+
+
+def test_dynamic_session_gap_semantics(spark):
+    """Dynamic-gap session_window: a purchase holds its session open
+    only briefly, and an earlier LONG-gap event can keep the session
+    alive past a short-gap successor (the running-max-of-ends case a
+    lag()-based islands query gets wrong)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from biometric_stream_processing_spark.plans.events_ops import (
+        DYN_GAP_DEFAULT_S,
+        DYN_GAP_PURCHASE_S,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchase at t=0 (gap 1800); next at t=3000 > 1800
+        # → splits, although the DEFAULT gap would have merged
+        (T0, 1, "purchase"),
+        (T0 + timedelta(seconds=3000), 1, "view"),
+        # user 2: view at t=0 (gap 7200) then purchase at t=100
+        # (gap 1800, ends 1900) then view at t=3000 — the purchase's
+        # own window is over, but the FIRST view still holds the
+        # session (running max end = 7200) → ONE session
+        (T0, 2, "view"),
+        (T0 + timedelta(seconds=100), 2, "purchase"),
+        (T0 + timedelta(seconds=3000), 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{DYN_GAP_PURCHASE_S} seconds"),
+    ).otherwise(F.lit(f"{DYN_GAP_DEFAULT_S} seconds"))
+    out = (
+        df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert sorted(per_user[1]) == [1, 1]   # split by the purchase gap
+    assert per_user[2] == [3]              # held open by the first view
