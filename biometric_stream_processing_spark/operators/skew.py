@@ -40,3 +40,48 @@ def salted_distinct_count(
         partial.groupBy(*group_cols)
         .agg(F.sum("_pd").alias(out_col))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Manual HOT-KEY SALTED equi-join (the pre-AQE skew pattern,
+    still the tool when skew is KNOWN up front or AQE is unavailable
+    — e.g. inside a streaming micro-batch plan, where AQE's runtime
+    re-planning does not apply): fact rows carrying a hot key get a
+    value-derived salt in [0, n_salts), the dim side REPLICATES its
+    hot rows once per salt, and the join key becomes (key, salt) — so
+    one hot key's rows spread over ``n_salts`` reducers instead of
+    one. Cold keys keep salt 0 on both sides (no replication).
+
+    The salt is ``xxhash64`` of a PAYLOAD column expression — here a
+    monotonically unique row id would break determinism, so we hash
+    the fact row's full tuple via ``xxhash64(*cols)``: deterministic
+    per row content, uniform across salts. Result is row-for-row
+    equal to the plain join (unit-tested and hash-oracled against
+    it)."""
+    hot_arr = F.array(*[F.lit(k) for k in hot_keys])
+    f_salt = F.when(
+        F.array_contains(hot_arr, F.col(key)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+               F.lit(n_salts)),
+    ).otherwise(F.lit(0)).cast("int")
+    f = fact.withColumn("_salt", f_salt)
+    d_cold = dim.where(
+        ~F.array_contains(hot_arr, F.col(key))
+    ).withColumn("_salt", F.lit(0).cast("int"))
+    d_hot = (
+        dim.where(F.array_contains(hot_arr, F.col(key)))
+        .withColumn("_s", F.explode(F.sequence(F.lit(0),
+                                               F.lit(n_salts - 1))))
+        .withColumn("_salt", F.col("_s").cast("int"))
+        .drop("_s")
+    )
+    return (
+        f.join(d_cold.unionByName(d_hot), [key, "_salt"])
+        .drop("_salt")
+    )

@@ -554,6 +554,35 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NATION_REVENUE_SQL)
 
 
+#: custkeys declared hot for the salted-join demonstration (the
+#:  pattern needs KNOWN hot keys; any values work for correctness)
+SALTED_HOT_KEYS = [1, 2, 3]
+
+
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANUAL SKEW-SALTED JOIN (operators/skew.salted_join — the
+    known-hot-key pattern for when AQE's runtime skew split is
+    unavailable, e.g. streaming micro-batch plans): orders⋈customer
+    with declared hot custkeys salted across 8 reducers and the dim's
+    hot rows replicated per salt, then the per-segment revenue
+    rollup. Row-for-row equal to the plain join — the oracle IS the
+    plain join, so the hash check proves the salting exact.
+    ROUND-6 GATE QUEUE."""
+    from ..operators.skew import salted_join
+    from .events_ops import dsum
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c,
+        "c_custkey", SALTED_HOT_KEYS,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 
@@ -583,6 +612,13 @@ ORACLE = {
     "orders_profile": _profile_oracle(),
     # the literal same SQL string the Spark query runs (ROUND-6 QUEUE)
     "sql_nation_revenue": _NATION_REVENUE_SQL,
+    # the salted join must equal the PLAIN join (ROUND-6 QUEUE)
+    "salted_segment_revenue": f"""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               {_DSUM.format(e='o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "orders_constraint_report": f"""
         SELECT 'not_null(o_orderkey)' AS rule,
                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)

@@ -618,3 +618,42 @@ def test_above_median_length_docs_is_strict_upper_half(spark):
     kept = Counter(r.source for r in rows)
     for src, n in kept.items():
         assert n <= per_src_total[src] / 2
+
+
+def test_salted_join_row_equal_to_plain_join(spark):
+    from biometric_stream_processing_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate([1, 1, 1, 1, 2, 3, 3, 4, 5] * 3)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 7)], "k long, attr string"
+    )
+    plain = sorted(
+        tuple(r) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "k", [1, 3], n_salts=4).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_replicates_only_hot_dim_rows(spark):
+    from pyspark.sql import functions as F
+
+    from biometric_stream_processing_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 0), (2, 1)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+    out = salted_join(fact, dim, "k", [1], n_salts=8)
+    # exactness regardless of replication: one output row per fact row
+    assert out.count() == 2
+    assert {r.attr for r in out.collect()} == {"a", "b"}
