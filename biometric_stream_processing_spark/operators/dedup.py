@@ -603,3 +603,69 @@ def triangle_stats(edges: DataFrame,
             F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PAGERANK over an undirected pair graph (treated bidirected) —
+    the importance measure a dedup pipeline reads off its similarity
+    graph (a high-rank member of a near-dup cluster is the "most
+    connected" representative candidate; the triangle/clustering twin
+    of this is ``triangle_stats``). Fixed ``iters`` SYNCHRONOUS
+    iterations from the uniform vector — deterministic by
+    construction, so the whole computation hash-oracles against an
+    unrolled SQL replay (the k-means unrolled-CTE recipe).
+
+    Cross-engine float discipline: per-edge contributions round to
+    12 dp and sum in exact DECIMAL (order-independent — a plain
+    double sum would vary with partitioning), and each iteration's
+    rank rounds to 9 dp before feeding the next; every remaining
+    operation is the identical IEEE expression in both engines.
+    Every node of the symmetrized graph has degree ≥ 1, so there is
+    no dangling-mass term.
+
+    Plan per iteration: one join (ranks ⋈ out-edges on src) + one
+    keyed aggregation on dst — the standard mass-passing shape; at
+    ``iters`` = 3 the chain stays one lazy plan (no checkpoint
+    needed; the components loop's lineage concern starts an order of
+    magnitude deeper)."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)      # reused iters+1 times
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n_nodes = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    ranks = nodes.join(n_nodes).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("_deg"), 12).alias("_c"),
+            )
+        )
+        gathered = contrib.groupBy("dst").agg(
+            F.sum(F.col("_c").cast("decimal(28,15)")).cast("double")
+             .alias("_s")
+        )
+        ranks = gathered.join(n_nodes).select(
+            F.col("dst").alias("node"),
+            F.round(
+                (1 - damping) / F.col("_n") + damping * F.col("_s"), 9
+            ).alias("rank"),
+        )
+    return ranks

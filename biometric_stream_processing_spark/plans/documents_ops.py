@@ -893,6 +893,30 @@ def embedding_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the verified near-dup similarity graph
+    (operators/dedup.pagerank — fixed synchronous iterations,
+    exact-decimal mass sums): ranks the "most connected" members of
+    each near-dup neighborhood, the importance-based alternative to
+    the quality-argmax ``near_dup_representatives``. Deterministic by
+    construction (uniform start, fixed iteration count, 12-dp
+    contribution / 9-dp rank rounding), so the full computation
+    hash-oracles against a 3-level unrolled SQL replay — the k-means
+    unrolled-CTE recipe applied to a graph algorithm. ROUND-6 GATE
+    QUEUE."""
+    from ..operators.dedup import pagerank
+
+    return pagerank(
+        ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b"),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+
+
 WSAMPLE_CAP = 600              # weighted sample: P(doc) = n_chars/600
 MIX_TARGETS = {"src0": 10, "src1": 5, "src2": 3}   # curriculum quotas
 MIX_DEFAULT_N = 2              # quota for sources not named above
@@ -1665,6 +1689,49 @@ ORACLE["source_quality_ols"] = _ols_sql(
          WHERE q.quality_score IS NOT NULL)""",
     "source", "n_chars", "quality_score",
 )
+
+# PageRank twin: 3 unrolled mass-passing levels with the identical
+# rounding schedule; the teleport constant interpolates PYTHON's
+# exact (1 - damping) double repr so both engines use the same IEEE
+# value (a literal 0.15 differs from 1-0.85 in the last ulp).
+# ROUND-6 GATE QUEUE.
+_PR_TELEPORT = repr(1 - PAGERANK_DAMPING)
+
+
+def _pr_level(i: int) -> str:
+    return f"""
+    c{i} AS (
+      SELECT e.dst,
+             CAST(sum(CAST(round(r{i - 1}.rank / d.deg, 12)
+                  AS DECIMAL(28,15))) AS DOUBLE) AS s
+      FROM e0 e
+      JOIN r{i - 1} ON e.src = r{i - 1}.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT c{i}.dst AS node,
+             round({_PR_TELEPORT} / nn.n
+                   + {PAGERANK_DAMPING} * c{i}.s, 9) AS rank
+      FROM c{i}, nn
+    )"""
+
+
+ORACLE["dup_graph_pagerank"] = f"""
+    WITH p AS (
+      SELECT id_a, id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _pp
+    ), e0 AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e0 GROUP BY src
+    ), nn AS (
+      SELECT count(DISTINCT src) AS n FROM e0
+    ), r0 AS (
+      SELECT DISTINCT src AS node, 1.0 / nn.n AS rank FROM e0, nn
+    ), {", ".join(_pr_level(i) for i in range(1, PAGERANK_ITERS + 1))}
+    SELECT node, rank FROM r{PAGERANK_ITERS}
+"""
 
 # ANN recall twin: both topk oracles composed as CTEs; exact integer
 # hit counts, Σhits/(k·n) division (order-independent).

@@ -86,3 +86,51 @@ def test_pseudo_random_graphs_match_brute_force(spark):
             if h < 80:  # ~31% density
                 pairs.append((a, b))
         _check(spark, pairs)
+
+
+# ---------------------------------------------------------- pagerank
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a regular graph (triangle) the uniform vector is the exact
+    fixpoint — every iteration must return 1/3 per node."""
+    from biometric_stream_processing_spark.operators.dedup import (
+        pagerank,
+    )
+
+    out = pagerank(
+        _edges(spark, [(1, 2), (1, 3), (2, 3)]), iters=3
+    ).collect()
+    for r in out:
+        assert r.rank == round(1 / 3, 9)
+
+
+def test_pagerank_hub_outranks_leaves_and_mass_conserved(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        pagerank,
+    )
+
+    out = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, [(0, i) for i in range(1, 6)]), iters=3
+        ).collect()
+    }
+    assert all(out[0] > out[i] for i in range(1, 6))
+    leaf_ranks = {out[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1          # symmetry
+    assert abs(sum(out.values()) - 1.0) < 1e-6   # mass conserved
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        pagerank,
+    )
+    from itertools import combinations
+
+    pairs = [(a, b) for a, b in combinations(range(9), 2)
+             if (a * 7 + b * 3) % 4 != 0]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(7)
+    r1 = sorted(tuple(r) for r in pagerank(e1, iters=3).collect())
+    r2 = sorted(tuple(r) for r in pagerank(e2, iters=3).collect())
+    assert r1 == r2                      # exact-decimal sums: bit-equal
