@@ -669,3 +669,58 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    src_col: str = "node",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Multi-source BFS over an undirected pair graph: the hop
+    distance from each node to its NEAREST source (unweighted
+    shortest path), up to ``max_depth``. The dedup reading: distance
+    from a cluster's canonical member = how many near-dup hops
+    removed a document is — depth-2+ members are transitive-only
+    matches worth human review before deletion.
+
+    Execution: level-synchronous frontier expansion — iteration ``d``
+    joins the current frontier to the symmetrized edge list and
+    anti-joins already-visited nodes (each node is labeled exactly
+    once, at its first reach, which IS its minimum distance; no
+    re-visits, so total work is O(E · 1), not O(E · depth)). Driver
+    holds only the loop control (frontier count); the same
+    iterate-to-fixpoint shape as ``connected_components`` with the
+    same lazy localCheckpoint per level. Deterministic: the (node,
+    dist) relation of BFS is unique regardless of execution order."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = sources.select(
+        F.col(src_col).alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(
+                sym, frontier["node"] == sym["src"]
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

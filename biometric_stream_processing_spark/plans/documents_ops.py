@@ -893,6 +893,28 @@ def embedding_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_DEPTH = 10
+
+
+def dup_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS depths over the near-dup graph
+    (operators/dedup.bfs_levels): each node's hop distance to its
+    cluster's CANONICAL member (the component's min id — exactly the
+    ``cluster_id`` the memoized components computation already
+    assigns). Depth-2+ nodes are transitive-only matches (a~b, b~c
+    with a·c unverified) — the review queue before aggressive
+    deletion. Oracle: recursive-CTE walk with UNION (distinct)
+    semantics + min-per-node — level-synchronous frontier expansion
+    vs the textbook definition. ROUND-6 GATE QUEUE."""
+    from ..operators.dedup import bfs_levels
+
+    pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
+    canon = near_dup_clusters(spark, sf_dir).select(
+        F.col("cluster_id").alias("node")
+    ).distinct()
+    return bfs_levels(pairs, canon, max_depth=BFS_MAX_DEPTH)
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -1689,6 +1711,29 @@ ORACLE["source_quality_ols"] = _ols_sql(
          WHERE q.quality_score IS NOT NULL)""",
     "source", "n_chars", "quality_score",
 )
+
+# BFS twin: recursive walk with UNION (distinct) semantics from the
+# component-canonical sources, min dist per node. ROUND-6 GATE QUEUE.
+ORACLE["dup_graph_bfs_depths"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT id_a, id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _pb
+    ), e0 AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ), srcs AS (
+      SELECT DISTINCT cluster_id AS node
+      FROM ({ORACLE["near_dup_clusters"]}) _cc
+    ), walk(node, dist) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN e0 e ON w.node = e.src
+      WHERE w.dist < {BFS_MAX_DEPTH}
+    )
+    SELECT node, CAST(min(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+"""
 
 # PageRank twin: 3 unrolled mass-passing levels with the identical
 # rounding schedule; the teleport constant interpolates PYTHON's

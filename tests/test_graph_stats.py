@@ -134,3 +134,43 @@ def test_pagerank_deterministic_under_repartition(spark):
     r1 = sorted(tuple(r) for r in pagerank(e1, iters=3).collect())
     r2 = sorted(tuple(r) for r in pagerank(e2, iters=3).collect())
     assert r1 == r2                      # exact-decimal sums: bit-equal
+
+
+# --------------------------------------------------------------- BFS
+
+def test_bfs_chain_distances(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        bfs_levels,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.dist for r in bfs_levels(edges, srcs).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        bfs_levels,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    srcs = spark.createDataFrame([(1,), (5,)], "node long")
+    out = {r.node: r.dist for r in bfs_levels(edges, srcs).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_unreachable_nodes_absent_and_depth_cap(spark):
+    from biometric_stream_processing_spark.operators.dedup import (
+        bfs_levels,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (8, 9)])  # 8-9 disconnected
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.dist for r in bfs_levels(edges, srcs).collect()}
+    assert set(out) == {1, 2, 3}
+    capped = {
+        r.node: r.dist
+        for r in bfs_levels(edges, srcs, max_depth=1).collect()
+    }
+    assert set(capped) == {1, 2}         # 3 is beyond the cap
