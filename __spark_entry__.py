@@ -153,14 +153,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were re-verified hash-green locally after the change —
         # evidence, not exemption), (3) the oldest-verified entries,
         # filling the 50-entry prefix. NOTE the registry will then exceed 100
-        # entries (93 + 34 queued = 127), so a strict two-round freshness
+        # entries (93 + 35 queued = 128), so a strict two-round freshness
         # window is infeasible at a 50-entry gate cap — the enforced
         # policy (tests/test_gate_rotation.py) is the minimal
         # feasible K = ceil(N_registered / 50)-round rotation: at
-        # N≈127 every entry must be green within the last 3 recorded
+        # N≈128 every entry must be green within the last 3 recorded
         # rounds, and the prefix must always drain the oldest debt
-        # first. With 34 never-verified entries the round-6 prefix
-        # takes all 34 + the 16 oldest-verified (starting with the
+        # first. With 35 never-verified entries the round-6 prefix
+        # takes all 35 + the 15 oldest-verified (starting with the
         # three shingles-transitive entries named above); the r4-green tail
         # entries then get their turn in round 7 — inside the
         # 3-round window.
@@ -250,6 +250,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dup_graph_pagerank"] = _wrap(documents_ops.dup_graph_pagerank)
     q["dup_graph_bfs_depths"] = _wrap(
         documents_ops.dup_graph_bfs_depths
+    )
+    q["dedup_pipeline_report"] = _wrap(
+        documents_ops.dedup_pipeline_report
     )
     q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
     q["streaming_anomalies"] = _wrap(

@@ -893,6 +893,44 @@ def embedding_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIPELINE FUNNEL every corpus run logs: one row per stage of
+    the cleaning chain with surviving-document counts — raw corpus,
+    exact-dedup canonicals, near-dup survivors, the quality-filtered
+    clean corpus, the train split of it, and the decontaminated
+    training corpus. Each count is a 1-row aggregate over the
+    already-audited (and bench-persisted / memoized) stage subplans,
+    unioned in stage order — the executive summary whose deltas ARE
+    the per-stage removal rates. ROUND-6 GATE QUEUE."""
+    d = _docs(spark, sf_dir)
+    stages = [
+        ("0_raw", d.select("doc_id")),
+        ("1_exact_canonical",
+         exact_dup_groups(d).select("canonical_doc_id")),
+        ("2_near_dup_survivors",
+         d.select("doc_id").join(
+             ngram_jaccard_dups(spark, sf_dir)
+             .select(F.col("id_b").alias("doc_id")).distinct(),
+             "doc_id", "left_anti")),
+        ("3_clean_corpus",
+         documents_clean_corpus(spark, sf_dir).select("doc_id")),
+        ("4_train_split",
+         documents_clean_corpus(spark, sf_dir)
+         .join(doc_split_assignment(spark, sf_dir)
+               .where(F.col("split") == "train").select("doc_id"),
+               "doc_id")),
+        ("5_training_corpus",
+         training_corpus(spark, sf_dir).select("doc_id")),
+    ]
+    out = None
+    for name, df_stage in stages:
+        row = df_stage.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 BFS_MAX_DEPTH = 10
 
 
@@ -1711,6 +1749,31 @@ ORACLE["source_quality_ols"] = _ols_sql(
          WHERE q.quality_score IS NOT NULL)""",
     "source", "n_chars", "quality_score",
 )
+
+# Pipeline-funnel twin: each stage count from the composed stage
+# oracles. ROUND-6 GATE QUEUE.
+ORACLE["dedup_pipeline_report"] = f"""
+    SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT '1_exact_canonical', count(*)
+    FROM ({ORACLE["dedup_exact"]}) _s1
+    UNION ALL
+    SELECT '2_near_dup_survivors', count(*)
+    FROM documents WHERE doc_id NOT IN
+      (SELECT DISTINCT id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _s2)
+    UNION ALL
+    SELECT '3_clean_corpus', count(*)
+    FROM ({ORACLE["documents_clean_corpus"]}) _s3
+    UNION ALL
+    SELECT '4_train_split', count(*)
+    FROM ({ORACLE["documents_clean_corpus"]}) _s4
+    WHERE _s4.doc_id IN
+      (SELECT doc_id FROM ({ORACLE["doc_split_assignment"]}) _sp
+       WHERE _sp.split = 'train')
+    UNION ALL
+    SELECT '5_training_corpus', count(*)
+    FROM ({ORACLE["training_corpus"]}) _s5
+"""
 
 # BFS twin: recursive walk with UNION (distinct) semantics from the
 # component-canonical sources, min dist per node. ROUND-6 GATE QUEUE.
