@@ -418,3 +418,40 @@ def test_global_running_sum_desc_with_ties(spark, rows, nparts):
         acc += v
         want[k] = acc
     assert got == want
+
+
+# --------------------------------------------- shingles (vectorized)
+
+words_st = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    min_size=0, max_size=12,
+)
+
+
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(words_st, min_size=1, max_size=5), st.integers(2, 4))
+def test_shingles_match_python_reference(spark, docs, n):
+    """The round-5 arrays_zip/slice rewrite of shingles() must equal
+    the trivial Python n-gram builder on arbitrary word arrays —
+    including the empty-array and len<n guards. Guards the vectorized
+    rewrite that sits transitively under parked gate entries."""
+    from biometric_stream_processing_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(docs)],
+        "doc_id long, ws array<string>",
+    )
+    got = {
+        r.doc_id: r.grams
+        for r in df.select(
+            "doc_id", shingles(F.col("ws"), n).alias("grams")
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        want = [
+            " ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)
+        ] if len(ws) >= n else []
+        assert got[i] == want, (ws, n)
