@@ -46,8 +46,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["alerts_throttled"] = _wrap(biometric.alerts_throttled)
     all_q["alerts_leading_debounce"] = _wrap(biometric.alerts_leading_debounce)
     for name, fn in {**events_ops.QUERIES, **analytics.QUERIES,
-                     **documents_ops.QUERIES, **corpus_ops.QUERIES}.items():
+                     **documents_ops.QUERIES, **corpus_ops.QUERIES,
+                     **timeseries_ops.QUERIES}.items():
         all_q[name] = _wrap(fn)
+    # Round-5 queue, registered in round 6 (the r5 obligation note):
+    for name, fn in {
+        "doc_weighted_sample": documents_ops.doc_weighted_sample,
+        "corpus_mixture_sample": documents_ops.corpus_mixture_sample,
+        "dup_graph_stats": documents_ops.dup_graph_stats,
+        "split_overlap_matrix": documents_ops.split_overlap_matrix,
+        "above_median_length_docs": documents_ops.above_median_length_docs,
+        "corpus_heavy_hitters": corpus_ops.corpus_heavy_hitters,
+        "doc_bigram_logprob": corpus_ops.doc_bigram_logprob,
+        "term_posting_lists": corpus_ops.term_posting_lists,
+        "corpus_pmi_collocations": corpus_ops.corpus_pmi_collocations,
+        "orders_profile": analytics.orders_profile,
+        "hll_user_rollup": events_ops.hll_user_rollup,
+        "embedding_pca_quality": documents_ops.embedding_pca_quality,
+        "source_quality_ols": documents_ops.source_quality_ols,
+        "orders_constraint_report": analytics.orders_constraint_report,
+        "multimodal_decode_png": documents_ops.multimodal_decode_png,
+        "sql_nation_revenue": analytics.sql_nation_revenue,
+        "parse_props_variant": events_ops.parse_props_variant,
+        "ivf_recall_report": documents_ops.ivf_recall_report,
+        "dynamic_session_stats": events_ops.dynamic_session_stats,
+        "salted_segment_revenue": analytics.salted_segment_revenue,
+        "dup_graph_pagerank": documents_ops.dup_graph_pagerank,
+        "dup_graph_bfs_depths": documents_ops.dup_graph_bfs_depths,
+        "dedup_pipeline_report": documents_ops.dedup_pipeline_report,
+    }.items():
+        all_q[name] = _wrap(fn)
+    all_q["streaming_approx_users"] = _wrap(
+        streaming_pipeline.streaming_approx_users
+    )
+    all_q["streaming_native_dedup"] = _wrap(
+        streaming_pipeline.streaming_native_dedup
+    )
+    all_q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
+    all_q["streaming_anomalies"] = _wrap(
+        streaming_pipeline.streaming_anomalies
+    )
+    all_q["streaming_state_history"] = _wrap(
+        streaming_pipeline.streaming_state_history
+    )
     all_q["streaming_alerts"] = _wrap(
         streaming_pipeline.biometric_alerts_streaming
     )
@@ -84,26 +125,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
-    # driver verdict. Rotation policy (deliberate, per round-3
-    # verdict, CI-enforced by tests/test_gate_rotation.py): every
-    # registered query must have a green driver verdict within the
-    # last TWO recorded rounds. Round 5 executes the round-4 rotation
-    # obligation: the front holds ALL 39 entries whose last green
-    # verdict is round 3, the 4 round-5-new entries (first verdicts),
-    # and the 7 round-4-green entries whose source changed this round
-    # (the streaming-pipeline exception-safety refactor; the k-means
-    # assignment sharing) — exactly 50. The tail takes the 43
-    # round-4-green entries whose source is unchanged.
+    # driver verdict. Rotation policy (CI-enforced by
+    # tests/test_gate_rotation.py): with N registered queries and a
+    # GATE_CAP≈50 verdict prefix, the minimal feasible freshness
+    # window is K = ceil(N / 50) recorded rounds — at N=128 every
+    # entry must be green within the last 3 recorded rounds, and each
+    # round's prefix drains the oldest debt first. Round 6 executes
+    # the round-5 obligation: ALL 35 queued round-5 entries register
+    # and take the front (first verdicts), preceded by 15
+    # re-verifications — the 3 shingles-transitive entries the r5
+    # note named (doc_repetition_stats / decontaminated_train_docs /
+    # training_corpus), the entries whose source changed this round
+    # (k-means quality fold; tfidf/nation perf passes), and the
+    # oldest-verified (r4-green) fills. Registration order is also
+    # bench order, so shared-subtree owners precede their composites
+    # (memo billing is annotated per round in BENCH_DETAIL via
+    # bench.py's memo_owner map).
     front = [
-        # --- r4-green but source CHANGED this round (pipeline
-        # refactor; kmeans/decontam perf work) — re-verify now ---
+        # --- re-verify: source changed this round (k-means quality
+        # fold into the shared assignment pass) — quality FIRST so it
+        # owns the training + assignment-map memo bill ---
+        "embedding_kmeans_quality", "embedding_kmeans_cells",
+        # --- re-verify: shingles-transitive (r5 vectorization of
+        # functions/text.shingles sits under these three; named by
+        # the r5 obligation note). decontaminated_train_docs owns the
+        # gram-index memo; training_corpus reuses it ---
+        "decontaminated_train_docs", "training_corpus",
+        "doc_repetition_stats",
+        # --- re-verify: wall-weak perf passes this round ---
+        "doc_tfidf_keywords", "nation_pair_volume",
+        # --- re-verify: oldest (r4-green) fills, owners first:
+        # embedding_dup_clusters owns the embedding-cluster closure,
+        # near_dup_representatives the text-LSH cluster closure ---
+        "embedding_dup_clusters", "near_dup_representatives",
+        "embedding_similar_pairs", "source_dedup_report",
+        "source_quality_report", "doc_unigram_logprob",
+        "corpus_vocab_topk", "abandoned_clicks",
+        # --- the 35 round-5 queue entries: first driver verdicts.
+        # Time-series family ---
+        "user_state_history", "user_hourly_gapfill",
+        "running_zscore_flags", "user_value_ewma",
+        "value_histogram", "user_retention_cohorts",
+        "user_rolling_median",
+        # --- sampling / corpus / analytics ---
+        "doc_weighted_sample", "corpus_mixture_sample",
+        "above_median_length_docs", "split_overlap_matrix",
+        "corpus_heavy_hitters", "doc_bigram_logprob",
+        "term_posting_lists", "corpus_pmi_collocations",
+        "orders_profile", "hll_user_rollup",
+        "embedding_pca_quality", "source_quality_ols",
+        "orders_constraint_report", "multimodal_decode_png",
+        "sql_nation_revenue", "parse_props_variant",
+        "dynamic_session_stats", "salted_segment_revenue",
+        # --- graph family (owners before the composite report) ---
+        "dup_graph_stats", "dup_graph_pagerank",
+        "dup_graph_bfs_depths", "ivf_recall_report",
+        "dedup_pipeline_report",
+        # --- streaming state machines last (sentinel-flush sources
+        # are self-contained; order-independent) ---
+        "streaming_approx_users", "streaming_native_dedup",
+        "streaming_funnel", "streaming_anomalies",
+        "streaming_state_history",
+    ]
+    tail = [
+        # ROUND-7 OBLIGATION (the K=3 schedule, debt-oldest-first):
+        # the 30 tail entries below whose last green verdict is
+        # round 4 (biometric_union .. top_customers_per_segment —
+        # they sit FIRST in this tail list) must fill the round-7
+        # prefix, plus any entry whose source changes in round 7;
+        # remaining slots take the oldest r5-green entries. The 48
+        # r5-green entries then rotate through rounds 7-8 — every
+        # entry stays inside the 3-round window.
+        #
+        # --- last green r4 (oldest debt → round-7 front) ---
+        "biometric_union", "alert_windows", "alerts_throttled",
+        "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders",
+        "customer_running_totals", "dormant_customers_by_segment",
+        "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        # --- last green r5, source unchanged (rounds 7-8 rotation).
+        # Subtree owners keep their r5 relative order so tail memo
+        # billing stays comparable round-over-round ---
         "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "streaming_session_stats", "streaming_vocab_topk",
-        "embedding_kmeans_quality",
-        # --- new in round 5 (need first verdicts) ---
         "streaming_abandoned_clicks", "streaming_outer_pairs",
-        # --- last green r3: the round-4 middle block ---
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints", "contamination_overlaps",
         "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_dups",
@@ -111,11 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs", "documents_clean_corpus",
         "embedding_topk", "embedding_ivf_topk",
         "embedding_similar_pairs_bucketed", "embedding_srp_pairs",
-        # --- new in round 5, AFTER the shared-subtree owners so the
-        # LSH chain bills to minhash_lsh_pairs and the clean corpus
-        # to documents_clean_corpus, not to these composites ---
         "corpus_token_budget", "cross_modal_dup_agreement",
-        # --- last green r3: the round-4 tail block ---
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",
         "approx_percentile_bounds", "doc_text_stats",
@@ -123,7 +237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_alert_windows_update",
         "streaming_alert_windows_complete",
         "streaming_dedup_canonicals",
-        "embedding_kmeans_cells",
         "multimodal_meta", "multimodal_frame_samples",
         "multimodal_features",
         "parse_props_json", "serialize_events_json",
@@ -132,145 +245,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_map_entries", "salted_distinct_users",
         "native_session_stats",
     ]
-    tail = [
-        # Green in round 4 (CORRECTNESS_r04), source unchanged in
-        # round 5 — safe to rotate out for exactly one round. (One
-        # exception, disclosed: embedding_dup_clusters gained a
-        # module-side memo wrapper this round; its logical plan and
-        # relation are identical — the r4 verdict still covers the
-        # semantics, and the front's 50 slots are all taken by
-        # obligatory entries.) ROUND-6 OBLIGATION: register every
-        # entry of ``queued_queries()`` (the ROUND-6 GATE QUEUE —
-        # built, oracled, unit-tested and locally hash-verified in
-        # round 5 but not registrable then: prefix full). Front-load:
-        # (1) every never-verified query, (2) any entry whose source
-        # changed — INCLUDING the transitive-helper case the
-        # fingerprint file cannot see: the round-5 shingles()
-        # vectorization (functions/text.py) sits under the parked
-        # doc_repetition_stats / decontaminated_train_docs /
-        # training_corpus, so front-load those three in round 6 even
-        # though GATE_SOURCES is unchanged (all 93 registered queries
-        # were re-verified hash-green locally after the change —
-        # evidence, not exemption), (3) the oldest-verified entries,
-        # filling the 50-entry prefix. NOTE the registry will then exceed 100
-        # entries (93 + 35 queued = 128), so a strict two-round freshness
-        # window is infeasible at a 50-entry gate cap — the enforced
-        # policy (tests/test_gate_rotation.py) is the minimal
-        # feasible K = ceil(N_registered / 50)-round rotation: at
-        # N≈128 every entry must be green within the last 3 recorded
-        # rounds, and the prefix must always drain the oldest debt
-        # first. With 35 never-verified entries the round-6 prefix
-        # takes all 35 + the 15 oldest-verified (starting with the
-        # three shingles-transitive entries named above); the r4-green tail
-        # entries then get their turn in round 7 — inside the
-        # 3-round window.
-        "biometric_union", "alert_windows", "alerts_throttled",
-        "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "nation_pair_volume",
-        "customer_running_totals", "dormant_customers_by_segment",
-        "users_with_both_streams", "embedding_similar_pairs",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments", "near_dup_representatives",
-        "doc_tfidf_keywords",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "corpus_vocab_topk", "doc_repetition_stats",
-        "doc_passages", "source_quality_report",
-        "doc_unigram_logprob", "embedding_dup_clusters",
-        "abandoned_clicks", "source_dedup_report",
-        "decontaminated_train_docs", "training_corpus",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-    ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
     return {n: all_q[n] for n in ordered}
 
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ROUND-6 GATE QUEUE: implemented, oracled and unit-tested in
-    round 5, NOT yet in ``queries()`` (the round-5 verdict prefix is
-    fully occupied by rotation obligations). Round 6 registers these
-    in its front block — see the obligation note in ``queries()``.
-    ``tools/check_oracle.py --queued`` verifies them against
-    ``oracle_sql()`` exactly like registered entries."""
-    from biometric_stream_processing_spark.plans import timeseries_ops
-
-    def _wrap(fn):
-        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune_session(spark)
-            return fn(spark, sf_dir)
-        run.__wrapped__ = fn
-        return run
-
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, fn in timeseries_ops.QUERIES.items():
-        q[name] = _wrap(fn)
-    q["doc_weighted_sample"] = _wrap(documents_ops.doc_weighted_sample)
-    q["corpus_mixture_sample"] = _wrap(documents_ops.corpus_mixture_sample)
-    q["dup_graph_stats"] = _wrap(documents_ops.dup_graph_stats)
-    q["split_overlap_matrix"] = _wrap(documents_ops.split_overlap_matrix)
-    q["above_median_length_docs"] = _wrap(
-        documents_ops.above_median_length_docs
-    )
-    q["corpus_heavy_hitters"] = _wrap(corpus_ops.corpus_heavy_hitters)
-    q["doc_bigram_logprob"] = _wrap(corpus_ops.doc_bigram_logprob)
-    q["term_posting_lists"] = _wrap(corpus_ops.term_posting_lists)
-    q["corpus_pmi_collocations"] = _wrap(
-        corpus_ops.corpus_pmi_collocations
-    )
-    q["orders_profile"] = _wrap(analytics.orders_profile)
-    q["hll_user_rollup"] = _wrap(events_ops.hll_user_rollup)
-    q["embedding_pca_quality"] = _wrap(documents_ops.embedding_pca_quality)
-    q["source_quality_ols"] = _wrap(documents_ops.source_quality_ols)
-    q["orders_constraint_report"] = _wrap(
-        analytics.orders_constraint_report
-    )
-    q["multimodal_decode_png"] = _wrap(
-        documents_ops.multimodal_decode_png
-    )
-    q["sql_nation_revenue"] = _wrap(analytics.sql_nation_revenue)
-    q["streaming_approx_users"] = _wrap(
-        streaming_pipeline.streaming_approx_users
-    )
-    q["parse_props_variant"] = _wrap(events_ops.parse_props_variant)
-    q["streaming_native_dedup"] = _wrap(
-        streaming_pipeline.streaming_native_dedup
-    )
-    q["ivf_recall_report"] = _wrap(documents_ops.ivf_recall_report)
-    q["dynamic_session_stats"] = _wrap(events_ops.dynamic_session_stats)
-    q["salted_segment_revenue"] = _wrap(
-        analytics.salted_segment_revenue
-    )
-    q["dup_graph_pagerank"] = _wrap(documents_ops.dup_graph_pagerank)
-    q["dup_graph_bfs_depths"] = _wrap(
-        documents_ops.dup_graph_bfs_depths
-    )
-    q["dedup_pipeline_report"] = _wrap(
-        documents_ops.dedup_pipeline_report
-    )
-    q["streaming_funnel"] = _wrap(streaming_pipeline.streaming_funnel)
-    q["streaming_anomalies"] = _wrap(
-        streaming_pipeline.streaming_anomalies
-    )
-    q["streaming_state_history"] = _wrap(
-        streaming_pipeline.streaming_state_history
-    )
-    return q
+    """GATE QUEUE: drained in round 6 — all 35 round-5 entries now
+    register directly in ``queries()`` (front block, first verdicts).
+    Kept as the standing mechanism for any future round that builds
+    more operators than the verdict prefix can absorb:
+    ``tools/check_oracle.py --queued`` verifies entries here against
+    ``oracle_sql()`` exactly like registered ones, and
+    ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(biometric.ORACLE)
-    # ROUND-6 GATE QUEUE oracles (queries not yet registered — the
-    # round-5 prefix is full; see the rotation note in queries()):
-    # exposing them here keeps one definition per oracle and lets the
-    # local gate harness (tools/check_oracle.py --queued) verify them.
     o.update(timeseries_ops.ORACLE)
     # streaming z-score twin shares the batch prior-window oracle
     # (kernel sorts by (us, event_id); single-batch source ⇒ the

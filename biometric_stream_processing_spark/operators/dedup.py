@@ -719,8 +719,16 @@ def bfs_levels(
             .select("node", F.lit(d).alias("dist"))
             .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        # ONE job per level (round-5 advice; the connected_components
+        # probe recipe): the full count materializes nxt's checkpoint
+        # AND decides termination — the old limit(1).count() probe
+        # was a second action per level. visited stays a plain union
+        # of already-materialized checkpoints (each leaf is a
+        # checkpointed RDD scan), so plan depth is one union node per
+        # level with no per-level re-checkpoint I/O of the whole
+        # visited set.
+        if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited

@@ -55,6 +55,8 @@ def covariance_partials(df: DataFrame, vec_col: str) -> DataFrame:
 
     def _stats(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow chunk: np.stack would raise
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             yield pd.DataFrame({
                 "n": [len(X)],
@@ -78,8 +80,11 @@ def _fit_full(df: DataFrame, vec_col: str,
               k: int) -> "tuple[PCAModel, np.ndarray]":
     parts = covariance_partials(df, vec_col).collect()
     # deterministic merge order (driver float sums are associative-
-    # order-sensitive; sorted partials pin the order)
-    parts = sorted(parts, key=lambda r: (r["n"], r["s"][:2]))
+    # order-sensitive; sorted partials pin the order). The key is the
+    # FULL (n, sum-vector) tuple: a 2-component prefix can tie across
+    # distinct partitions (round-5 advice), which would hand the tie
+    # back to collect order and break repeated-fit bit-stability.
+    parts = sorted(parts, key=lambda r: (r["n"], tuple(r["s"])))
     n = sum(r["n"] for r in parts)
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")
@@ -120,6 +125,8 @@ def pca_project(df: DataFrame, model: PCAModel,
 
     def _proj(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             S = (X - mean) @ comp_t
             yield pd.DataFrame({

@@ -89,7 +89,17 @@ def constraint_report(
     ``foreign_key`` rule's ``ref`` name to the referenced frame
     (single key column). Output (rule, n_violations), one row per
     rule in declaration order (rule names carry the order)."""
+    if not rules:
+        raise ValueError("constraint_report needs at least one rule")
     refs = refs or {}
+    missing_refs = sorted(
+        r.ref for r in rules if r.kind == "foreign_key" and r.ref not in refs
+    )
+    if missing_refs:
+        raise ValueError(
+            f"foreign_key rules reference frames not passed in refs: "
+            f"{missing_refs} (have: {sorted(refs)})"
+        )
     row_rules = [r for r in rules
                  if r.kind in ("not_null", "in_range", "in_set",
                                "matches")]

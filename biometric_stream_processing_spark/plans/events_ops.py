@@ -507,7 +507,7 @@ ORACLE = {
                  END AS gap_us
           FROM events
         ), flagged AS (
-          SELECT user_id, us,
+          SELECT user_id, event_id, us,
                  CASE WHEN max(us + gap_us) OVER w IS NULL
                        OR us >= max(us + gap_us) OVER w
                       THEN 1 ELSE 0 END AS new_s
@@ -516,9 +516,12 @@ ORACLE = {
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING)
         ), sessions AS (
+          -- tiebreak on event_id: with duplicate (user_id, us) rows
+          -- at a session boundary a us-only ROWS frame is
+          -- nondeterministic (round-5 advice)
           SELECT user_id, us,
                  sum(new_s) OVER (PARTITION BY user_id
-                                  ORDER BY us
+                                  ORDER BY us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
           FROM flagged
         )

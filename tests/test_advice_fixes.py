@@ -175,3 +175,128 @@ def test_pinned_shuffle_partitions_restores_on_exception(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
             raise RuntimeError("mid-body failure")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+# ------------------------------------------------- round-5 advice fixes
+
+def test_pca_fit_deterministic_under_partition_tie(spark):
+    """Round-5 advice: the partial-merge sort key must be the FULL
+    (n, sum-vector) — two partitions engineered to tie on the old
+    (n, s[:2]) prefix must still merge in one canonical order, so
+    the fitted model is bit-identical whichever partition collects
+    first."""
+    import numpy as np
+
+    from biometric_stream_processing_spark.operators.pca import pca_fit
+
+    # both partitions: n=2 and component sums [1, 1, ...] on the
+    # first two axes — the old 2-component prefix key ties
+    part_a = [(0, [1.0, 0.0, 3.0, 0.0]), (1, [0.0, 1.0, 0.0, 2.0])]
+    part_b = [(2, [0.0, 1.0, 4.0, 0.0]), (3, [1.0, 0.0, 0.0, 1.0])]
+    schema = "vec_id long, embedding array<double>"
+    df_ab = spark.createDataFrame(
+        spark.sparkContext.parallelize(part_a + part_b, 2), schema
+    )
+    df_ba = spark.createDataFrame(
+        spark.sparkContext.parallelize(part_b + part_a, 2), schema
+    )
+    m1 = pca_fit(df_ab, k=3)
+    m2 = pca_fit(df_ba, k=3)
+    assert np.array_equal(m1.mean, m2.mean)
+    assert np.array_equal(m1.eigenvalues, m2.eigenvalues)
+    assert np.array_equal(m1.components, m2.components)
+
+
+def test_pca_passes_skip_empty_arrow_batches(spark):
+    """Empty Arrow chunks (empty partitions after a filter) must not
+    crash the statistics or projection passes with np.stack's
+    'need at least one array' error."""
+    from biometric_stream_processing_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    rows = [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(16)  # more partitions than rows ⇒ empty partitions
+    model = pca_fit(df, k=2)
+    assert pca_project(df, model).count() == 8
+
+
+def test_constraint_report_empty_rules_raises(spark):
+    import pytest
+
+    from biometric_stream_processing_spark.operators.validate import (
+        constraint_report,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one rule"):
+        constraint_report(df, [])
+
+
+def test_constraint_report_missing_ref_raises(spark):
+    import pytest
+
+    from biometric_stream_processing_spark.operators.validate import (
+        Rule,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    rule = Rule(name="fk", kind="foreign_key", col="k", ref="dim")
+    with pytest.raises(ValueError, match="dim"):
+        constraint_report(df, [rule], refs={})
+
+
+def test_dynamic_session_oracle_handles_duplicate_ts(spark, tmp_path):
+    """Round-5 advice: with duplicate (user_id, ts) rows at a session
+    boundary the oracle's running sum must tiebreak on event_id —
+    the engineered case below puts TWO same-timestamp events at a
+    new-session boundary (one flagged new_s=1, one new_s=0); a
+    us-only ROWS frame can split them into two sessions. The fixed
+    oracle must match Spark's native session_window exactly."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from biometric_stream_processing_spark.plans.events_ops import (
+        dynamic_session_stats,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: view at t0 (gap 7200s), then a purchase AND a view
+        # at the same instant t0+8000s (past the first session's end)
+        (10, t0, 1, "view", 1.0, '{"k": 1}'),
+        (11, t0 + pd.Timedelta(seconds=8000), 1, "purchase", 1.0,
+         '{"k": 2}'),
+        (12, t0 + pd.Timedelta(seconds=8000), 1, "view", 1.0,
+         '{"k": 3}'),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+
+    got = {
+        tuple(r)
+        for r in dynamic_session_stats(spark, str(tmp_path))
+        .select("user_id", "start_es", "n_events").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["dynamic_session_stats"]
+        ).fetchall()
+    }
+    # both agree AND the same-instant pair landed in ONE session
+    assert got == want
+    assert got == {(1, int(t0.timestamp()), 1),
+                   (1, int(t0.timestamp()) + 8000, 2)}

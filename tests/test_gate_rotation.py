@@ -4,11 +4,12 @@ in ``__spark_entry__.queries``):
 1. every registered query carries a DuckDB oracle;
 2. a query that has NEVER received a green driver verdict must sit
    inside the ~50-entry verdict-bearing prefix;
-3. TWO-ROUND FRESHNESS: a query parked past the prefix (it will get
-   no verdict next round) must be green in the LATEST recorded round
-   — otherwise, after the upcoming round records, its last verdict
-   would be more than two rounds old (the debt the round-4 verdict
-   said must not silently accumulate);
+3. K-ROUND FRESHNESS (round-6 form; the round-5 verdict found the
+   old K-1 window arithmetically infeasible at N=128): every parked
+   query must be green within the last K = ceil(N/GATE_CAP) recorded
+   rounds; the debt due next round must be payable in one prefix;
+   and — once this round's registration is shipped — expiring
+   entries must already sit inside it;
 4. SOURCE STALENESS: a query whose defining function or oracle SQL
    changed since the last round's commit must re-enter the prefix —
    a stale verdict cannot cover modified code (round-4 advice). The
@@ -75,29 +76,133 @@ def test_unverified_queries_sit_inside_the_gate_window():
     )
 
 
-def test_rotation_freshness():
-    """Minimal-feasible freshness window: with N registered queries
-    and a ~GATE_CAP-entry verdict prefix, a fair rotation can visit
-    every entry at best every K = ceil(N / GATE_CAP) rounds — so the
-    enforced bound is that a TAIL entry (which gets no verdict next
-    round) must be green within the last K-1 recorded rounds;
-    anything older would exceed K-round staleness once the upcoming
-    round records. For N ≤ 100 this is exactly the original two-round
-    policy (tail entries green in the latest recorded round)."""
+def _k_window(names_total: int) -> int:
+    """Minimal feasible freshness window: with N entries and a
+    GATE_CAP-entry verdict prefix, a fair rotation re-verifies each
+    entry every K = ceil(N / GATE_CAP) rounds, so the tightest
+    enforceable bound is "green within the last K recorded rounds".
+    (The pre-round-6 form used K-1, which is arithmetically
+    infeasible once N > (K-1)·GATE_CAP — the round-5 verdict's
+    finding #1: the test went red between rounds by design error,
+    not by debt.) N counts queued entries too: they are committed
+    obligations that will occupy prefix slots."""
     import math
 
+    return max(2, math.ceil(names_total / GATE_CAP))
+
+
+def _n_total() -> int:
+    import sys
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    return len(entrymod.queries()) + len(entrymod.queued_queries())
+
+
+def _last_green(rounds: dict[int, dict], name: str) -> int | None:
+    greens = [r for r in rounds if name in _green_in(rounds, r)]
+    return max(greens) if greens else None
+
+
+def test_rotation_freshness():
+    """Every tail entry that has ever been verified must be green
+    within the last K recorded rounds (K = minimal feasible window;
+    never-verified entries are covered by
+    test_unverified_queries_sit_inside_the_gate_window). This form is
+    green at every point of a correct K-round rotation — including
+    immediately after the driver records a round — and red exactly
+    when an entry has actually exceeded K-round staleness."""
     names, _ = _registered()
     rounds = _rounds()
     if not rounds:
         pytest.skip("no recorded rounds")
-    k = max(2, math.ceil(len(names) / GATE_CAP))
-    recent = sorted(rounds)[-(k - 1):]
+    k = _k_window(_n_total())
+    recent = sorted(rounds)[-k:]
     fresh = set().union(*(_green_in(rounds, r) for r in recent))
-    stale = [n for n in names[GATE_CAP:] if n not in fresh]
+    ever = set().union(*(_green_in(rounds, r) for r in rounds))
+    stale = [n for n in names[GATE_CAP:] if n in ever and n not in fresh]
     assert stale == [], (
-        f"tail entries with no green verdict in the last {k - 1} "
-        f"recorded round(s) {recent}: {stale} — front-load them this "
-        f"round"
+        f"tail entries whose last green verdict is older than the "
+        f"last {k} recorded round(s) {recent}: {stale} — front-load "
+        f"them this round"
+    )
+
+
+def test_rotation_debt_is_payable():
+    """The debt the NEXT round's prefix must absorb — entries outside
+    the current prefix whose verdict would fall out of the K-window
+    once the upcoming round records (last green < R-K+2), plus
+    never-verified entries outside the prefix — must fit in one
+    GATE_CAP prefix. Red means the registration plan has accumulated
+    more stale entries than one round can re-verify: unpayable debt,
+    regardless of which round the check runs in."""
+    names, _ = _registered()
+    rounds = _rounds()
+    if not rounds:
+        pytest.skip("no recorded rounds")
+    k = _k_window(_n_total())
+    r = max(rounds)
+    prefix = set(names[:GATE_CAP])
+    due = []
+    for n in names:
+        if n in prefix:
+            continue  # gets a verdict in the upcoming round
+        g = _last_green(rounds, n)
+        if g is None or g < r - k + 2:
+            due.append(n)
+    assert len(due) <= GATE_CAP, (
+        f"{len(due)} entries must enter the next round's prefix to "
+        f"stay inside the {k}-round window, but the prefix holds "
+        f"{GATE_CAP}: unpayable debt — registration outpaced "
+        f"verification capacity. Due: {due}"
+    )
+
+
+def _registration_updated_since_last_artifact() -> bool:
+    """True when the builder has touched the registration after the
+    latest driver artifact landed (commits after it, or uncommitted
+    edits) — i.e. the prefix on disk is THIS round's shipped plan,
+    not last round's leftover that the next artifact always outdates."""
+    base = _last_round_commit()
+    if base is None:
+        return True
+    dirty = _git("status", "--porcelain", "--", "__spark_entry__.py")
+    newer = _git("log", "--format=%H", f"{base}..HEAD", "--",
+                 "__spark_entry__.py")
+    return bool(dirty.strip() or newer.strip())
+
+
+def test_expiring_debt_is_front_loaded():
+    """Forcing function, evaluated against the registration the
+    builder is actually shipping: once this round's registration
+    exists, every entry that would violate the K-window after the
+    upcoming round records (last green < R-K+2, or never verified)
+    must sit inside the prefix. Skipped in the between-rounds state
+    (registration older than the newest artifact), where the stale
+    plan is by construction last round's — that state is judged by
+    test_rotation_freshness / test_rotation_debt_is_payable, which
+    hold at every point of a correct rotation."""
+    names, _ = _registered()
+    rounds = _rounds()
+    if not rounds:
+        pytest.skip("no recorded rounds")
+    if not _registration_updated_since_last_artifact():
+        pytest.skip("registration predates the newest driver artifact "
+                    "(between-rounds state); debt payability is "
+                    "checked by test_rotation_debt_is_payable")
+    k = _k_window(_n_total())
+    r = max(rounds)
+    prefix = set(names[:GATE_CAP])
+    missed = []
+    for n in names[GATE_CAP:]:
+        g = _last_green(rounds, n)
+        if g is None or g < r - k + 2:
+            missed.append(n)
+    assert missed == [], (
+        f"entries that exceed the {k}-round window after the upcoming "
+        f"round records, yet sit outside the shipped prefix: {missed} "
+        f"— front-load them"
     )
 
 
