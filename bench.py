@@ -80,6 +80,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Shared-subtree FIRST-CONSUMER billing for THIS round's registration
+# order (round-5 verdict item: memo-bill moves must be annotated, not
+# reconstructed by the judge). Each shared stage — the bench's lazy
+# persist list above plus the module-side memos in plans/ — is paid
+# in full by the first query in registration order that materializes
+# it (the lazy persist list in main(), or a plans/-module memo);
+# every later consumer reads cached blocks. Recorded into
+# BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
+# real regressions from billing shifts. "prev" = the round-5 owner.
+MEMO_OWNERS = {
+    "kmeans_training_and_assignment_map": {
+        "owner": "embedding_kmeans_quality",
+        "prev": "embedding_kmeans_quality"},
+    "decontam_gram_index": {
+        "owner": "decontaminated_train_docs",
+        "prev": "decontaminated_train_docs"},
+    "clean_corpus": {
+        "owner": "training_corpus",
+        "prev": "documents_clean_corpus"},
+    "doc_term_matrix": {           # new round-6 memo (gram family)
+        "owner": "doc_repetition_stats", "prev": None},
+    "embedding_cluster_closure": {
+        "owner": "embedding_dup_clusters",
+        "prev": "cross_modal_dup_agreement"},
+    "text_lsh_pairs": {
+        "owner": "near_dup_representatives",
+        "prev": "minhash_lsh_pairs"},
+    "text_cluster_closure": {
+        "owner": "near_dup_representatives",
+        "prev": "near_dup_clusters"},
+    "ivf_cell_assignment": {
+        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
+    "winnow_fingerprints": {
+        "owner": "doc_winnow_fingerprints",
+        "prev": "doc_winnow_fingerprints"},
+}
+
 BENCH_CONFS = {
     "spark.sql.shuffle.partitions":
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4"),
@@ -233,7 +270,8 @@ def main() -> None:
         with open(detail, "w") as f:
             json.dump(
                 {"queries": timings, "sf": sf_val,
-                 "total": round(total, 3)},
+                 "total": round(total, 3),
+                 "memo_owner": MEMO_OWNERS},
                 f, indent=1, sort_keys=True,
             )
             f.write("\n")

@@ -33,59 +33,92 @@ Determinism contract (oracle-hashable across engines):
 Empty cells drop out (no members → no mean row) — k can shrink;
 deterministic in both engines.
 
-Round-5 perf note (measured at sf0.1, warm JIT): one full
-assignment pass costs 0.7-1.3 s and one Lloyd iteration ~1.3 s,
-while DuckDB executes each unrolled CTE level in ~0.25 s — so any
-consumer billed the 2-iteration training plus one pass lands at
-~3.5 s ≈ 3-4x DuckDB regardless of plan shape. Sharing the final
-(id, cell, cos) map stage between the cell-layout and quality
-consumers (``assignment_with_cos``) removed the duplicated pass
-(pair total 4.4 → 3.6 s; second consumer 0.67 → 0.10 s); the
-remaining gap is the per-job stage floor times the irreducible
-pass count of the model-exchange loop, not a missing optimization:
-persisting the input vectors across iterations saved only ~0.1 s
-(scan is 3 % of the pass), the fully-declarative join-based
-iteration was measured 2x slower (docstring above), and swapping
-the decimal mean-sums for long cents saves <0.3 s while forcing a
-full oracle rewrite. At real scale the fixed floor amortizes; the
-passes themselves are embarrassingly parallel map stages.
+Round-6 perf note (measured at sf0.1, warm JIT): the round-5
+reading (~3.8 s for the quality consumer, 5x DuckDB) was dominated
+by py4j COLUMN CONSTRUCTION, not execution — building the k·d-term
+scorer through the Column API cost ~1.0 s per pass (profiled:
+construct 1.06 s, first collect 0.64 s, repeat 0.20 s), and the
+quality run builds it three times (2 Lloyd iterations + final
+assignment). Shipping the identical expression as ONE parsed SQL
+string (``_with_best``) cuts the quality consumer to ~1.6 s warm
+≈ 2.1x DuckDB's 0.76 s; the second consumer reads the persisted
+assignment at ~0.1 s. What remains is the irreducible
+model-exchange shape: 3 jobs (one per pass) × the ~0.2-0.4 s local
+stage floor + ~0.2 s interpreted HOF evaluation each, against
+DuckDB's ~0.25 s per unrolled CTE level with no job machinery.
+Measured dead ends: fully unrolling the folds into literal
+arithmetic (codegen compiles slower than the HOF interprets —
+4.9 s vs 1.1 s per pass); persisting input vectors across
+iterations (~0.1 s, scan is 3 % of the pass); the declarative
+join-based iteration (2x slower); long-cents mean-sums (<0.3 s,
+forces a full oracle rewrite). At real scale the fixed floor
+amortizes; the passes themselves are embarrassingly parallel map
+stages.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _best_struct(
-    vec: Column, cents: list[tuple[int, list[float]]]
-) -> Column:
-    """struct(best cosine, -cid) for ``vec`` against driver-held
-    centroids: left-fold dot against each literal centroid array,
-    argmax with lowest-cid tiebreak via struct ordering."""
-    vn = F.sqrt(F.aggregate(
-        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x,
-    ))
+def _with_best(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``_best`` = struct(best cosine ``c``, ``-cid`` ``n``) for
+    ``vec_col`` against driver-held centroids: left-fold dot against
+    each literal centroid array, argmax with lowest-cid tiebreak via
+    struct ordering (``greatest`` ≡ ``row_number() ORDER BY c DESC,
+    cid``).
+
+    The whole scorer is ONE parsed SQL string, not a py4j-built
+    Column tree: with k·d literal terms the Column-API construction
+    alone cost ~1.0 s per pass at k=8/d=64 (measured round 6; 3
+    passes per quality run), while parsing the identical ~20 KB
+    expression JVM-side is ~0.05 s. The expression itself is
+    unchanged — zip_with/aggregate left folds, so results are
+    bit-identical (A/B verified). Fully UNROLLING the folds into
+    literal arithmetic is a measured dead end: the ~1500-node codegen
+    tree compiles slower than the interpreted HOF evaluates (4.9 s vs
+    1.1 s per pass at sf0.1). The row norm binds once as ``_vn``
+    (dropped on output) so the interpreted fold doesn't run k times.
+
+    Centroid literals ship as ``CAST('<repr>' AS DOUBLE)`` — Python
+    repr round-trips IEEE doubles exactly and Catalyst constant-folds
+    the cast, so the task-side values are bit-identical to
+    ``F.lit(float)``."""
+
+    def _dlit(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
+    vn = (
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * "
+        f"cast(x as double)), 0.0d, (a, x) -> a + x))"
+    )
     scored = []
     for cid, cvec in cents:
         cn = math.sqrt(_pyfold_dot(cvec, cvec))
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        dot = F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda a, x: a + x,
+        arr = ", ".join(_dlit(float(x)) for x in cvec)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x as double) * y), 0.0d, (a, x) -> a + x)"
         )
-        ccos = dot / (vn * F.lit(cn))
-        scored.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("n")))
-    return F.greatest(*scored) if len(scored) > 1 else scored[0]
-
-
-def _assign_cell(
-    vec: Column, cents: list[tuple[int, list[float]]]
-) -> Column:
-    return (-_best_struct(vec, cents)["n"]).alias("cell")
+        scored.append(
+            f"named_struct('c', {dot} / (_vn * {_dlit(cn)}), "
+            f"'n', {-cid})"
+        )
+    best = (
+        f"greatest({', '.join(scored)})" if len(scored) > 1 else scored[0]
+    )
+    return (
+        df.withColumn("_vn", F.expr(vn))
+        .withColumn("_best", F.expr(best))
+        .drop("_vn")
+    )
 
 
 def _pyfold_dot(a: list[float], b: list[float]) -> float:
@@ -112,9 +145,10 @@ def kmeans_centroids(
         for r in seeds.select(cid_col, vec_col).collect()
     )
     for _ in range(n_iter):
-        assigned = vectors.select(
-            _assign_cell(F.col(vec_col), cents),
-            F.col(vec_col),
+        assigned = _with_best(
+            vectors.select(vec_col), cents, vec_col
+        ).select(
+            (-F.col("_best")["n"]).alias("cell"), F.col(vec_col)
         )
         # posexplode → narrow (cell, pos) agg instead of one 64-wide
         # decimal agg: same shuffle volume (map-side partials either
@@ -155,9 +189,9 @@ def assign_cells(
 ) -> DataFrame:
     """Final (id, cell) assignment for a trained model — one map
     stage, no shuffle."""
-    return vectors.select(
-        F.col(id_col), _assign_cell(F.col(vec_col), cents)
-    )
+    return _with_best(
+        vectors.select(id_col, vec_col), cents, vec_col
+    ).select(F.col(id_col), (-F.col("_best")["n"]).alias("cell"))
 
 
 def assignment_with_cos(
@@ -173,9 +207,12 @@ def assignment_with_cos(
     computes this pass ONCE and ships both; callers running both
     should persist this frame (see
     ``plans/documents_ops.shared_kmeans_assignment``)."""
-    b = _best_struct(F.col(vec_col), cents)
-    return vectors.select(
-        F.col(id_col), (-b["n"]).alias("cell"), b["c"].alias("_cos")
+    return _with_best(
+        vectors.select(id_col, vec_col), cents, vec_col
+    ).select(
+        F.col(id_col),
+        (-F.col("_best")["n"]).alias("cell"),
+        F.col("_best")["c"].alias("_cos"),
     )
 
 

