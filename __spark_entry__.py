@@ -152,15 +152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gram-index memo; training_corpus reuses it ---
         "decontaminated_train_docs", "training_corpus",
         "doc_repetition_stats",
-        # --- re-verify: wall-weak perf passes this round ---
+        # --- re-verify: wall-weak perf passes this round (srp's
+        # bucket expression moved to a parsed SQL string) ---
         "doc_tfidf_keywords", "nation_pair_volume",
+        "embedding_srp_pairs",
         # --- re-verify: oldest (r4-green) fills, owners first:
         # embedding_dup_clusters owns the embedding-cluster closure,
         # near_dup_representatives the text-LSH cluster closure ---
         "embedding_dup_clusters", "near_dup_representatives",
         "embedding_similar_pairs", "source_dedup_report",
         "source_quality_report", "doc_unigram_logprob",
-        "corpus_vocab_topk", "abandoned_clicks",
+        "corpus_vocab_topk",
         # --- the 35 round-5 queue entries: first driver verdicts.
         # Time-series family ---
         "user_state_history", "user_hourly_gapfill",
@@ -189,13 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     tail = [
         # ROUND-7 OBLIGATION (the K=3 schedule, debt-oldest-first):
-        # the 30 tail entries below whose last green verdict is
-        # round 4 (biometric_union .. top_customers_per_segment —
-        # they sit FIRST in this tail list) must fill the round-7
-        # prefix, plus any entry whose source changes in round 7;
-        # remaining slots take the oldest r5-green entries. The 48
-        # r5-green entries then rotate through rounds 7-8 — every
-        # entry stays inside the 3-round window.
+        # the 31 tail entries below whose last green verdict is
+        # round 4 (biometric_union .. abandoned_clicks — they sit
+        # FIRST in this tail list) must fill the round-7 prefix, plus
+        # any entry whose source changes in round 7; remaining slots
+        # take the oldest r5-green entries. The 47 r5-green entries
+        # then rotate through rounds 7-8 — every entry stays inside
+        # the 3-round window.
         #
         # --- last green r4 (oldest debt → round-7 front) ---
         "biometric_union", "alert_windows", "alerts_throttled",
@@ -215,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_rolling_1h", "q1_pricing_summary",
         "late_shipment_priority_counts", "parts_above_brand_avg",
         "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks",
         # --- last green r5, source unchanged (rounds 7-8 rotation).
         # Subtree owners keep their r5 relative order so tail memo
         # billing stays comparable round-over-round ---
@@ -228,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs", "documents_clean_corpus",
         "embedding_topk", "embedding_ivf_topk",
-        "embedding_similar_pairs_bucketed", "embedding_srp_pairs",
+        "embedding_similar_pairs_bucketed",
         "corpus_token_budget", "cross_modal_dup_agreement",
         "asof_latest_reading", "cogrouped_purchase_values",
         "event_type_stats", "funnel_view_click_purchase",

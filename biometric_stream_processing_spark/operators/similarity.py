@@ -235,18 +235,34 @@ def srp_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """SRP bucket id: bit ``p`` is ``dot(vec, plane_p) >= 0``; vectors
     in the same bucket agree on every hyperplane side — collision
     probability per plane is ``1 − θ/π`` (angle-sensitive), so near
     neighbors co-bucket with high probability. ``2^n_planes`` buckets;
-    the dot is the same left-fold as every other cosine here."""
-    acc = F.lit(0).cast("long")
+    the dot is the same left-fold as every other cosine here.
+
+    Ships as ONE parsed SQL string (the round-6 k-means finding,
+    ``operators/kmeans._with_best``): building the n_planes·dim
+    literal terms through the Column API cost 1.2 s of
+    ``embedding_srp_pairs``' 1.9 s wall at sf0.1; parsing the same
+    expression JVM-side is ~0.05 s, bit-identical (integer bit sums;
+    the fold is the same left association, repr literals round-trip
+    IEEE exactly)."""
+
+    def _dlit(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
+    terms = []
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot_fold(vec, arr) >= 0).cast("long")
-        acc = acc + bit * (2 ** p)
-    return acc
+        arr = ", ".join(_dlit(float(x)) for x in plane)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x as double) * cast(y as double)), "
+            f"0.0d, (a, x) -> a + x)"
+        )
+        terms.append(f"cast(({dot} >= 0) as bigint) * {2 ** p}")
+    return F.expr("cast(0 as bigint) + " + " + ".join(terms))
 
 
 def similar_pairs_blocked(

@@ -680,7 +680,7 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = srp_hyperplanes(SRP_PLANES, 64)
     e = _emb(spark, sf_dir).select(
         "vec_id", "embedding",
-        srp_bucket(F.col("embedding"), planes).alias("srp"),
+        srp_bucket("embedding", planes).alias("srp"),
     )
     return similar_pairs_blocked(e, "srp", COSINE_THRESHOLD)
 

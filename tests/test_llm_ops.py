@@ -360,7 +360,7 @@ def test_srp_pairs_exact_on_reported_and_finds_identicals(spark):
     planes = srp_hyperplanes(6, 64)
     e = df.select(
         "vec_id", "embedding",
-        srp_bucket(F.col("embedding"), planes).alias("srp"),
+        srp_bucket("embedding", planes).alias("srp"),
     )
     got = {(r.id_a, r.id_b): r.cos_sim
            for r in similar_pairs_blocked(e, "srp", 0.9).collect()}

@@ -415,3 +415,56 @@ def test_join_strategy_hints_are_respected(spark):
         o.join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"])
     )
     assert "BroadcastHashJoin" in p
+
+
+def test_cross_modal_reuses_both_memo_caches(spark):
+    """The cross-modal audit must be joins over the MEMOIZED subtrees
+    (round-5 verdict hardening item): with the LSH pair persist and
+    the embedding-cluster memo warm, its plan reads the cached pair
+    blocks (InMemoryTableScan) and the checkpointed cluster labels
+    (Scan ExistingRDD) — zero recomputation of the minhash band chain
+    or the embedding cosine closure."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    pairs = documents_ops.minhash_lsh_pairs(spark, SF_DIR)
+    pairs.persist()
+    try:
+        documents_ops.embedding_dup_clusters(spark, SF_DIR).count()
+        p = _plan(documents_ops.cross_modal_dup_agreement(spark, SF_DIR))
+        # LSH candidate pairs come from the persisted subtree
+        assert "InMemoryTableScan" in p, p
+        # cluster labels come from the memoized closure's checkpoints
+        assert "Scan ExistingRDD" in p, p
+        # the embedding cosine machinery (zip_with/aggregate folds)
+        # is never recomputed inside this plan
+        assert "zip_with" not in p, p
+        # the only row-hash left is the verify stage's shingle hash —
+        # the full band chain (one xxhash64 per band) must not creep
+        # back in front of the cached pairs
+        assert p.count("xxhash64") <= 1, p
+    finally:
+        pairs.unpersist()
+
+
+def test_gram_family_reuses_doc_term_matrix(spark):
+    """Round-6 design pin: with the shared doc-term matrix memo warm,
+    every gram-family consumer substitutes the cached matrix
+    (InMemoryTableScan in the physical plan) instead of re-running
+    the corpus tokenize + explode + (doc,word) shuffle. (The
+    formatted explain prints the cached relation's ORIGINAL plan
+    under InMemoryRelation, so tokenizer nodes legitimately appear
+    inside that block — the pin is the substitution itself.)"""
+    from biometric_stream_processing_spark.plans import (
+        corpus_ops,
+        documents_ops,
+    )
+
+    corpus_ops.shared_doc_tf(spark, SF_DIR).count()
+    for df in (
+        documents_ops.doc_tfidf_keywords(spark, SF_DIR),
+        corpus_ops.doc_repetition_stats(spark, SF_DIR),
+        corpus_ops.doc_unigram_logprob(spark, SF_DIR),
+        corpus_ops.corpus_vocab_topk(spark, SF_DIR),
+    ):
+        p = _plan(df)
+        assert "InMemoryTableScan" in p, p
