@@ -328,7 +328,8 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _DECONTAM_CACHE.get(key)
     if got is None:
         got = exact_decontaminate(
-            _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF
+            _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF,
+            grams=shared_split_grams(spark, sf_dir),
         )
         _DECONTAM_CACHE[key] = got
     return got
@@ -337,31 +338,34 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECONTAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def exact_decontaminate(
+def split_grams(
     d: DataFrame,
     n: int = DECONTAM_N,
-    max_df: int = DECONTAM_MAX_DF,
     weights: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Core of ``decontaminated_train_docs`` over any (doc_id, text)
-    frame: the surviving train doc_ids after the exact-n-gram cut
-    against the test split."""
+    """The per-doc-distinct split-labeled gram index — (doc_id,
+    _split, _g=md5(n-gram)) — every exact-decontamination artifact
+    derives from: the train-cut (``exact_decontaminate``) and the
+    pairwise overlap matrix (``split_overlap_matrix``).
+
+    _ws materialized in its OWN projection before the shingle
+    transform references it: inlining words(text) into the lambda
+    re-evaluates the split+filter per element_at reference (no CSE
+    inside lambdas — the doc_text_stats trap), measured 11.3 s →
+    2.5 s at sf0.1. md5 runs AFTER the explode as a codegen column
+    function (not inside a transform — the winnowing dead end), and
+    per-doc gram dedup is the distinct() on the exploded rows. The
+    non-eager localCheckpoint materializes the payload-free index
+    once for every consumer of the returned frame."""
     from ..operators.sampling import split_expr
 
     weights = weights or SPLIT_WEIGHTS
-    # _ws materialized in its OWN projection before the shingle
-    # transform references it: inlining words(text) into the lambda
-    # re-evaluates the split+filter per element_at reference (no CSE
-    # inside lambdas — the doc_text_stats trap), measured 11.3 s →
-    # 2.5 s at sf0.1. md5 runs AFTER the explode as a codegen column
-    # function (not inside a transform — the winnowing dead end), and
-    # per-doc gram dedup is the distinct() on the exploded rows.
     toks = d.select(
         "doc_id",
         split_expr(F.col("doc_id"), weights).alias("_split"),
         words(F.col("text")).alias("_ws"),
     )
-    grams = (
+    return (
         toks.select(
             "doc_id", "_split",
             F.explode(shingles(F.col("_ws"), n)).alias("_gs"),
@@ -370,6 +374,43 @@ def exact_decontaminate(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+
+# Memoized per (session, dir): round 6 unified the gram index the
+# decontamination cut and the split-overlap matrix each built
+# privately (the overlap matrix's inline copy existed only to keep
+# parked fingerprints stable — moot once both entries re-entered the
+# verdict prefix together).
+_SPLIT_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_split_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = _SPLIT_GRAMS_CACHE.get(key)
+    if got is None:
+        got = split_grams(_docs(spark, sf_dir))
+        _SPLIT_GRAMS_CACHE[key] = got
+    return got
+
+
+def exact_decontaminate(
+    d: DataFrame,
+    n: int = DECONTAM_N,
+    max_df: int = DECONTAM_MAX_DF,
+    weights: dict[str, int] | None = None,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Core of ``decontaminated_train_docs`` over any (doc_id, text)
+    frame: the surviving train doc_ids after the exact-n-gram cut
+    against the test split. Pass a prebuilt ``grams`` index
+    (``shared_split_grams``) to reuse its materialized blocks."""
+    from ..operators.sampling import split_expr
+
+    weights = weights or SPLIT_WEIGHTS
+    if grams is None:
+        grams = split_grams(d, n, weights)
     gagg = grams.groupBy("_g").agg(
         F.count("*").alias("_df"),
         F.max(F.when(F.col("_split") == "test", 1).otherwise(0))
@@ -781,29 +822,13 @@ def split_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching a shared gram. The table a curator reads to decide
     whether held-out splits are actually held out.
 
-    Scale/skew: the gram relation is per-doc-distinct and
-    localCheckpointed once (the ``exact_decontaminate`` shape, built
-    inline — the shared helper stays untouched so parked gate entries
-    keep their fingerprints); every join below runs against the
-    PRE-AGGREGATED per-(gram, split) presence relation, ≤ |splits|
-    rows per gram — so a ubiquitous gram fans out 3×, never
-    docs². ROUND-6 GATE QUEUE (round-5 prefix full)."""
-    from ..operators.sampling import split_expr
-
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        split_expr(F.col("doc_id"), SPLIT_WEIGHTS).alias("_split"),
-        words(F.col("text")).alias("_ws"),
-    )
-    grams = (
-        toks.select(
-            "doc_id", "_split",
-            F.explode(shingles(F.col("_ws"), DECONTAM_N)).alias("_gs"),
-        )
-        .select("doc_id", "_split", F.md5("_gs").alias("_g"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    Scale/skew: the gram relation is the SHARED memoized split-gram
+    index (``shared_split_grams`` — one tokenize+explode+distinct
+    for this report AND the decontamination cut); every join below
+    runs against the PRE-AGGREGATED per-(gram, split) presence
+    relation, ≤ |splits| rows per gram — so a ubiquitous gram fans
+    out 3×, never docs²."""
+    grams = shared_split_grams(spark, sf_dir)
     pres = grams.groupBy("_g", "_split").agg(F.count("*").alias("_nd"))
     pa = pres.select("_g", F.col("_split").alias("split_a"))
     pb = pres.select("_g", F.col("_split").alias("split_b"))
