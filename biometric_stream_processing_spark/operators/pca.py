@@ -81,10 +81,15 @@ def _fit_full(df: DataFrame, vec_col: str,
     parts = covariance_partials(df, vec_col).collect()
     # deterministic merge order (driver float sums are associative-
     # order-sensitive; sorted partials pin the order). The key is the
-    # FULL (n, sum-vector) tuple: a 2-component prefix can tie across
-    # distinct partitions (round-5 advice), which would hand the tie
-    # back to collect order and break repeated-fit bit-stability.
-    parts = sorted(parts, key=lambda r: (r["n"], tuple(r["s"])))
+    # FULL partial (n, sum-vector, xtx): a prefix key can tie across
+    # distinct partitions — equal (n, s) with different xtx is easy to
+    # construct (round-5 advice + round-6 adversarial property test) —
+    # which would hand the tie back to collect order and break
+    # repeated-fit bit-stability. Partials tying on the full key are
+    # byte-identical, so their mutual order cannot matter.
+    parts = sorted(
+        parts, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["xtx"]))
+    )
     n = sum(r["n"] for r in parts)
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")

@@ -110,3 +110,51 @@ def test_quality_report_all_green(spark):
 def test_fit_rejects_degenerate_input(spark):
     with pytest.raises(ValueError):
         pca_fit(_vecs(spark, np.zeros((1, 4))), k=2)
+
+
+def test_partition_order_determinism_under_equal_prefix_partials(spark):
+    """Adversarial merge-order case (round-6 hardening): partitions
+    engineered so several partials tie on (n, sum-vector) while their
+    xtx matrices differ at wildly different float magnitudes — the
+    exact shape where a prefix sort key hands the merge order back to
+    collect order and non-associative float addition leaks in. The
+    full-partial sort key must make repeated fits bit-identical under
+    ANY partition permutation."""
+    import itertools
+
+    # each block sums to the zero vector (equal n=2, equal s=(0,0,0))
+    # but contributes xtx mass at a distinct magnitude: 1e16, 1.0,
+    # 1e-8 — (big + small) + tiny != big + (small + tiny) in float64.
+    blocks = [
+        [[1e8, 0.0, 0.0], [-1e8, 0.0, 0.0]],      # xtx[0,0] = 2e16
+        [[1.0, 0.7, 0.0], [-1.0, -0.7, 0.0]],     # xtx ~ 1
+        [[1e-4, 0.0, 3e-4], [-1e-4, 0.0, -3e-4]], # xtx ~ 1e-8
+        [[0.3, 0.3, 0.3], [-0.3, -0.3, -0.3]],
+    ]
+
+    def fit_with_order(order):
+        rows = [
+            (bi * 10 + j, [float(x) for x in vec])
+            for bi, b in enumerate(order)
+            for j, vec in enumerate(blocks[b])
+        ]
+        # one rdd slice per block → collect order follows `order`
+        sliced = spark.sparkContext.parallelize(
+            rows, numSlices=len(blocks)
+        ).toDF("vec_id long, embedding array<float>")
+        assert sliced.rdd.getNumPartitions() == len(blocks)
+        return pca_fit(sliced, k=3)
+
+    base = None
+    for order in itertools.permutations(range(len(blocks))):
+        model = fit_with_order(list(order))
+        key = (
+            model.mean.tobytes(),
+            model.components.tobytes(),
+            model.eigenvalues.tobytes(),
+            model.total_variance,
+        )
+        if base is None:
+            base = key
+        else:
+            assert key == base, f"fit diverged for order {order}"
