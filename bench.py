@@ -93,6 +93,9 @@ MEMO_OWNERS = {
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
+    # round 6 unified the decontam gram index with split_overlap_
+    # matrix's formerly-private copy (shared_split_grams) — the matrix
+    # is now a consumer, not a second builder
     "decontam_gram_index": {
         "owner": "decontaminated_train_docs",
         "prev": "decontaminated_train_docs"},

@@ -468,3 +468,19 @@ def test_gram_family_reuses_doc_term_matrix(spark):
     ):
         p = _plan(df)
         assert "InMemoryTableScan" in p, p
+
+
+def test_overlap_matrix_reuses_split_gram_index(spark):
+    """Round-6 design pin: split_overlap_matrix must derive from the
+    SHARED memoized split-gram index (shared_split_grams — the same
+    relation the decontamination cut materializes), not a private
+    re-tokenization. With the memo warm its plan reads the
+    checkpointed gram rows (Scan ExistingRDD) and contains zero
+    tokenizer nodes — no explode, no gram md5."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    documents_ops.decontaminated_train_docs(spark, SF_DIR).count()
+    p = _plan(documents_ops.split_overlap_matrix(spark, SF_DIR))
+    assert "Scan ExistingRDD" in p, p
+    assert "explode" not in p, p
+    assert "md5" not in p, p
