@@ -437,37 +437,12 @@ _PROFILE_COLS = [
 ]
 
 
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COLUMN PROFILER (data-quality observability): one long-format
-    row per column of ``orders`` with null count, exact distinct
-    count, and typed min/max (numerics and timestamps in ``min_num``/
-    ``max_num`` — timestamps as epoch seconds — strings in
-    ``min_str``/``max_str``). The profile every ingestion pipeline
-    runs before trusting a new drop.
-
-    Plan: TWO aggregation passes — the multi-countDistinct rides a
-    single hash-aggregated Expand (each input row fans out once per
-    distinct column, partially aggregated map-side), and the
-    null/min/max statistics ride a global scan-fold — then a
-    ``stack`` unpivots the 1×1-joined result. NOT one fused pass: see
-    the inline comment (string min/max would drag the Expand into a
-    full-table SortAggregate). At 100 TB the exact distinct counts
-    are the expensive part; the scale knob is swapping
-    ``countDistinct`` → ``approx_count_distinct`` (HLL, no Expand),
-    which this module already exposes oracle-bounded in
-    ``approx_distinct_bounds`` — the exact form stays here because it
-    is hash-oracle-able. ROUND-6 GATE QUEUE (round-5 prefix full; see
-    ``__spark_entry__.queries``)."""
-    o = _t(spark, sf_dir, "orders")
-    # TWO aggregation passes by design: string min/max forces
-    # sort-based aggregation (immutable buffer type), and fused with
-    # the multi-countDistinct it drags the whole Expand through a
-    # 7-column SortAggregate — measured 4.2 s vs 0.4 s split at
-    # sf0.1. Separated, the distinct counts keep the hash-aggregated
-    # Expand and the min/max/null pass is a global fold (no sort: no
-    # grouping keys); the two 1-row results recombine with a free
-    # 1×1 join.
-    stat_aggs, dist_aggs, rows = [], [], []
+def _profile_agg_frames(o: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """The profiler's two single-row aggregation plans (stat fold,
+    multi-countDistinct Expand) — split out so the plan-hygiene suite
+    can pin each job's physical shape independently of the eager
+    driver-side assembly in ``orders_profile``."""
+    stat_aggs, dist_aggs = [], []
     for name, kind in _PROFILE_COLS:
         c = F.col(name)
         num = (
@@ -485,17 +460,84 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c if kind == "str" else F.lit(None).cast("string"))
              .alias(f"_mxs_{name}"),
         ]
-        rows.append(
-            f"'{name}', _nn_{name}, _nd_{name}, _mnn_{name}, "
-            f"_mxn_{name}, _mns_{name}, _mxs_{name}"
-        )
-    stacked = (
-        f"stack({len(_PROFILE_COLS)}, {', '.join(rows)}) AS "
-        "(col_name, n_null, n_distinct, min_num, max_num, "
-        "min_str, max_str)"
+    return o.agg(*stat_aggs), o.agg(*dist_aggs)
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER (data-quality observability): one long-format
+    row per column of ``orders`` with null count, exact distinct
+    count, and typed min/max (numerics and timestamps in ``min_num``/
+    ``max_num`` — timestamps as epoch seconds — strings in
+    ``min_str``/``max_str``). The profile every ingestion pipeline
+    runs before trusting a new drop.
+
+    Plan: TWO aggregation passes — the multi-countDistinct rides a
+    single hash-aggregated Expand (each input row fans out once per
+    distinct column, partially aggregated map-side), and the
+    null/min/max statistics ride a global scan-fold. NOT one fused
+    pass: see the inline comment (string min/max would drag the
+    Expand into a full-table SortAggregate). The two 1-row results
+    merge DRIVER-SIDE from concurrently-submitted jobs — the same
+    O(model) exchange contract as kmeans/PCA (here O(#columns)
+    scalars), chosen over the earlier declarative 1×1 join + stack
+    because the single chained plan serialized ~6 stage floors
+    (measured 1.4 s vs 0.5 s at sf0.1 for two ~0.2 s jobs). At
+    100 TB the exact distinct counts are the expensive part; the
+    scale knob is swapping ``countDistinct`` →
+    ``approx_count_distinct`` (HLL, no Expand), which this module
+    already exposes oracle-bounded in ``approx_distinct_bounds`` —
+    the exact form stays here because it is hash-oracle-able."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    o = _t(spark, sf_dir, "orders")
+    # TWO aggregation passes by design: string min/max forces
+    # sort-based aggregation (immutable buffer type), and fused with
+    # the multi-countDistinct it drags the whole Expand through a
+    # 7-column SortAggregate — measured 4.2 s vs 0.4 s split at
+    # sf0.1. Separated, the distinct counts keep the hash-aggregated
+    # Expand and the min/max/null pass is a global fold (no sort: no
+    # grouping keys).
+    stat_df, dist_df = _profile_agg_frames(o)
+    # both jobs are independent single-row aggregations over the same
+    # scan — submit them from two threads so their stages overlap
+    # (Spark schedules concurrent jobs fairly on local[*] and on a
+    # cluster alike), then assemble the long-format profile from the
+    # 2 × O(#columns) collected scalars.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stat = pool.submit(lambda: stat_df.collect()[0])
+        f_dist = pool.submit(lambda: dist_df.collect()[0])
+        stat, dist = f_stat.result(), f_dist.result()
+    # assemble as a VALUES LocalRelation (LocalTableScan — no
+    # parallelize job, no task floors; measured: createDataFrame's
+    # RDD path bills a 32-task job ~0.5 s for these 6 rows, and
+    # coalesce(1) on it pathologically ~4.5 s). repr(float) is the
+    # shortest round-trip literal, so the doubles survive exactly.
+    def _lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "DOUBLE":
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if typ == "STRING":
+            return "'" + str(v).replace("'", "''") + "'"
+        return f"CAST({v} AS {typ})"
+
+    rows = ", ".join(
+        "("
+        + ", ".join([
+            _lit(name, "STRING"),
+            _lit(stat[f"_nn_{name}"], "BIGINT"),
+            _lit(dist[f"_nd_{name}"], "BIGINT"),
+            _lit(stat[f"_mnn_{name}"], "DOUBLE"),
+            _lit(stat[f"_mxn_{name}"], "DOUBLE"),
+            _lit(stat[f"_mns_{name}"], "STRING"),
+            _lit(stat[f"_mxs_{name}"], "STRING"),
+        ])
+        + ")"
+        for name, _ in _PROFILE_COLS
     )
-    return o.agg(*stat_aggs).join(o.agg(*dist_aggs)).select(
-        F.expr(stacked)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(col_name, n_null, "
+        "n_distinct, min_num, max_num, min_str, max_str)"
     )
 
 

@@ -355,22 +355,35 @@ def test_bigram_model_joins_broadcast(spark):
 
 
 def test_orders_profile_hash_expand_no_sorted_distinct(spark):
-    """The profile's two deliberate passes: the multi-countDistinct
-    Expand must stay HASH-aggregated (fusing string min/max into it
-    would force a full-table SortAggregate — the measured 10× trap),
-    and the min/max/null pass is a global fold joined 1×1."""
+    """The profile's two deliberate passes (now collected eagerly and
+    merged driver-side, so the pins target the internal agg frames):
+    the multi-countDistinct Expand must stay HASH-aggregated (fusing
+    string min/max into it would force a full-table SortAggregate —
+    the measured 10× trap), the min/max/null pass is a global fold,
+    and the returned profile itself is a pure LocalTableScan — no
+    parallelize job, no join stages."""
     from biometric_stream_processing_spark.plans import analytics
+    from biometric_stream_processing_spark.sources.readers import (
+        load_table,
+    )
 
+    o = load_table(spark, SF_DIR, "orders")
+    stat_df, dist_df = analytics._profile_agg_frames(o)
+    pd_ = _plan(dist_df)
+    assert "Expand" in pd_
+    assert "HashAggregate" in pd_
+    # no full-table sort anywhere in either pass: SortAggregate may
+    # appear only for the global (keyless) min/max fold, which needs
+    # no Sort node
+    for p in (pd_, _plan(stat_df)):
+        lines = p.splitlines()
+        sort_nodes = [l for l in lines
+                      if l.strip().split(" ")[-1] == "Sort"
+                      or "+- Sort " in l]
+        assert not sort_nodes, sort_nodes
     p = _plan(analytics.orders_profile(spark, SF_DIR))
-    assert "Expand" in p
-    assert "HashAggregate" in p
-    # no full-table sort anywhere: SortAggregate may appear only for
-    # the global (keyless) min/max fold, which needs no Sort node
-    lines = p.splitlines()
-    sort_nodes = [l for l in lines
-                  if l.strip().split(" ")[-1] == "Sort"
-                  or "+- Sort " in l]
-    assert not sort_nodes, sort_nodes
+    assert "LocalTableScan" in p, p
+    assert "Exchange" not in p, p
 
 
 def test_triangle_stats_no_cartesian_wedge_join(spark):
