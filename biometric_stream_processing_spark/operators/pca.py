@@ -185,6 +185,8 @@ def pca_quality_report(df: DataFrame, vec_col: str = "embedding",
             <= rel_tol * np.maximum(model.eigenvalues, 1e-12)
         )
     )
+    from ..functions.local_rel import values_frame
+
     rows = [
         ("eigenvalues_nonincreasing", nonincreasing),
         ("components_orthonormal", orthonormal),
@@ -192,4 +194,6 @@ def pca_quality_report(df: DataFrame, vec_col: str = "embedding",
         ("explained_le_total", explained),
         ("projected_var_matches_eigvals", proj_match),
     ]
-    return spark.createDataFrame(rows, "check string, ok boolean")
+    # VALUES LocalRelation, not createDataFrame: the 5-row report must
+    # not bill a parallelize job (functions/local_rel.py)
+    return values_frame(spark, rows, "check string, ok boolean")

@@ -507,37 +507,27 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stat = pool.submit(lambda: stat_df.collect()[0])
         f_dist = pool.submit(lambda: dist_df.collect()[0])
         stat, dist = f_stat.result(), f_dist.result()
-    # assemble as a VALUES LocalRelation (LocalTableScan — no
-    # parallelize job, no task floors; measured: createDataFrame's
-    # RDD path bills a 32-task job ~0.5 s for these 6 rows, and
-    # coalesce(1) on it pathologically ~4.5 s). repr(float) is the
-    # shortest round-trip literal, so the doubles survive exactly.
-    def _lit(v, typ):
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        if typ == "DOUBLE":
-            return f"CAST('{v!r}' AS DOUBLE)"
-        if typ == "STRING":
-            return "'" + str(v).replace("'", "''") + "'"
-        return f"CAST({v} AS {typ})"
+    # assemble as a VALUES LocalRelation — no parallelize job, no
+    # task floors (see functions/local_rel.py for the measurements)
+    from ..functions.local_rel import values_frame
 
-    rows = ", ".join(
-        "("
-        + ", ".join([
-            _lit(name, "STRING"),
-            _lit(stat[f"_nn_{name}"], "BIGINT"),
-            _lit(dist[f"_nd_{name}"], "BIGINT"),
-            _lit(stat[f"_mnn_{name}"], "DOUBLE"),
-            _lit(stat[f"_mxn_{name}"], "DOUBLE"),
-            _lit(stat[f"_mns_{name}"], "STRING"),
-            _lit(stat[f"_mxs_{name}"], "STRING"),
-        ])
-        + ")"
-        for name, _ in _PROFILE_COLS
-    )
-    return spark.sql(
-        f"SELECT * FROM (VALUES {rows}) AS t(col_name, n_null, "
-        "n_distinct, min_num, max_num, min_str, max_str)"
+    return values_frame(
+        spark,
+        [
+            (
+                name,
+                stat[f"_nn_{name}"],
+                dist[f"_nd_{name}"],
+                stat[f"_mnn_{name}"],
+                stat[f"_mxn_{name}"],
+                stat[f"_mns_{name}"],
+                stat[f"_mxs_{name}"],
+            )
+            for name, _ in _PROFILE_COLS
+        ],
+        "col_name string, n_null bigint, n_distinct bigint, "
+        "min_num double, max_num double, min_str string, "
+        "max_str string",
     )
 
 

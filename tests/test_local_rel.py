@@ -1,0 +1,49 @@
+"""values_frame (functions/local_rel.py): the VALUES LocalRelation
+builder behind the model-exchange operators' final emission — exact
+double round-trip, NULL/quote handling, and the no-job plan shape."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from biometric_stream_processing_spark.functions.local_rel import (
+    values_frame,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round_trip_types_and_nulls(spark):
+    rows = [
+        ("it's quoted", 42, 0.1 + 0.2, True),
+        (None, None, None, None),
+        ("", -1, 1.7976931348623157e308, False),
+    ]
+    got = values_frame(
+        spark, rows, "s string, n bigint, d double, b boolean"
+    ).collect()
+    assert [tuple(r) for r in got] == rows
+    # the tricky double survives EXACTLY (repr round-trip)
+    assert got[0]["d"] == 0.1 + 0.2
+
+
+def test_plan_is_local_table_scan(spark):
+    p = _plan(values_frame(spark, [("x", 1.5)], "a string, b double"))
+    assert "LocalTableScan" in p
+    assert "Exchange" not in p
+    assert "Scan parquet" not in p
+
+
+def test_rejects_empty_rows_and_unknown_types(spark):
+    with pytest.raises(ValueError):
+        values_frame(spark, [], "a string")
+    with pytest.raises(ValueError):
+        values_frame(spark, [(b"x",)], "a binary")
