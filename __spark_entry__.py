@@ -156,12 +156,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket expression moved to a parsed SQL string) ---
         "doc_tfidf_keywords", "nation_pair_volume",
         "embedding_srp_pairs",
+        # --- re-verify: source changed late round 6 (construction
+        # memos on the LSH chain and the clean corpus; decontam /
+        # training-corpus persists) ---
+        "ngram_jaccard_dups", "documents_clean_corpus",
         # --- re-verify: oldest (r4-green) fills, owners first:
         # embedding_dup_clusters owns the embedding-cluster closure,
-        # near_dup_representatives the text-LSH cluster closure ---
+        # near_dup_representatives the text-LSH cluster closure.
+        # (source_dedup_report / source_quality_report ceded their
+        # fill slots to the two source-changed entries above — they
+        # are r4-green with unchanged sources, inside the K=3 window,
+        # and join the round-7 obligation block in the tail.) ---
         "embedding_dup_clusters", "near_dup_representatives",
-        "embedding_similar_pairs", "source_dedup_report",
-        "source_quality_report", "doc_unigram_logprob",
+        "embedding_similar_pairs", "doc_unigram_logprob",
         "corpus_vocab_topk",
         # --- the 35 round-5 queue entries: first driver verdicts.
         # Time-series family ---
@@ -217,7 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_rolling_1h", "q1_pricing_summary",
         "late_shipment_priority_counts", "parts_above_brand_avg",
         "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
         # --- last green r5, source unchanged (rounds 7-8 rotation).
         # Subtree owners keep their r5 relative order so tail memo
         # billing stays comparable round-over-round ---
@@ -227,9 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_abandoned_clicks", "streaming_outer_pairs",
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints", "contamination_overlaps",
-        "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_dups",
+        "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
-        "simhash_dup_pairs", "documents_clean_corpus",
+        "simhash_dup_pairs",
         "embedding_topk", "embedding_ivf_topk",
         "embedding_similar_pairs_bucketed",
         "corpus_token_budget", "cross_modal_dup_agreement",
