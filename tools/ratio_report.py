@@ -29,6 +29,19 @@ sys.path.insert(0, ".")
 
 STREAMING_PREFIX = "streaming_"
 
+# Entries whose oracle is a BOUNDED-GUARANTEE check (it asserts
+# literal truths about sketches/models the SQL engine cannot replay —
+# `true AS ok`-style rows) rather than the actual computation: the
+# DuckDB column prices a constant projection while Spark runs the
+# real PCA / HLL / KLL work, so their ratios are structurally
+# incomparable, like the streaming entries. Detected by the `true AS`
+# signature; kept explicit so the report can't silently mislabel.
+BOUNDED_ORACLE = {
+    "streaming_approx_users", "hll_user_rollup",
+    "approx_percentile_bounds", "embedding_pca_quality",
+    "corpus_heavy_hitters",
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
@@ -74,6 +87,8 @@ def main() -> int:
     print(f"{'query':38s} {'spark':>7s} {'duck':>7s}  ratio")
     for name, s, d in rows:
         tag = " [streaming]" if name.startswith(STREAMING_PREFIX) else ""
+        if name in BOUNDED_ORACLE and not tag:
+            tag = " [bounded-oracle]"
         if s is None:
             print(f"{name:38s} {'-':>7s} {d:7.2f}{tag}")
         else:
@@ -85,9 +100,15 @@ def main() -> int:
         nb = [(s, d) for (n, s, d) in rows
               if s is not None and not n.startswith(STREAMING_PREFIX)]
         tnb_s, tnb_d = sum(s for s, _ in nb), sum(d for _, d in nb)
+        cmp_ = [(s, d) for (n, s, d) in rows
+                if s is not None and not n.startswith(STREAMING_PREFIX)
+                and n not in BOUNDED_ORACLE]
+        tc_s, tc_d = sum(s for s, _ in cmp_), sum(d for _, d in cmp_)
         print(f"\nTOTAL spark {ts:.1f}s duck {td:.1f}s ratio {ts / td:.2f}x"
               f"  |  excl. streaming: {tnb_s:.1f}/{tnb_d:.1f}"
-              f" = {tnb_s / tnb_d:.2f}x")
+              f" = {tnb_s / tnb_d:.2f}x"
+              f"  |  excl. streaming+bounded: {tc_s:.1f}/{tc_d:.1f}"
+              f" = {tc_s / tc_d:.2f}x")
     return 0
 
 
