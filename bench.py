@@ -124,6 +124,15 @@ MEMO_OWNERS = {
     "decontam_gram_index": {
         "owner": "decontaminated_train_docs",
         "prev": "decontaminated_train_docs"},
+    # late round 6: the decontam survivors and the training-corpus
+    # capstone gained lazy persists (consumers: the funnel report and
+    # each other's entries), so their owners now bill the one-time
+    # materialization that training_corpus/dedup_pipeline_report used
+    # to re-derive per query
+    "decontam_survivors": {
+        "owner": "decontaminated_train_docs", "prev": None},
+    "training_corpus_rows": {
+        "owner": "training_corpus", "prev": None},
     "clean_corpus": {
         "owner": "training_corpus",
         "prev": "documents_clean_corpus"},

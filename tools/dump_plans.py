@@ -105,9 +105,13 @@ SHOWCASE = [
      "cartesian; the only nested-loops are the 1-row scalar summary "
      "combines."),
     ("orders_profile",
-     "Column profiler: ONE parquet scan feeds the multi-countDistinct "
-     "`Expand`; the 24 statistics unpivot from a 1-row aggregate — "
-     "no per-column re-scan."),
+     "Column profiler: the returned frame is a `LocalTableScan` — the "
+     "two internal single-row aggregation jobs (hash-aggregated "
+     "multi-countDistinct `Expand`; global min/max/null fold) run "
+     "concurrently and merge driver-side (see "
+     "`plans/analytics._profile_agg_frames`, plan-pinned in "
+     "`tests/test_plan_hygiene.py`); no per-column re-scan, no "
+     "parallelize job."),
 ]
 
 
