@@ -198,11 +198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     tail = [
         # ROUND-7 OBLIGATION (the K=3 schedule, debt-oldest-first):
-        # the 31 tail entries below whose last green verdict is
-        # round 4 (biometric_union .. abandoned_clicks — they sit
-        # FIRST in this tail list) must fill the round-7 prefix, plus
-        # any entry whose source changes in round 7; remaining slots
-        # take the oldest r5-green entries. The 47 r5-green entries
+        # the 33 tail entries below whose last green verdict is
+        # round 4 (biometric_union .. source_quality_report — they sit
+        # FIRST in this tail list; the last two ceded their round-6
+        # fill slots to the late source-changed re-verifications) must
+        # fill the round-7 prefix, plus any entry whose source changes
+        # in round 7; remaining slots take the oldest r5-green
+        # entries. The r5/r6-green entries
         # then rotate through rounds 7-8 — every entry stays inside
         # the 3-round window.
         #

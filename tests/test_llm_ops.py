@@ -657,3 +657,23 @@ def test_salted_join_replicates_only_hot_dim_rows(spark):
     # exactness regardless of replication: one output row per fact row
     assert out.count() == 2
     assert {r.attr for r in out.collect()} == {"a", "b"}
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_construction_memos_return_shared_frames(spark):
+    """Round-6 contract: the LSH chain, clean corpus, decontamination
+    survivors, and training corpus are construction-memoized per
+    (session, sf_dir) — repeated calls return the IDENTICAL DataFrame
+    object, so the bench's lazy persist reaches every consumer and no
+    caller pays the ~0.6-0.7 s py4j plan construction twice."""
+    from biometric_stream_processing_spark.plans import documents_ops as D
+
+    for fn in (D.ngram_jaccard_dups, D.documents_clean_corpus,
+               D.decontaminated_train_docs, D.training_corpus,
+               D.shared_split_grams):
+        assert fn(spark, SF_DIR) is fn(spark, SF_DIR), fn.__name__
+    # distinct sf_dirs stay distinct (memo keys on the realpath)
+    assert (D.ngram_jaccard_dups(spark, SF_DIR)
+            is not D.ngram_jaccard_dups(spark, "/root/testdata/sf0.001"))
