@@ -545,7 +545,7 @@ def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-aggregation; the FK check is a broadcast anti-join; unique
     is one keyed aggregate). ``in_range`` is set inside the data's
     actual price range so the report carries real non-zero violation
-    counts. ROUND-6 GATE QUEUE."""
+    counts. Registered round 6 (from the round-5 gate queue)."""
     from ..operators.validate import (
         constraint_report,
         foreign_key,
@@ -612,7 +612,7 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot rows replicated per salt, then the per-segment revenue
     rollup. Row-for-row equal to the plain join — the oracle IS the
     plain join, so the hash check proves the salting exact.
-    ROUND-6 GATE QUEUE."""
+    Registered round 6 (from the round-5 gate queue)."""
     from ..operators.skew import salted_join
     from .events_ops import dsum
 
@@ -653,7 +653,7 @@ def _profile_oracle() -> str:
 
 
 ORACLE = {
-    # ROUND-6 GATE QUEUE (query not registered yet — prefix full)
+    # registered round 6 (from the round-5 gate queue)
     "orders_profile": _profile_oracle(),
     # the literal same SQL string the Spark query runs (ROUND-6 QUEUE)
     "sql_nation_revenue": _NATION_REVENUE_SQL,

@@ -338,8 +338,7 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
     feeds BOTH the bigram-count aggregation and the per-doc probe;
     the model re-joins as broadcasts (bigram vocab ≪ corpus; hot
     bigrams are single pre-aggregated rows). Documents with fewer
-    than 2 words emit no row. ROUND-6 GATE QUEUE (round-5 prefix
-    full; see ``__spark_entry__.queries``)."""
+    than 2 words emit no row. Registered round 6 (from the round-5 gate queue)."""
     ws = words(F.col("text"))
     bigrams = (
         df.where(F.size(ws) >= 2)
@@ -407,8 +406,7 @@ def posting_lists(df: DataFrame, k: int = POSTINGS_K) -> DataFrame:
     term key, where the window (row_number caps the preview BEFORE
     any collect — per-group state is O(k), never O(df)) and the final
     aggregation share the partitioning. Two shuffles total, the
-    second over the already-deduplicated relation. ROUND-6 GATE QUEUE
-    (round-5 prefix full)."""
+    second over the already-deduplicated relation. Registered round 6 (from the round-5 gate queue)."""
     pairs = df.select(
         F.explode(words(F.col("text"))).alias("word"), "doc_id"
     ).distinct()
@@ -451,8 +449,7 @@ def pmi_collocations(df: DataFrame, min_count: int = PMI_MIN_COUNT,
     counts, rounded to 6 dp (the idf recipe). Plan: the bigram and
     unigram aggregations are the ``bigram_logprob`` shapes (explode →
     partial-agged shuffle); count joins broadcast; the top-k is
-    TakeOrderedAndProject. ROUND-6 GATE QUEUE (round-5 prefix
-    full)."""
+    TakeOrderedAndProject. Registered round 6 (from the round-5 gate queue)."""
     uni = unigram_counts(df)
     n_tok = uni.agg(F.sum("_cw").cast("double").alias("_nt"))
     bi = bigram_pair_counts(df)
@@ -497,8 +494,7 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each carry ``in_sketch`` = did the K-item sketch contain them. A
     correct sketch with K ≫ J always covers the true top-J, so the
     oracle is the exact top-J with ``in_sketch`` literally true.
-    Output (word, tf, in_sketch). ROUND-6 GATE QUEUE (round-5 prefix
-    full), same note as ``doc_weighted_sample``."""
+    Output (word, tf, in_sketch). Registered round 6 (from the round-5 gate queue). Same note as ``doc_weighted_sample``."""
     toks = _docs(spark, sf_dir).select(
         F.explode(words(F.col("text"))).alias("word")
     )
@@ -573,7 +569,7 @@ ORACLE_HEAVY_HITTERS = f"""
 
 ORACLE = {
     "corpus_heavy_hitters": ORACLE_HEAVY_HITTERS,
-    # ROUND-6 GATE QUEUE (queries not registered yet — prefix full)
+    # registered round 6 (from the round-5 gate queue)
     "doc_bigram_logprob": f"""
         WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
         bg AS (

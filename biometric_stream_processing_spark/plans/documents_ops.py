@@ -600,7 +600,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel stats. Round-trip through DEFLATE means DuckDB can recompute
     the stats analytically from the original bytes (hex-decode fold —
     the WAV twin's trick): compression is lossless, so mean(pixels) ==
-    mean(first width·height text bytes). ROUND-6 GATE QUEUE."""
+    mean(first width·height text bytes). Registered round 6 (from the round-5 gate queue)."""
     from ..operators.multimodal import attach_png, decode_media
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -859,8 +859,7 @@ def dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered-oriented (O(√m) out-degree bound — see the
     operator docstring); the oracle recounts via the naive ordered
     three-way self-join, so the skew-safe plan is verified against
-    the textbook definition. ROUND-6 GATE QUEUE (round-5 prefix
-    full; see ``__spark_entry__.queries``)."""
+    the textbook definition. Registered round 6 (from the round-5 gate queue)."""
     from ..operators.dedup import triangle_stats
 
     return triangle_stats(
@@ -930,7 +929,7 @@ def above_median_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each group) and re-joins as a broadcast — the corpus-
     statistics broadcast-back shape (tfidf/unigram-LM); the fact side
     never shuffles. Both engines interpolate medians of exact BIGINTs
-    identically. ROUND-6 GATE QUEUE (round-5 prefix full)."""
+    identically. Registered round 6 (from the round-5 gate queue)."""
     d = _docs(spark, sf_dir)
     med = d.groupBy("source").agg(
         F.percentile("n_chars", 0.5).alias("src_median")
@@ -951,7 +950,7 @@ def source_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-independent decimal sums and the model algebra is the
     identical double expression in both engines (an iterative fit
     could never hash-match). Rows with undefined quality (empty docs)
-    are excluded on both sides. ROUND-6 GATE QUEUE."""
+    are excluded on both sides. Registered round 6 (from the round-5 gate queue)."""
     from ..operators.regression import grouped_ols
 
     q = doc_lang_quality(spark, sf_dir).where(
@@ -977,8 +976,7 @@ def embedding_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed projection's per-component sample variance equals the
     eigenvalues. Bounded oracle (the HLL/approx pattern —
     eigendecomposition is not SQL-expressible): the oracled value is
-    each guarantee holding. ROUND-6 GATE QUEUE (round-5 prefix
-    full)."""
+    each guarantee holding. Registered round 6 (from the round-5 gate queue)."""
     from ..operators.pca import pca_quality_report
 
     return pca_quality_report(
@@ -1059,7 +1057,7 @@ def dup_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a·c unverified) — the review queue before aggressive
     deletion. Oracle: recursive-CTE walk with UNION (distinct)
     semantics + min-per-node — level-synchronous frontier expansion
-    vs the textbook definition. ROUND-6 GATE QUEUE."""
+    vs the textbook definition. Registered round 6 (from the round-5 gate queue)."""
     from ..operators.dedup import bfs_levels
 
     pairs = ngram_jaccard_dups(spark, sf_dir).select("id_a", "id_b")
@@ -1180,7 +1178,7 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query ratios would sum inexact 1/3-thirds in engine-dependent
     order). Both inputs are the already-audited deterministic topk
     plans; the join is a semi join on (query, neighbor).
-    ROUND-6 GATE QUEUE."""
+    Registered round 6 (from the round-5 gate queue)."""
     truth = embedding_topk(spark, sf_dir).where(
         F.col("rank") <= IVF_K
     ).select("query_id", "neighbor_id")
@@ -1855,7 +1853,7 @@ ORACLE["cross_modal_dup_agreement"] = f"""
 
 # OLS twin: the identical sufficient-statistics algebra via the
 # shared fragment builder (operators/regression.ols_oracle_sql),
-# composed over the doc_lang_quality oracle. ROUND-6 GATE QUEUE.
+# composed over the doc_lang_quality oracle. Registered round 6 (from the round-5 gate queue).
 from ..operators.regression import ols_oracle_sql as _ols_sql  # noqa: E402
 
 ORACLE["source_quality_ols"] = _ols_sql(
@@ -1867,7 +1865,7 @@ ORACLE["source_quality_ols"] = _ols_sql(
 )
 
 # Pipeline-funnel twin: each stage count from the composed stage
-# oracles. ROUND-6 GATE QUEUE.
+# oracles. Registered round 6 (from the round-5 gate queue).
 ORACLE["dedup_pipeline_report"] = f"""
     SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
     UNION ALL
@@ -1892,7 +1890,7 @@ ORACLE["dedup_pipeline_report"] = f"""
 """
 
 # BFS twin: recursive walk with UNION (distinct) semantics from the
-# component-canonical sources, min dist per node. ROUND-6 GATE QUEUE.
+# component-canonical sources, min dist per node. Registered round 6 (from the round-5 gate queue).
 ORACLE["dup_graph_bfs_depths"] = f"""
     WITH RECURSIVE p AS (
       SELECT id_a, id_b FROM ({ORACLE["ngram_jaccard_dups"]}) _pb
@@ -1918,7 +1916,7 @@ ORACLE["dup_graph_bfs_depths"] = f"""
 # rounding schedule; the teleport constant interpolates PYTHON's
 # exact (1 - damping) double repr so both engines use the same IEEE
 # value (a literal 0.15 differs from 1-0.85 in the last ulp).
-# ROUND-6 GATE QUEUE.
+# Registered round 6.
 _PR_TELEPORT = repr(1 - PAGERANK_DAMPING)
 
 
@@ -1959,7 +1957,7 @@ ORACLE["dup_graph_pagerank"] = f"""
 
 # ANN recall twin: both topk oracles composed as CTEs; exact integer
 # hit counts, Σhits/(k·n) division (order-independent).
-# ROUND-6 GATE QUEUE.
+# Registered round 6.
 ORACLE["ivf_recall_report"] = f"""
     WITH truth AS (
       SELECT query_id, neighbor_id
@@ -1989,7 +1987,7 @@ ORACLE["ivf_recall_report"] = f"""
 # not SQL-expressible — the HLL bounded-oracle pattern; every boolean
 # is computed over the DISTRIBUTED pipeline's actual output, incl.
 # the projected-variance ≡ eigenvalue end-to-end check).
-# ROUND-6 GATE QUEUE.
+# Registered round 6.
 ORACLE["embedding_pca_quality"] = """
     SELECT 'eigenvalues_nonincreasing' AS check, true AS ok
     UNION ALL SELECT 'components_orthonormal', true
@@ -1999,7 +1997,7 @@ ORACLE["embedding_pca_quality"] = """
 """
 
 # Cross-split overlap twin: same split hash + gram explode, naive
-# joins over the presence relation. ROUND-6 GATE QUEUE.
+# joins over the presence relation. Registered round 6 (from the round-5 gate queue).
 ORACLE["split_overlap_matrix"] = f"""
     WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
     h AS (
@@ -2048,7 +2046,7 @@ ORACLE["split_overlap_matrix"] = f"""
 """
 
 # Groupwise-quantile filter twin: both engines interpolate the median
-# of exact BIGINTs identically. ROUND-6 GATE QUEUE.
+# of exact BIGINTs identically. Registered round 6 (from the round-5 gate queue).
 ORACLE["above_median_length_docs"] = """
     WITH med AS (
       SELECT source, median(n_chars) AS src_median
@@ -2061,7 +2059,7 @@ ORACLE["above_median_length_docs"] = """
 
 # Graph-stats twin: the NAIVE textbook definitions — ordered 3-way
 # self-join triangles, degree-sum wedges — against the degree-ordered
-# oriented Spark plan. ROUND-6 GATE QUEUE.
+# oriented Spark plan. Registered round 6 (from the round-5 gate queue).
 ORACLE["dup_graph_stats"] = f"""
     WITH e AS (
       SELECT id_a AS a, id_b AS b
@@ -2193,7 +2191,7 @@ ORACLE["multimodal_decode_audio"] = f"""
 
 # PNG-decode twin: DEFLATE is lossless, so the decoded pixels are the
 # first PNG_W·h document bytes — the mean replays as the same
-# hex-decode fold as the WAV twin. ROUND-6 GATE QUEUE.
+# hex-decode fold as the WAV twin. Registered round 6 (from the round-5 gate queue).
 _PNG_BYTE = (
     "((strpos('0123456789ABCDEF', hx[2*i + 1]) - 1) * 16"
     " + (strpos('0123456789ABCDEF', hx[2*i + 2]) - 1))"

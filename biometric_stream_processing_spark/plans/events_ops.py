@@ -410,7 +410,7 @@ def dynamic_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts when the event time reaches the RUNNING MAX of all
     prior interval ends (a plain lag() is wrong here — with unequal
     gaps an earlier event can hold the session open longer than its
-    successor). ROUND-6 GATE QUEUE."""
+    successor). Registered round 6 (from the round-5 gate queue)."""
     ev = _events(spark, sf_dir)
     gap = F.when(
         F.col("event_type") == "purchase",
@@ -436,7 +436,7 @@ def parse_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     error), and ``schema_of_variant`` reports the discovered shape
     per row. At 100 TB the variant encoding is columnar-friendly
     (shredded storage) where a raw JSON string re-parses per access.
-    ROUND-6 GATE QUEUE."""
+    Registered round 6 (from the round-5 gate queue)."""
     ev = _events(spark, sf_dir)
     v = F.parse_json("props")
     return ev.select(
@@ -467,7 +467,7 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     internals differ across engines, so the oracled VALUE is the
     accuracy guarantee): each scope asserts
     |estimate − exact| ≤ HLL_REL_TOL · exact, which a correct sketch
-    at lgK=12 meets with >3σ margin. ROUND-6 GATE QUEUE."""
+    at lgK=12 meets with >3σ margin. Registered round 6 (from the round-5 gate queue)."""
     ev = _events(spark, sf_dir)
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("_sk"),
@@ -496,7 +496,7 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- oracle SQL
 
 ORACLE = {
-    # ROUND-6 GATE QUEUE: dynamic-gap sessionization — running-max-of-
+    # registered round 6: dynamic-gap sessionization — running-max-of-
     # interval-ends islands (lag() is wrong with unequal gaps)
     "dynamic_session_stats": f"""
         WITH e AS (
@@ -529,7 +529,7 @@ ORACLE = {
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sid
     """,
-    # ROUND-6 GATE QUEUE: the VARIANT path must agree with plain JSON
+    # registered round 6: the VARIANT path must agree with plain JSON
     # extraction; props is {"k": <int>} throughout the testdata, so
     # the discovered schema is the literal struct string
     "parse_props_variant": """
@@ -539,7 +539,7 @@ ORACLE = {
                'OBJECT<k: BIGINT>' AS props_schema
         FROM events
     """,
-    # ROUND-6 GATE QUEUE: the accuracy guarantee as literal truth —
+    # registered round 6: the accuracy guarantee as literal truth —
     # a correct lgK=12 sketch is within 5% with >3σ margin
     "hll_user_rollup": """
         SELECT 'type:' || event_type AS scope, true AS est_ok

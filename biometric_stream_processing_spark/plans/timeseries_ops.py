@@ -2,7 +2,7 @@
 surface, SURVEY §2.5/§2.6 family): SCD-2 state history
 (gaps-and-islands), hourly resampling with gap-fill + forward-fill,
 prior-window z-score anomaly flags, per-user EWMA smoothing, and a
-fixed-width value histogram. ALL ROUND-6 GATE QUEUE — implemented,
+fixed-width value histogram. ALL registered round 6 — implemented,
 oracled and unit-tested in round 5; the round-5 verdict prefix is
 full (see the rotation note in ``__spark_entry__.queries``), so these
 register in round 6's front block.
@@ -499,7 +499,7 @@ ORACLE = {
     """,
 }
 
-#: ROUND-6 GATE QUEUE — merged into ``__spark_entry__.queries`` when
+#: registered round 6 — merged into ``__spark_entry__.queries`` once
 #: the round-6 front block opens (see the rotation note there).
 QUERIES = {
     "user_state_history": user_state_history,

@@ -818,7 +818,7 @@ def streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ across engines): the STREAMED estimate is compared against
     the exact batch distinct per (window, type) and the oracled value
     is the tolerance check (3σ of the 5% default rsd + small-group
-    slack). ROUND-6 GATE QUEUE."""
+    slack). Registered round 6 (from the round-5 gate queue)."""
     import os
     import uuid
 
@@ -1010,7 +1010,7 @@ def streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch running-state cadence and the late-drop contract are
     golden-tested in test_streaming_zscore.py.
 
-    NOTE (gate registration): ROUND-6 GATE QUEUE — implemented and
+    NOTE (gate registration): registered round 6 — implemented and
     oracled in round 5; the round-5 verdict-bearing prefix is full,
     so this registers in round 6's front block."""
     import os
@@ -1043,7 +1043,7 @@ def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     get data). Cross-batch run continuation and the flush cadence are
     golden-tested in test_streaming_scd2.py.
 
-    ROUND-6 GATE QUEUE — see ``__spark_entry__.queued_queries``."""
+    Registered round 6 (drained from the round-5 gate queue)."""
     import os
     import uuid
 
