@@ -35,6 +35,18 @@ def test_round_trip_types_and_nulls(spark):
     assert got[0]["d"] == 0.1 + 0.2
 
 
+def test_double_specials_round_trip(spark):
+    import math
+
+    rows = [("a", float("inf")), ("b", float("-inf")),
+            ("c", float("nan")), ("d", 5e-324)]
+    got = {r.s: r.d for r in values_frame(
+        spark, rows, "s string, d double").collect()}
+    assert got["a"] == float("inf") and got["b"] == float("-inf")
+    assert math.isnan(got["c"])
+    assert got["d"] == 5e-324  # smallest subnormal survives repr
+
+
 def test_plan_is_local_table_scan(spark):
     p = _plan(values_frame(spark, [("x", 1.5)], "a string, b double"))
     assert "LocalTableScan" in p
