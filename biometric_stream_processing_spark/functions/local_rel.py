@@ -26,7 +26,11 @@ def _lit(v, typ: str) -> str:
         # survives exactly through the SQL parser
         return f"CAST('{float(v)!r}' AS DOUBLE)"
     if typ == "STRING":
-        return "'" + str(v).replace("'", "''") + "'"
+        # backslash FIRST: Spark's default parser processes backslash
+        # escapes inside string literals ('x\' would escape the
+        # closing quote), then quote-double
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
     if typ == "BOOLEAN":
         return "true" if v else "false"
     return f"CAST({v} AS {typ})"

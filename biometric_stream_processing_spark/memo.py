@@ -1,0 +1,38 @@
+"""Per-session construction memos for shared query subtrees.
+
+Round-6 profiling found the composite LLM-pipeline queries spending
+more wall time BUILDING their logical plans than executing them
+(~0.6-0.7 s of py4j round-trips per call for the LSH chain / clean
+corpus), and the repo had grown nine hand-rolled copies of the same
+memo pattern. ``session_memo`` is that pattern once: cache the built
+value per (Spark application, data directory), so repeated calls in
+one session return the identical object — which also makes a caller's
+lazy ``persist()`` reach every consumer through plain object identity.
+
+The cache key uses the applicationId (a fresh session must not see a
+dead session's frames) and the realpath of the data directory
+(symlinked paths must hit the same entry). Values are usually lazy
+DataFrames; eager builders (the trained k-means model) memoize their
+result the same way. Caches are plain module dicts owned by each
+call site so the memo inventory stays greppable.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import TypeVar
+
+from pyspark.sql import SparkSession
+
+T = TypeVar("T")
+
+
+def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
+                 build: "Callable[[], T]") -> T:
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = cache.get(key)
+    if got is None:
+        got = build()
+        cache[key] = got
+    return got

@@ -88,15 +88,12 @@ _TF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from ..memo import session_memo
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _TF_CACHE.get(key)
-    if got is None:
-        got = doc_tf(_docs(spark, sf_dir))
-        got.persist()
-        _TF_CACHE[key] = got
-    return got
+    return session_memo(
+        _TF_CACHE, spark, sf_dir,
+        lambda: doc_tf(_docs(spark, sf_dir)).persist(),
+    )
 
 
 def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK,

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     simhash_blocked_pairs,
     winnow_fingerprints,
 )
+from ..memo import session_memo
 from ..operators.multimodal import attach_binary
 from ..operators.similarity import cosine_topk, similar_pairs_blocked
 from ..sources.readers import load_table
@@ -156,20 +157,16 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame also makes the bench's lazy ``persist()`` reach every
     consumer through plain object identity rather than cache-manager
     subtree matching."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _JACCARD_DUPS_CACHE.get(key)
-    if got is None:
+    def build() -> DataFrame:
         d = _docs(spark, sf_dir)
         pairs = lsh_candidate_pairs(
             shared_minhash_bands(spark, sf_dir), n_groups=LSH_GROUPS
         )
-        got = jaccard_verify(pairs, d, shingle_n=SHINGLE_N).where(
+        return jaccard_verify(pairs, d, shingle_n=SHINGLE_N).where(
             F.col("jaccard") >= 0.2
         )
-        _JACCARD_DUPS_CACHE[key] = got
-    return got
+
+    return session_memo(_JACCARD_DUPS_CACHE, spark, sf_dir, build)
 
 
 _JACCARD_DUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -231,6 +228,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same final-labels frame (lineage = last localCheckpoint, cheap to
 # re-scan); the first caller pays the closure. Keyed by applicationId
 # like readers._TABLE_CACHE (id() reuse after session GC).
+# NOTE: near_dup_clusters keeps its hand-rolled memo through round 6 —
+# rewriting its body onto memo.session_memo like its siblings would
+# change the gate fingerprint of a TAIL entry while the verdict prefix
+# is full; fold it in whenever that entry next rotates to the front.
 _CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -337,26 +338,21 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both the aggregation and the probe; a non-eager
     ``localCheckpoint`` materializes it once (payload-free index, the
     tfidf pattern)."""
-    import os
-
     # Memoized per (session, dir) — same contract as _CLUSTERS_CACHE:
     # two consumers (this gate entry and the training_corpus capstone)
     # share one frame, so the lazily-localCheckpointed gram index
     # materializes once and the second consumer reads its blocks.
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _DECONTAM_CACHE.get(key)
-    if got is None:
-        got = exact_decontaminate(
+    # Lazy persist: the survivors relation is a doc_id list that
+    # three consumers re-derive from the gagg + semi join otherwise
+    # (this entry, training_corpus, the funnel report) — the first
+    # consumer on the clock pays once.
+    return session_memo(
+        _DECONTAM_CACHE, spark, sf_dir,
+        lambda: exact_decontaminate(
             _docs(spark, sf_dir), n=DECONTAM_N, max_df=DECONTAM_MAX_DF,
             grams=shared_split_grams(spark, sf_dir),
-        )
-        # lazy persist: the survivors relation is a doc_id list that
-        # three consumers re-derive from the gram index otherwise
-        # (this entry, training_corpus, the funnel report) — the
-        # first consumer on the clock pays the gagg + semi join once
-        got = got.persist()
-        _DECONTAM_CACHE[key] = got
-    return got
+        ).persist(),
+    )
 
 
 _DECONTAM_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -409,14 +405,10 @@ _SPLIT_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_split_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _SPLIT_GRAMS_CACHE.get(key)
-    if got is None:
-        got = split_grams(_docs(spark, sf_dir))
-        _SPLIT_GRAMS_CACHE[key] = got
-    return got
+    return session_memo(
+        _SPLIT_GRAMS_CACHE, spark, sf_dir,
+        lambda: split_grams(_docs(spark, sf_dir)),
+    )
 
 
 def exact_decontaminate(
@@ -429,12 +421,21 @@ def exact_decontaminate(
     """Core of ``decontaminated_train_docs`` over any (doc_id, text)
     frame: the surviving train doc_ids after the exact-n-gram cut
     against the test split. Pass a prebuilt ``grams`` index
-    (``shared_split_grams``) to reuse its materialized blocks."""
+    (``shared_split_grams``) to reuse its materialized blocks — the
+    shared index is built with the module defaults, so a prebuilt
+    index combined with non-default ``n``/``weights`` would silently
+    cut against the wrong grams; that combination is rejected."""
     from ..operators.sampling import split_expr
 
     weights = weights or SPLIT_WEIGHTS
     if grams is None:
         grams = split_grams(d, n, weights)
+    elif n != DECONTAM_N or weights != SPLIT_WEIGHTS:
+        raise ValueError(
+            "a prebuilt grams index carries the module-default "
+            "(n, weights); build one with split_grams(d, n, weights) "
+            "instead of overriding them here"
+        )
     gagg = grams.groupBy("_g").agg(
         F.count("*").alias("_df"),
         F.max(F.when(F.col("_split") == "test", 1).otherwise(0))
@@ -642,11 +643,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Construction-memoized per (session, dir) like
     ``ngram_jaccard_dups``: four consumers embed this chain and its
     logical plan costs ~0.7 s of py4j construction per call."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _CLEAN_CORPUS_CACHE.get(key)
-    if got is None:
+    def build() -> DataFrame:
         d = _docs(spark, sf_dir)
         canon = exact_dup_groups(d).select(
             F.col("canonical_doc_id").alias("doc_id")
@@ -660,7 +657,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens = doc_token_counts(spark, sf_dir).select(
             "doc_id", "n_bpe_tokens"
         )
-        got = (
+        return (
             d.select("doc_id")
             .join(canon, "doc_id", "left_semi")
             .join(losers, "doc_id", "left_anti")
@@ -668,8 +665,8 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("quality_score") >= QUALITY_MIN)
             .join(tokens, "doc_id")
         )
-        _CLEAN_CORPUS_CACHE[key] = got
-    return got
+
+    return session_memo(_CLEAN_CORPUS_CACHE, spark, sf_dir, build)
 
 
 _CLEAN_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -689,17 +686,13 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (the funnel report's final stage, any tokenizer feed)
     would otherwise re-derive end-to-end — the first consumer on the
     clock pays the stitch once."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _TRAINING_CACHE.get(key)
-    if got is None:
-        got = documents_clean_corpus(spark, sf_dir).join(
+    return session_memo(
+        _TRAINING_CACHE, spark, sf_dir,
+        lambda: documents_clean_corpus(spark, sf_dir).join(
             decontaminated_train_docs(spark, sf_dir), "doc_id",
             "left_semi",
-        ).persist()
-        _TRAINING_CACHE[key] = got
-    return got
+        ).persist(),
+    )
 
 
 _TRAINING_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -800,21 +793,17 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     30.7 s (0.26×) — like the document-side clusters, the iterative
     min-label propagation beats the quadratic-frontier recursive CTE
     once the component graph has any density."""
-    import os
-
     from ..operators.dedup import connected_components
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _EMB_CLUSTERS_CACHE.get(key)
-    if got is None:
+    def build() -> DataFrame:
         pairs = embedding_similar_pairs_bucketed(spark, sf_dir).select(
             "id_a", "id_b"
         )
-        got = connected_components(pairs).select(
+        return connected_components(pairs).select(
             F.col("node").alias("vec_id"), "cluster_id"
         )
-        _EMB_CLUSTERS_CACHE[key] = got
-    return got
+
+    return session_memo(_EMB_CLUSTERS_CACHE, spark, sf_dir, build)
 
 
 def cross_modal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,19 +1223,14 @@ _KMEANS_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..operators.kmeans import assignment_with_cos
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _KMEANS_ASSIGN_CACHE.get(key)
-    if got is None:
-        got = assignment_with_cos(
+    return session_memo(
+        _KMEANS_ASSIGN_CACHE, spark, sf_dir,
+        lambda: assignment_with_cos(
             _emb(spark, sf_dir), _trained_kmeans(spark, sf_dir)
-        )
-        got.persist()
-        _KMEANS_ASSIGN_CACHE[key] = got
-    return got
+        ).persist(),
+    )
 
 
 # Memoized trained k-means model per (session, dir): training is
@@ -1260,20 +1244,16 @@ _KMEANS_CACHE: dict[tuple[str, str], list] = {}
 def _trained_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
-    import os
-
     from ..operators.kmeans import kmeans_centroids
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    got = _KMEANS_CACHE.get(key)
-    if got is None:
+    def build() -> list[tuple[int, list[float]]]:
         e = _emb(spark, sf_dir)
         seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("cid"), "embedding"
         )
-        got = kmeans_centroids(e, seeds, n_iter=KMEANS_ITER, dim=64)
-        _KMEANS_CACHE[key] = got
-    return got
+        return kmeans_centroids(e, seeds, n_iter=KMEANS_ITER, dim=64)
+
+    return session_memo(_KMEANS_CACHE, spark, sf_dir, build)
 
 
 def embedding_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

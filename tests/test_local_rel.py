@@ -47,6 +47,15 @@ def test_double_specials_round_trip(spark):
     assert got["d"] == 5e-324  # smallest subnormal survives repr
 
 
+def test_backslashes_survive(spark):
+    # Spark's default parser processes backslash escapes inside
+    # string literals — 'a\nb' must stay a literal backslash-n and a
+    # trailing backslash must not escape the closing quote
+    rows = [("a\\nb",), ("x\\",), ("C:\\tmp\\'quoted'",)]
+    got = values_frame(spark, rows, "s string").collect()
+    assert [tuple(r) for r in got] == rows
+
+
 def test_plan_is_local_table_scan(spark):
     p = _plan(values_frame(spark, [("x", 1.5)], "a string, b double"))
     assert "LocalTableScan" in p

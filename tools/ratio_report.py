@@ -104,11 +104,15 @@ def main() -> int:
                 if s is not None and not n.startswith(STREAMING_PREFIX)
                 and n not in BOUNDED_ORACLE]
         tc_s, tc_d = sum(s for s, _ in cmp_), sum(d for _, d in cmp_)
-        print(f"\nTOTAL spark {ts:.1f}s duck {td:.1f}s ratio {ts / td:.2f}x"
-              f"  |  excl. streaming: {tnb_s:.1f}/{tnb_d:.1f}"
-              f" = {tnb_s / tnb_d:.2f}x"
-              f"  |  excl. streaming+bounded: {tc_s:.1f}/{tc_d:.1f}"
-              f" = {tc_s / tc_d:.2f}x")
+        line = (f"\nTOTAL spark {ts:.1f}s duck {td:.1f}s ratio "
+                f"{ts / max(td, 1e-9):.2f}x")
+        if nb:
+            line += (f"  |  excl. streaming: {tnb_s:.1f}/{tnb_d:.1f}"
+                     f" = {tnb_s / max(tnb_d, 1e-9):.2f}x")
+        if cmp_:
+            line += (f"  |  excl. streaming+bounded: {tc_s:.1f}/"
+                     f"{tc_d:.1f} = {tc_s / max(tc_d, 1e-9):.2f}x")
+        print(line)
     return 0
 
 
