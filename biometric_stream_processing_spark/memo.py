@@ -20,6 +20,7 @@ call site so the memo inventory stays greppable.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from typing import TypeVar
 
@@ -27,12 +28,23 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T")
 
+# One lock for all memo caches: builds are driver-side plan
+# construction (sub-second), and composite reports submit Spark jobs
+# from worker threads — without the lock two racing callers would
+# both build (and both persist()) the same frame. REENTRANT because
+# builders nest (training_corpus → documents_clean_corpus →
+# ngram_jaccard_dups are each memoized).
+_LOCK = threading.RLock()
+
 
 def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
                  build: "Callable[[], T]") -> T:
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     got = cache.get(key)
     if got is None:
-        got = build()
-        cache[key] = got
+        with _LOCK:
+            got = cache.get(key)
+            if got is None:
+                got = build()
+                cache[key] = got
     return got

@@ -68,3 +68,36 @@ def test_rejects_empty_rows_and_unknown_types(spark):
         values_frame(spark, [], "a string")
     with pytest.raises(ValueError):
         values_frame(spark, [(b"x",)], "a binary")
+
+
+def test_session_memo_thread_safe_single_build(spark, tmp_path):
+    """Racing callers must observe exactly one build (the lock), and
+    nested memoized builders must not deadlock (RLock)."""
+    import threading
+
+    from biometric_stream_processing_spark.memo import session_memo
+
+    cache: dict = {}
+    inner_cache: dict = {}
+    builds = []
+    gate = threading.Barrier(8)
+
+    def build():
+        # nested memo call — deadlocks under a non-reentrant lock
+        session_memo(inner_cache, spark, str(tmp_path), lambda: "inner")
+        builds.append(1)
+        return object()
+
+    got = []
+
+    def race():
+        gate.wait()
+        got.append(session_memo(cache, spark, str(tmp_path), build))
+
+    ts = [threading.Thread(target=race) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert len(builds) == 1
+    assert len(got) == 8 and all(g is got[0] for g in got)
