@@ -45,36 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["alert_windows"] = _wrap(biometric.alert_windows)
     all_q["alerts_throttled"] = _wrap(biometric.alerts_throttled)
     all_q["alerts_leading_debounce"] = _wrap(biometric.alerts_leading_debounce)
+    # One registry per plans module (the round-5 wave lives in its
+    # module's QUERIES dict like every other batch query); streaming
+    # entries follow explicitly. Registration ORDER is decided solely
+    # by the front/tail lists below — every batch entry appears there,
+    # so merge order here is immaterial.
     for name, fn in {**events_ops.QUERIES, **analytics.QUERIES,
                      **documents_ops.QUERIES, **corpus_ops.QUERIES,
                      **timeseries_ops.QUERIES}.items():
-        all_q[name] = _wrap(fn)
-    # Round-5 queue, registered in round 6 (the r5 obligation note):
-    for name, fn in {
-        "doc_weighted_sample": documents_ops.doc_weighted_sample,
-        "corpus_mixture_sample": documents_ops.corpus_mixture_sample,
-        "dup_graph_stats": documents_ops.dup_graph_stats,
-        "split_overlap_matrix": documents_ops.split_overlap_matrix,
-        "above_median_length_docs": documents_ops.above_median_length_docs,
-        "corpus_heavy_hitters": corpus_ops.corpus_heavy_hitters,
-        "doc_bigram_logprob": corpus_ops.doc_bigram_logprob,
-        "term_posting_lists": corpus_ops.term_posting_lists,
-        "corpus_pmi_collocations": corpus_ops.corpus_pmi_collocations,
-        "orders_profile": analytics.orders_profile,
-        "hll_user_rollup": events_ops.hll_user_rollup,
-        "embedding_pca_quality": documents_ops.embedding_pca_quality,
-        "source_quality_ols": documents_ops.source_quality_ols,
-        "orders_constraint_report": analytics.orders_constraint_report,
-        "multimodal_decode_png": documents_ops.multimodal_decode_png,
-        "sql_nation_revenue": analytics.sql_nation_revenue,
-        "parse_props_variant": events_ops.parse_props_variant,
-        "ivf_recall_report": documents_ops.ivf_recall_report,
-        "dynamic_session_stats": events_ops.dynamic_session_stats,
-        "salted_segment_revenue": analytics.salted_segment_revenue,
-        "dup_graph_pagerank": documents_ops.dup_graph_pagerank,
-        "dup_graph_bfs_depths": documents_ops.dup_graph_bfs_depths,
-        "dedup_pipeline_report": documents_ops.dedup_pipeline_report,
-    }.items():
         all_q[name] = _wrap(fn)
     all_q["streaming_approx_users"] = _wrap(
         streaming_pipeline.streaming_approx_users

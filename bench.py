@@ -141,8 +141,14 @@ MEMO_OWNERS = {
     "embedding_cluster_closure": {
         "owner": "embedding_dup_clusters",
         "prev": "cross_modal_dup_agreement"},
+    # review fix: training_corpus (front position 4) embeds the
+    # persisted LSH-pair subtree via clean corpus → ngram_jaccard_dups
+    # and therefore pays the MinHash/LSH chain — NOT
+    # near_dup_representatives (position 10), which pays only the
+    # cluster closure (BENCH_DETAIL corroborates: training_corpus
+    # ~2.8 s vs minhash_lsh_pairs ~0.5 s cached)
     "text_lsh_pairs": {
-        "owner": "near_dup_representatives",
+        "owner": "training_corpus",
         "prev": "minhash_lsh_pairs"},
     "text_cluster_closure": {
         "owner": "near_dup_representatives",

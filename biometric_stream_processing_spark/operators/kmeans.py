@@ -90,10 +90,11 @@ def _with_best(
     Centroid literals ship as ``CAST('<repr>' AS DOUBLE)`` — Python
     repr round-trips IEEE doubles exactly and Catalyst constant-folds
     the cast, so the task-side values are bit-identical to
-    ``F.lit(float)``."""
-
-    def _dlit(x: float) -> str:
-        return f"cast('{x!r}' as double)"
+    ``F.lit(float)``. Literal/dot emission is the shared
+    ``functions/vec_sql`` fragment (same emitter as ``srp_bucket``);
+    its ``cast(y as double)`` on the already-double literal array is
+    a parser-level no-op, so scores are unchanged bit-for-bit."""
+    from ..functions.vec_sql import dlit, sql_dot
 
     vn = (
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * "
@@ -102,13 +103,9 @@ def _with_best(
     scored = []
     for cid, cvec in cents:
         cn = math.sqrt(_pyfold_dot(cvec, cvec))
-        arr = ", ".join(_dlit(float(x)) for x in cvec)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> cast(x as double) * y), 0.0d, (a, x) -> a + x)"
-        )
+        dot = sql_dot(vec_col, cvec)
         scored.append(
-            f"named_struct('c', {dot} / (_vn * {_dlit(cn)}), "
+            f"named_struct('c', {dot} / (_vn * {dlit(cn)}), "
             f"'n', {-cid})"
         )
     best = (

@@ -248,19 +248,15 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     ``embedding_srp_pairs``' 1.9 s wall at sf0.1; parsing the same
     expression JVM-side is ~0.05 s, bit-identical (integer bit sums;
     the fold is the same left association, repr literals round-trip
-    IEEE exactly)."""
-
-    def _dlit(x: float) -> str:
-        return f"cast('{x!r}' as double)"
+    IEEE exactly). Literal/dot emission is the shared
+    ``functions/vec_sql`` fragment — one definition keeps the
+    bit-identical-across-consumers contract a single point of
+    change."""
+    from ..functions.vec_sql import sql_dot
 
     terms = []
     for p, plane in enumerate(planes):
-        arr = ", ".join(_dlit(float(x)) for x in plane)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> cast(x as double) * cast(y as double)), "
-            f"0.0d, (a, x) -> a + x)"
-        )
+        dot = sql_dot(vec_col, plane)
         terms.append(f"cast(({dot} >= 0) as bigint) * {2 ** p}")
     return F.expr("cast(0 as bigint) + " + " + ".join(terms))
 

@@ -909,4 +909,9 @@ QUERIES = {
     "customer_running_totals": customer_running_totals,
     "status_priority_cube": status_priority_cube,
     "approx_distinct_bounds": approx_distinct_bounds,
+    # round-5 wave, registered round 6
+    "orders_profile": orders_profile,
+    "orders_constraint_report": orders_constraint_report,
+    "sql_nation_revenue": sql_nation_revenue,
+    "salted_segment_revenue": salted_segment_revenue,
 }

@@ -738,4 +738,9 @@ QUERIES = {
     "doc_unigram_logprob": doc_unigram_logprob,
     "source_quality_report": source_quality_report,
     "source_dedup_report": source_dedup_report,
+    # round-5 wave, registered round 6
+    "corpus_heavy_hitters": corpus_heavy_hitters,
+    "doc_bigram_logprob": doc_bigram_logprob,
+    "term_posting_lists": term_posting_lists,
+    "corpus_pmi_collocations": corpus_pmi_collocations,
 }

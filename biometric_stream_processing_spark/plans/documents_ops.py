@@ -2302,4 +2302,17 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_decode_audio": multimodal_decode_audio,
     "multimodal_resize_images": multimodal_resize_images,
+    # round-5 wave, registered round 6
+    "doc_weighted_sample": doc_weighted_sample,
+    "corpus_mixture_sample": corpus_mixture_sample,
+    "dup_graph_stats": dup_graph_stats,
+    "split_overlap_matrix": split_overlap_matrix,
+    "above_median_length_docs": above_median_length_docs,
+    "embedding_pca_quality": embedding_pca_quality,
+    "source_quality_ols": source_quality_ols,
+    "multimodal_decode_png": multimodal_decode_png,
+    "ivf_recall_report": ivf_recall_report,
+    "dup_graph_pagerank": dup_graph_pagerank,
+    "dup_graph_bfs_depths": dup_graph_bfs_depths,
+    "dedup_pipeline_report": dedup_pipeline_report,
 }

@@ -745,4 +745,8 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "abandoned_clicks": abandoned_clicks,
     "approx_percentile_bounds": approx_percentile_bounds,
+    # round-5 wave, registered round 6
+    "hll_user_rollup": hll_user_rollup,
+    "parse_props_variant": parse_props_variant,
+    "dynamic_session_stats": dynamic_session_stats,
 }
