@@ -1,0 +1,108 @@
+"""Round-boundary regression guard: the driver has shipped
+``events.ts`` as parquet TIMESTAMP(NANOS) (rounds 1-3) and
+TIMESTAMP(MICROS) (round 4+), and the silent flip broke all three
+events-streaming entries at the start of round 4. Both readers sniff
+and adapt (`sources/readers.load_table`,
+`streaming/pipeline._events_ts_unit` + `_events_stream_source`);
+this test pins that a NANOS file and a MICROS file of the same
+instants normalize to the IDENTICAL epoch-microsecond instants
+through both paths — so the next regeneration flip is caught by CI,
+not by the driver gate. (Spark types differ by design: native MICROS
+reads as timestamp_ntz, the NANOS rebuild emits TimestampType; every
+query consumes instants via epoch conversions under the UTC session,
+where the two agree.)"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+#: instants with sub-second parts that differ at micro precision
+_INSTANTS_US = [
+    1_700_000_000_000_000,
+    1_700_000_000_123_456,
+    1_700_000_003_999_999,
+]
+
+
+def _write_events(path: str, unit: str) -> None:
+    mult = 1000 if unit == "ns" else 1
+    ts = pa.array(
+        [us * mult for us in _INSTANTS_US], pa.timestamp(unit)
+    )
+    table = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["view", "click", "error"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(['{"a":1}', "{}", "{}"]),
+    })
+    pq.write_table(table, path)
+
+
+def _epoch_us(df) -> list[tuple]:
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "user_id", "event_type", "value", "props",
+        ).collect()
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d_us = tmp_path / "micros"
+    d_ns = tmp_path / "nanos"
+    d_us.mkdir()
+    d_ns.mkdir()
+    _write_events(str(d_us / "events.parquet"), "us")
+    _write_events(str(d_ns / "events.parquet"), "ns")
+    return str(d_us), str(d_ns)
+
+
+def test_batch_reader_normalizes_both_units(spark, dirs):
+    from biometric_stream_processing_spark.sources.readers import (
+        load_table,
+    )
+
+    d_us, d_ns = dirs
+    a = load_table(spark, d_us, "events")
+    b = load_table(spark, d_ns, "events")
+    assert dict(a.dtypes)["ts"].startswith("timestamp")
+    assert dict(b.dtypes)["ts"].startswith("timestamp")
+    rows_a, rows_b = _epoch_us(a), _epoch_us(b)
+    assert rows_a == rows_b
+    assert [r[1] for r in rows_a] == _INSTANTS_US
+
+
+def test_streaming_source_sniffs_and_normalizes_both_units(spark, dirs):
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        _events_stream_source,
+        _events_ts_unit,
+    )
+
+    d_us, d_ns = dirs
+    assert _events_ts_unit(f"{d_us}/events.parquet") == "us"
+    assert _events_ts_unit(f"{d_ns}/events.parquet") == "ns"
+    rows = {}
+    for name, d in (("us", d_us), ("ns", d_ns)):
+        unit = _events_ts_unit(f"{d}/events.parquet")
+        src = _events_stream_source(spark, d, "*.parquet", unit)
+        assert src.isStreaming
+        q = (
+            src.writeStream.format("memory")
+            .queryName(f"ts_unit_probe_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows[name] = _epoch_us(spark.table(f"ts_unit_probe_{name}"))
+    assert rows["us"] == rows["ns"]
+    assert [r[1] for r in rows["us"]] == _INSTANTS_US
