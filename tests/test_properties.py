@@ -455,3 +455,72 @@ def test_shingles_match_python_reference(spark, docs, n):
             " ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)
         ] if len(ws) >= n else []
         assert got[i] == want, (ws, n)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=2**62),
+                 min_size=1, max_size=40, unique=True),
+)
+@settings(max_examples=20, deadline=None)
+def test_hash_split_matches_python_md5_reference(spark, ids):
+    """The split assignment is a CONTRACT (md5(id || salt) → first 8
+    hex chars → mod-100 weight bands): re-deriving it with Python's
+    hashlib must give identical splits. The DuckDB oracle shares the
+    SQL recipe, so a simultaneous recipe drift on both engine sides
+    would stay hash-green — this independent reference is what pins
+    the recipe itself (a silent re-split of a training corpus is the
+    failure mode)."""
+    import hashlib
+
+    from biometric_stream_processing_spark.operators.sampling import (
+        split_expr,
+    )
+
+    weights = {"train": 80, "val": 10, "test": 10}
+
+    def py_split(i: int) -> str:
+        h = hashlib.md5(f"{i}:split".encode()).hexdigest()[:8]
+        b = int(h, 16) % 100
+        edge = 0
+        for name, wt in weights.items():
+            edge += wt
+            if b < edge:
+                return name
+        raise AssertionError("unreachable")
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in df.select(
+            "doc_id", split_expr(F.col("doc_id"), weights).alias("split")
+        ).collect()
+    }
+    assert got == {i: py_split(i) for i in ids}
+
+
+def test_hash_split_frozen_golden(spark):
+    """Recipe-stability pin: these exact assignments were recorded in
+    round 6 and must NEVER change — a different split for the same id
+    silently leaks eval docs into training on any incremental rerun."""
+    from biometric_stream_processing_spark.operators.sampling import (
+        split_expr,
+    )
+
+    weights = {"train": 80, "val": 10, "test": 10}
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = [
+        r.split
+        for r in df.select(
+            split_expr(F.col("doc_id"), weights).alias("split")
+        ).orderBy("doc_id").collect()
+    ]
+    import hashlib
+    want = []
+    for i in range(10):
+        b = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16) % 100
+        want.append("train" if b < 80 else "val" if b < 90 else "test")
+    assert got == want
+    # the literal values, so a joint drift of test helper + operator
+    # still trips the pin
+    assert got == ["train", "train", "train", "train", "train",
+                   "train", "train", "train", "train", "test"]
