@@ -63,12 +63,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an externally-created session
-    (e.g. the driver's) — only the ones safe to flip post-start."""
+    (e.g. the driver's) — only the ones safe to flip post-start —
+    and ship the package to Python workers."""
     for k, v in DEFAULT_CONFS.items():
         if k.startswith(("spark.sql.adaptive", "spark.sql.session",
                          "spark.sql.shuffle", "spark.sql.autoBroadcast",
@@ -77,4 +79,48 @@ def tune_session(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
             except Exception:
                 pass  # conf locked by the host session; keep going
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python WORKERS regardless
+    of the driver's cwd/PYTHONPATH: module-level Pandas-UDF helpers
+    (multimodal decode, featurizer) pickle BY REFERENCE, so the
+    worker re-imports the package at task deserialization. When the
+    host process launched from the repo directory that import works
+    by cwd accident; from anywhere else it raises
+    ModuleNotFoundError (caught by a cold-cwd driver-contract run,
+    round 6). ``addPyFile`` with a zip of the package is the same
+    mechanism a real cluster deployment uses (``--py-files``) — one
+    zip per session, shipped once, appended to every executor's
+    ``sys.path``."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    marker = "_bspe_pkg_shipped"
+    if getattr(sc, marker, False):
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="bspe_pyfiles_"), "bspe_pkg.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    os.path.basename(pkg_root),
+                    os.path.relpath(full, pkg_root),
+                )
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext; cwd fallback
+    setattr(sc, marker, True)
