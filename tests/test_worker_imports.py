@@ -1,0 +1,43 @@
+"""Worker-import robustness (round-6 finding): module-level
+Pandas-UDF helpers pickle by reference, so Python WORKERS must be
+able to import the package — which held only by cwd accident until
+`session._ship_package` started shipping a zip via ``addPyFile``.
+This guard reruns the failing shape end-to-end: a fresh driver
+process whose cwd is NOT the repo (and whose PYTHONPATH the workers
+don't inherit) runs a multimodal decode query; before the fix the
+workers raised ModuleNotFoundError."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as m
+n = m.queries()["multimodal_decode_audio"](
+    spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("WORKER-IMPORT-OK", n)
+"""
+
+
+def test_udf_queries_survive_foreign_cwd(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=repo)],
+        cwd=str(tmp_path),  # decidedly not the repo
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER-IMPORT-OK" in out.stdout, (
+        f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
+    )
