@@ -262,10 +262,10 @@ def main() -> None:
     # embedding_kmeans_quality and embedding_kmeans_cells — is
     # memoized module-side with a persist (building it calls the
     # eager training loop, so it too cannot sit in this list): first
-    # timed consumer materializes, the second reads blocks. In
-    # round-5 registration order the first consumers are
-    # near_dup_clusters, decontaminated_train_docs and
-    # embedding_kmeans_quality respectively.)
+    # timed consumer materializes, the second reads blocks. The
+    # CURRENT round's first consumer per shared stage is the
+    # MEMO_OWNERS map above — the authoritative billing record the
+    # bench emits into BENCH_DETAIL.)
 
     timings: dict[str, float] = {}
     total = 0.0
