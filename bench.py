@@ -244,10 +244,11 @@ def main() -> None:
     cells.persist()
     fps = doc_winnow_fingerprints(spark, sf_dir)
     fps.persist()
-    # the clean corpus feeds three consumers (its own gate entry, the
-    # token-budget selection, the training-corpus capstone); lazy like
-    # the others — the first consumer in registration order
-    # (documents_clean_corpus itself) pays the whole chain on the clock
+    # the clean corpus feeds four consumers (its own gate entry, the
+    # token-budget selection, the training-corpus capstone, the funnel
+    # report); lazy like the others — in round-6 registration order
+    # training_corpus (front position 4) is the first consumer and
+    # pays the whole chain on the clock (MEMO_OWNERS "clean_corpus")
     clean = documents_clean_corpus(spark, sf_dir)
     clean.persist()
     # (The cluster table — shared by near_dup_clusters and

@@ -22,9 +22,12 @@ def _lit(v, typ: str) -> str:
     if v is None:
         return f"CAST(NULL AS {typ})"
     if typ == "DOUBLE":
-        # repr(float) is the shortest round-trip literal — the double
-        # survives exactly through the SQL parser
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
+        # the one shared repr-round-trip double emitter (vec_sql.dlit)
+        # — two copies of a bit-exactness-critical fragment would
+        # drift separately
+        from .vec_sql import dlit
+
+        return dlit(float(v))
     if typ == "STRING":
         # backslash FIRST: Spark's default parser processes backslash
         # escapes inside string literals ('x\' would escape the

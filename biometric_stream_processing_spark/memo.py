@@ -39,10 +39,20 @@ _LOCK = threading.RLock()
 
 def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
                  build: "Callable[[], T]") -> T:
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.realpath(sf_dir))
     got = cache.get(key)
     if got is None:
         with _LOCK:
+            # classic PySpark allows one SparkContext per process, so
+            # any cached entry under a DIFFERENT appId belongs to a
+            # stopped context: its plan objects can never be used
+            # again — drop them so a host that cycles sessions doesn't
+            # accumulate dead plan trees. (Per-sf_dir growth within
+            # one live session is bounded by the dirs touched.)
+            dead = [k for k in cache if k[0] != app_id]
+            for k in dead:
+                del cache[k]
             got = cache.get(key)
             if got is None:
                 got = build()

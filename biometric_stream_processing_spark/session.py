@@ -95,32 +95,47 @@ def _ship_package(spark: SparkSession) -> None:
     mechanism a real cluster deployment uses (``--py-files``) — one
     zip per session, shipped once, appended to every executor's
     ``sys.path``."""
+    import shutil
     import tempfile
     import zipfile
 
-    sc = spark.sparkContext
     marker = "_bspe_pkg_shipped"
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # Spark Connect: no SparkContext; cwd/PYTHONPATH fallback
     if getattr(sc, marker, False):
         return
     pkg_root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.mkdtemp(prefix="bspe_pyfiles_"), "bspe_pkg.zip"
-    )
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg_root):
-            if "__pycache__" in dirpath:
-                continue
-            for fn in filenames:
-                if not fn.endswith(".py"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                rel = os.path.join(
-                    os.path.basename(pkg_root),
-                    os.path.relpath(full, pkg_root),
-                )
-                zf.write(full, rel)
+    tmpdir = tempfile.mkdtemp(prefix="bspe_pyfiles_")
+    zpath = os.path.join(tmpdir, "bspe_pkg.zip")
     try:
-        sc.addPyFile(zpath)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in filenames:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        os.path.basename(pkg_root),
+                        os.path.relpath(full, pkg_root),
+                    )
+                    zf.write(full, rel)
+        try:
+            sc.addPyFile(zpath)
+        except Exception:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            return  # addPyFile unsupported/locked; cwd fallback
+        setattr(sc, marker, True)
+        # executors fetch the zip LAZILY at first task (measured: an
+        # eager rmtree here breaks Executor.updateDependencies), so
+        # the staging dir must outlive the session — clean at process
+        # exit instead of leaking one /tmp dir per session
+        import atexit
+
+        atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
     except Exception:
-        pass  # e.g. Spark Connect without SparkContext; cwd fallback
-    setattr(sc, marker, True)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise

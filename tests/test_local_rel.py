@@ -101,3 +101,28 @@ def test_session_memo_thread_safe_single_build(spark, tmp_path):
         t.join(timeout=30)
     assert len(builds) == 1
     assert len(got) == 8 and all(g is got[0] for g in got)
+
+
+def test_session_memo_evicts_dead_app_entries():
+    """Entries cached under a different applicationId belong to a
+    stopped context (classic PySpark: one context per process) and
+    must be dropped, not accumulated."""
+    from types import SimpleNamespace
+
+    from biometric_stream_processing_spark.memo import session_memo
+
+    def fake_spark(app_id):
+        return SimpleNamespace(
+            sparkContext=SimpleNamespace(applicationId=app_id)
+        )
+
+    cache: dict = {}
+    session_memo(cache, fake_spark("app-1"), "/tmp", lambda: "a")
+    assert len(cache) == 1
+    # same app, second dir: both live
+    session_memo(cache, fake_spark("app-1"), "/var", lambda: "b")
+    assert len(cache) == 2
+    # new app: dead entries evicted, new one cached
+    got = session_memo(cache, fake_spark("app-2"), "/tmp", lambda: "c")
+    assert got == "c"
+    assert list(cache) == [("app-2", "/tmp")]
