@@ -108,85 +108,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GATE_CAP≈50 verdict prefix, the minimal feasible freshness
     # window is K = ceil(N / 50) recorded rounds — at N=128 every
     # entry must be green within the last 3 recorded rounds, and each
-    # round's prefix drains the oldest debt first. Round 6 executes
-    # the round-5 obligation: ALL 35 queued round-5 entries register
-    # and take the front (first verdicts), preceded by 15
-    # re-verifications — the 3 shingles-transitive entries the r5
-    # note named (doc_repetition_stats / decontaminated_train_docs /
-    # training_corpus), the entries whose source changed this round
-    # (k-means quality fold; tfidf/nation perf passes), and the
-    # oldest-verified (r4-green) fills. Registration order is also
-    # bench order, so shared-subtree owners precede their composites
-    # (memo billing is annotated per round in BENCH_DETAIL via
-    # bench.py's memo_owner map).
+    # round's prefix drains the oldest debt first. ROUND 7 executes
+    # the round-6 obligation exactly as the r6 verdict scheduled it:
+    # the 33 r4-green entries (the oldest debt, incl. the flagship
+    # biometric chain) take the front, then the 5 entries whose
+    # source/fingerprint changed this round (round-6 advice fixes:
+    # the corpus df/tf guards, the values_frame validation + parser
+    # pin under both eager reports, the eager-snapshot docstrings),
+    # then 12 oldest-r5 fills (streaming_alerts block first, per the
+    # verdict). memo.py's per-cache-lock rework and session.py's
+    # escapedStringLiterals pin are concurrency-/conf-only (result-
+    # identical, unit-tested) and do not force re-verification of
+    # every memoized entry. Registration order is also bench order,
+    # so shared-subtree owners precede their composites (memo billing
+    # is annotated per round in BENCH_DETAIL via bench.py's
+    # memo_owner map).
     front = [
-        # --- re-verify: source changed this round (k-means quality
-        # fold into the shared assignment pass) — quality FIRST so it
-        # owns the training + assignment-map memo bill ---
-        "embedding_kmeans_quality", "embedding_kmeans_cells",
-        # --- re-verify: shingles-transitive (r5 vectorization of
-        # functions/text.shingles sits under these three; named by
-        # the r5 obligation note). decontaminated_train_docs owns the
-        # gram-index memo; training_corpus reuses it ---
-        "decontaminated_train_docs", "training_corpus",
-        "doc_repetition_stats",
-        # --- re-verify: wall-weak perf passes this round (srp's
-        # bucket expression moved to a parsed SQL string) ---
-        "doc_tfidf_keywords", "nation_pair_volume",
-        "embedding_srp_pairs",
-        # --- re-verify: source changed late round 6 (construction
-        # memos on the LSH chain and the clean corpus; decontam /
-        # training-corpus persists) ---
-        "ngram_jaccard_dups", "documents_clean_corpus",
-        # --- re-verify: oldest (r4-green) fills, owners first:
-        # embedding_dup_clusters owns the embedding-cluster closure,
-        # near_dup_representatives the text-LSH cluster closure.
-        # (source_dedup_report / source_quality_report ceded their
-        # fill slots to the two source-changed entries above — they
-        # are r4-green with unchanged sources, inside the K=3 window,
-        # and join the round-7 obligation block in the tail.) ---
-        "embedding_dup_clusters", "near_dup_representatives",
-        "embedding_similar_pairs", "doc_unigram_logprob",
-        "corpus_vocab_topk",
-        # --- the 35 round-5 queue entries: first driver verdicts.
-        # Time-series family ---
-        "user_state_history", "user_hourly_gapfill",
-        "running_zscore_flags", "user_value_ewma",
-        "value_histogram", "user_retention_cohorts",
-        "user_rolling_median",
-        # --- sampling / corpus / analytics ---
-        "doc_weighted_sample", "corpus_mixture_sample",
-        "above_median_length_docs", "split_overlap_matrix",
-        "corpus_heavy_hitters", "doc_bigram_logprob",
-        "term_posting_lists", "corpus_pmi_collocations",
-        "orders_profile", "hll_user_rollup",
-        "embedding_pca_quality", "source_quality_ols",
-        "orders_constraint_report", "multimodal_decode_png",
-        "sql_nation_revenue", "parse_props_variant",
-        "dynamic_session_stats", "salted_segment_revenue",
-        # --- graph family (owners before the composite report) ---
-        "dup_graph_stats", "dup_graph_pagerank",
-        "dup_graph_bfs_depths", "ivf_recall_report",
-        "dedup_pipeline_report",
-        # --- streaming state machines last (sentinel-flush sources
-        # are self-contained; order-independent) ---
-        "streaming_approx_users", "streaming_native_dedup",
-        "streaming_funnel", "streaming_anomalies",
-        "streaming_state_history",
-    ]
-    tail = [
-        # ROUND-7 OBLIGATION (the K=3 schedule, debt-oldest-first):
-        # the 33 tail entries below whose last green verdict is
-        # round 4 (biometric_union .. source_quality_report — they sit
-        # FIRST in this tail list; the last two ceded their round-6
-        # fill slots to the late source-changed re-verifications) must
-        # fill the round-7 prefix, plus any entry whose source changes
-        # in round 7; remaining slots take the oldest r5-green
-        # entries. The r5/r6-green entries
-        # then rotate through rounds 7-8 — every entry stays inside
-        # the 3-round window.
-        #
-        # --- last green r4 (oldest debt → round-7 front) ---
+        # --- last green r4: the round-7 obligation block (same
+        # relative order they held in the r6 tail) ---
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -206,15 +145,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue", "top_customers_per_segment",
         "abandoned_clicks", "source_dedup_report",
         "source_quality_report",
-        # --- last green r5, source unchanged (rounds 7-8 rotation).
-        # Subtree owners keep their r5 relative order so tail memo
-        # billing stays comparable round-over-round ---
+        # --- re-verify: source changed round 7 (advice fixes).
+        # corpus_vocab_topk / doc_unigram_logprob: df/tf guard +
+        # tf-only call sites (they now own the doc-term-matrix memo
+        # bill — first registered consumers). embedding_pca_quality /
+        # orders_profile / dedup_pipeline_report: values_frame grew
+        # row validation + the parser-conf pin under their emission
+        # (pca transitively; the reports also gained the
+        # eager-snapshot contract docstrings). The funnel report sits
+        # last: it is now the first consumer of the clean-corpus /
+        # LSH / gram-index memos (owners moved to the r6-green tail),
+        # so it pays their materialization — annotated in bench.py's
+        # MEMO_OWNERS. ---
+        "corpus_vocab_topk", "doc_unigram_logprob",
+        "embedding_pca_quality", "orders_profile",
+        "dedup_pipeline_report",
+        # --- oldest r5-green fills (streaming_alerts block first per
+        # the r6 verdict; winnow owner before its contamination
+        # consumer) ---
         "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "streaming_session_stats", "streaming_vocab_topk",
         "streaming_abandoned_clicks", "streaming_outer_pairs",
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints", "contamination_overlaps",
+    ]
+    tail = [
+        # ROUND-8 OBLIGATION (the K=3 schedule, debt-oldest-first):
+        # the 33 r5-green entries below sit FIRST in this tail list —
+        # when round 8 records, r5 falls out of the K=3 window, so
+        # they must fill the round-8 prefix (33 + any round-8
+        # source-changed entries, remaining slots from the oldest
+        # r6-green block that follows). Relative order preserved from
+        # r5 so tail memo billing stays comparable.
+        #
+        # --- last green r5 (oldest debt → round-8 front) ---
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs",
@@ -235,6 +200,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly", "user_sessions",
         "props_map_entries", "salted_distinct_users",
         "native_session_stats",
+        # --- last green r6, source unchanged (fresh through round 8;
+        # rotate rounds 8-9). r6 front order preserved ---
+        "embedding_kmeans_quality", "embedding_kmeans_cells",
+        "decontaminated_train_docs", "training_corpus",
+        "doc_repetition_stats",
+        "doc_tfidf_keywords", "nation_pair_volume",
+        "embedding_srp_pairs",
+        "ngram_jaccard_dups", "documents_clean_corpus",
+        "embedding_dup_clusters", "near_dup_representatives",
+        "embedding_similar_pairs",
+        "user_state_history", "user_hourly_gapfill",
+        "running_zscore_flags", "user_value_ewma",
+        "value_histogram", "user_retention_cohorts",
+        "user_rolling_median",
+        "doc_weighted_sample", "corpus_mixture_sample",
+        "above_median_length_docs", "split_overlap_matrix",
+        "corpus_heavy_hitters", "doc_bigram_logprob",
+        "term_posting_lists", "corpus_pmi_collocations",
+        "hll_user_rollup", "source_quality_ols",
+        "orders_constraint_report", "multimodal_decode_png",
+        "sql_nation_revenue", "parse_props_variant",
+        "dynamic_session_stats", "salted_segment_revenue",
+        "dup_graph_stats", "dup_graph_pagerank",
+        "dup_graph_bfs_depths", "ivf_recall_report",
+        "streaming_approx_users", "streaming_native_dedup",
+        "streaming_funnel", "streaming_anomalies",
+        "streaming_state_history",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

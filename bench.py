@@ -115,46 +115,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = the round-5 owner.
 MEMO_OWNERS = {
+    # Round-7 rotation moved the memo-owning corpus entries into the
+    # r6-green TAIL and the funnel report / doc-tf consumers into the
+    # FRONT, so several first-consumer bills shift this round — each
+    # shift below is a billing move, not a regression ("prev" = the
+    # round-6 owner).
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # round 6 unified the decontam gram index with split_overlap_
-    # matrix's formerly-private copy (shared_split_grams) — the matrix
-    # is now a consumer, not a second builder
+    # the funnel report (front, position 38) now precedes every other
+    # consumer of the corpus-pipeline memos — it pays the gram index,
+    # decontam survivors, training corpus, clean corpus, and the
+    # MinHash/LSH chain in one bill (expect its r7 bench time to
+    # absorb what decontaminated_train_docs/training_corpus paid in
+    # r6, and those two to drop to cached-read time)
     "decontam_gram_index": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
-    # late round 6: the decontam survivors and the training-corpus
-    # capstone gained lazy persists (consumers: the funnel report and
-    # each other's entries), so their owners now bill the one-time
-    # materialization that training_corpus/dedup_pipeline_report used
-    # to re-derive per query
     "decontam_survivors": {
-        "owner": "decontaminated_train_docs", "prev": None},
+        "owner": "dedup_pipeline_report",
+        "prev": "decontaminated_train_docs"},
     "training_corpus_rows": {
-        "owner": "training_corpus", "prev": None},
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
     "clean_corpus": {
-        "owner": "training_corpus",
-        "prev": "documents_clean_corpus"},
-    "doc_term_matrix": {           # new round-6 memo (gram family)
-        "owner": "doc_repetition_stats", "prev": None},
-    "embedding_cluster_closure": {
-        "owner": "embedding_dup_clusters",
-        "prev": "cross_modal_dup_agreement"},
-    # review fix: training_corpus (front position 4) embeds the
-    # persisted LSH-pair subtree via clean corpus → ngram_jaccard_dups
-    # and therefore pays the MinHash/LSH chain — NOT
-    # near_dup_representatives (position 10), which pays only the
-    # cluster closure (BENCH_DETAIL corroborates: training_corpus
-    # ~2.8 s vs minhash_lsh_pairs ~0.5 s cached)
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
     "text_lsh_pairs": {
-        "owner": "training_corpus",
-        "prev": "minhash_lsh_pairs"},
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+    # corpus_vocab_topk (front 34) is now the first doc-term-matrix
+    # consumer (doc_repetition_stats moved to the r6-green tail)
+    "doc_term_matrix": {
+        "owner": "corpus_vocab_topk", "prev": "doc_repetition_stats"},
+    # the r5-green tail block precedes the r6-green block, so the
+    # closure/IVF bills revert to their round-5 owners
+    "embedding_cluster_closure": {
+        "owner": "cross_modal_dup_agreement",
+        "prev": "embedding_dup_clusters"},
     "text_cluster_closure": {
-        "owner": "near_dup_representatives",
-        "prev": "near_dup_clusters"},
+        "owner": "near_dup_clusters",
+        "prev": "near_dup_representatives"},
     "ivf_cell_assignment": {
-        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
+        "owner": "embedding_ivf_topk", "prev": "ivf_recall_report"},
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},

@@ -31,11 +31,18 @@ def _lit(v, typ: str) -> str:
     if typ == "STRING":
         # backslash FIRST: Spark's default parser processes backslash
         # escapes inside string literals ('x\' would escape the
-        # closing quote), then quote-double
+        # closing quote), then quote-double. Assumes the DEFAULT
+        # parser (escapedStringLiterals=false) — values_frame pins it.
         s = str(v).replace("\\", "\\\\").replace("'", "''")
         return "'" + s + "'"
     if typ == "BOOLEAN":
+        if not isinstance(v, bool):
+            raise TypeError(f"BOOLEAN column got {type(v).__name__}: {v!r}")
         return "true" if v else "false"
+    # integral: anything else would interpolate raw text into SQL
+    # (parse error at best, a wrong literal at worst)
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise TypeError(f"{typ} column got {type(v).__name__}: {v!r}")
     return f"CAST({v} AS {typ})"
 
 
@@ -55,6 +62,20 @@ def values_frame(spark: SparkSession, rows: list[tuple],
         # VALUES needs at least one row; an empty model output is a
         # caller bug for every current user
         raise ValueError("values_frame requires at least one row")
+    for i, r in enumerate(rows):
+        if len(r) != len(cols):
+            raise ValueError(
+                f"row {i} has {len(r)} values for {len(cols)} columns"
+            )
+    # The string escaping in _lit is written against Spark's DEFAULT
+    # string-literal parser; with the legacy conf enabled the doubled
+    # backslashes would survive as two characters and every emitted
+    # string would silently corrupt. Pin the conf (runtime SQL conf,
+    # session-scoped, default false) rather than trusting the host —
+    # set only on divergence (Spark 4 WARNs on every set).
+    _ESC = "spark.sql.parser.escapedStringLiterals"
+    if spark.conf.get(_ESC, "false") != "false":
+        spark.conf.set(_ESC, "false")
     body = ", ".join(
         "(" + ", ".join(
             _lit(v, typ) for v, (_, typ) in zip(r, cols)

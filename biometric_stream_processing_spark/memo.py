@@ -28,13 +28,28 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T")
 
-# One lock for all memo caches: builds are driver-side plan
-# construction (sub-second), and composite reports submit Spark jobs
-# from worker threads — without the lock two racing callers would
-# both build (and both persist()) the same frame. REENTRANT because
-# builders nest (training_corpus → documents_clean_corpus →
-# ngram_jaccard_dups are each memoized).
-_LOCK = threading.RLock()
+# One lock PER CACHE (round-6 advice: a single global lock serialized
+# every memoized lookup in the process behind whichever multi-second
+# eager build — kmeans training, persisted materializations — happened
+# to run first; unrelated builds have no reason to wait on each
+# other). Same-cache racers still serialize, which is the point:
+# without it two first-callers would both build (and both persist())
+# the same frame. REENTRANT because builders nest (training_corpus →
+# documents_clean_corpus → ngram_jaccard_dups are each memoized);
+# nesting follows the build DAG, so per-cache lock acquisition order
+# is topological and cannot deadlock. Keyed by id(cache): every cache
+# is a module-level dict that lives for the process, so ids are
+# stable and never reused.
+_LOCKS_GUARD = threading.Lock()
+_CACHE_LOCKS: dict[int, threading.RLock] = {}
+
+
+def _lock_for(cache: dict) -> threading.RLock:
+    with _LOCKS_GUARD:
+        lk = _CACHE_LOCKS.get(id(cache))
+        if lk is None:
+            lk = _CACHE_LOCKS[id(cache)] = threading.RLock()
+        return lk
 
 
 def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
@@ -43,7 +58,7 @@ def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
     key = (app_id, os.path.realpath(sf_dir))
     got = cache.get(key)
     if got is None:
-        with _LOCK:
+        with _lock_for(cache):
             # classic PySpark allows one SparkContext per process, so
             # any cached entry under a DIFFERENT appId belongs to a
             # stopped context: its plan objects can never be used

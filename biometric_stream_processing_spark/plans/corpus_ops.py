@@ -96,15 +96,20 @@ def shared_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK,
+def vocab_topk(df: DataFrame | None = None, k: int = VOCAB_TOPK,
                tf: DataFrame | None = None) -> DataFrame:
     """Corpus-wide vocabulary induction: the ``k`` most frequent
     words with term frequency and document frequency. Ties are
     totally ordered (tf desc, then word asc) so the emitted SET is
     deterministic across engines and partitionings. Derives from the
     doc-term matrix (term frequency = Σ per-doc tf; document
-    frequency = matrix row count per word) — pass a shared ``tf`` to
-    reuse the memoized corpus pass."""
+    frequency = matrix row count per word) — pass EITHER ``df`` OR a
+    shared prebuilt ``tf`` (the memoized corpus pass), never both:
+    with ``tf`` supplied ``df`` would be dead weight at best and a
+    silently-mixed relation at worst (round-6 advice; the guard
+    exact_decontaminate already had)."""
+    if (df is None) == (tf is None):
+        raise ValueError("pass exactly one of df or a prebuilt tf")
     if tf is None:
         tf = doc_tf(df)
     agg = tf.groupBy("word").agg(
@@ -115,9 +120,7 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK,
 
 
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vocab_topk(
-        _docs(spark, sf_dir), tf=shared_doc_tf(spark, sf_dir)
-    )
+    return vocab_topk(tf=shared_doc_tf(spark, sf_dir))
 
 
 def repetition_stats(df: DataFrame,
@@ -138,7 +141,15 @@ def repetition_stats(df: DataFrame,
     reuse the memoized corpus pass); only the bigram ceiling needs
     its own explode, over HALF the rows the old tagged
     unigram+bigram generator produced. The two doc-keyed aggregates
-    join on aligned doc_id exchanges."""
+    join on aligned doc_id exchanges.
+
+    CONTRACT when ``tf`` is supplied: it must be ``doc_tf(df)`` over
+    the SAME ``df`` (this is the one corpus helper that genuinely
+    needs both — unigrams from the matrix, bigrams from the text —
+    so the mixed-relation hazard can't be closed by dropping a
+    parameter; cheap structural equality of lazy plans isn't
+    checkable, hence documented like exact_decontaminate's
+    prebuilt-grams contract)."""
     if tf is None:
         tf = doc_tf(df)
     uni = tf.groupBy("doc_id").agg(
@@ -216,7 +227,7 @@ def doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages(_docs(spark, sf_dir))
 
 
-def unigram_logprob(df: DataFrame,
+def unigram_logprob(df: DataFrame | None = None,
                     tf: DataFrame | None = None) -> DataFrame:
     """Unigram-LM quality scoring (the CCNet-style perplexity filter,
     with the corpus itself as the language model): per document, the
@@ -237,7 +248,12 @@ def unigram_logprob(df: DataFrame,
     bit-identical to the per-token sum); the vocabulary re-joins as a
     broadcast (MB-scale at any corpus size — hot words are single
     pre-aggregated rows); the corpus total rides as a 1-row broadcast
-    (scalar-subquery shape)."""
+    (scalar-subquery shape).
+
+    Pass EITHER ``df`` OR a prebuilt ``tf``, never both (round-6
+    advice: with ``tf`` supplied ``df`` was silently ignored)."""
+    if (df is None) == (tf is None):
+        raise ValueError("pass exactly one of df or a prebuilt tf")
     if tf is None:
         tf = doc_tf(df)
     vocab = tf.groupBy("word").agg(F.sum("tf").alias("_tf"))
@@ -269,9 +285,7 @@ def unigram_logprob(df: DataFrame,
 
 
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return unigram_logprob(
-        _docs(spark, sf_dir), tf=shared_doc_tf(spark, sf_dir)
-    )
+    return unigram_logprob(tf=shared_doc_tf(spark, sf_dir))
 
 
 #: bigram-LM interpolation weight: score = ln(λ·p_bi + (1−λ)·p_uni)

@@ -995,7 +995,12 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     under bench persists: unionAll 4.3 s → concurrent counts 3.7 s →
     ~1.1 s once the training-corpus persist and the construction
     memos (clean corpus / LSH chain — ~1.8 s of per-call py4j plan
-    building) landed."""
+    building) landed.
+
+    EAGER-SNAPSHOT CONTRACT: the six counts run at CALL time and the
+    returned DataFrame is a frozen LocalTableScan of those scalars —
+    re-executing it replays the snapshot rather than re-counting
+    data that changed in-session. Call again for a fresh funnel."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..functions.local_rel import values_frame

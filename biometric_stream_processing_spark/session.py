@@ -28,6 +28,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Read parquet TIMESTAMP(isAdjustedToUTC=false) deterministically.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # The VALUES emitter (functions/local_rel.py) escapes strings for
+    # the DEFAULT parser; a host session with the legacy conf on would
+    # silently corrupt every emitted literal. Pin it (also re-pinned
+    # defensively at each values_frame call).
+    "spark.sql.parser.escapedStringLiterals": "false",
     # Broadcast generously: all dim tables here are tiny; at 100 TB the
     # dims (region/nation/part/supplier) still fit well under 1 GiB.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
@@ -74,9 +79,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     for k, v in DEFAULT_CONFS.items():
         if k.startswith(("spark.sql.adaptive", "spark.sql.session",
                          "spark.sql.shuffle", "spark.sql.autoBroadcast",
-                         "spark.sql.execution.arrow")):
+                         "spark.sql.execution.arrow",
+                         "spark.sql.parser")):
             try:
-                spark.conf.set(k, v)
+                # set only on divergence: escapedStringLiterals emits
+                # a deprecation WARN on every set in Spark 4
+                if spark.conf.get(k, None) != v:
+                    spark.conf.set(k, v)
             except Exception:
                 pass  # conf locked by the host session; keep going
     _ship_package(spark)

@@ -300,3 +300,159 @@ def test_dynamic_session_oracle_handles_duplicate_ts(spark, tmp_path):
     assert got == want
     assert got == {(1, int(t0.timestamp()), 1),
                    (1, int(t0.timestamp()) + 8000, 2)}
+
+
+# ------------------------------------------------- round-6 advice fixes
+
+def test_values_frame_pins_string_parser_conf(spark):
+    """local_rel advice: with the legacy escapedStringLiterals conf
+    enabled by the host, values_frame must still round-trip (it pins
+    the conf back to the default parser its escaping targets)."""
+    from biometric_stream_processing_spark.functions.local_rel import (
+        values_frame,
+    )
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        tricky = "a\\n'b' \\\\ c\\"
+        out = values_frame(spark, [(tricky,)], "s string").collect()
+        assert out[0].s == tricky
+        assert (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals")
+            == "false"
+        )
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
+def test_values_frame_rejects_malformed_rows(spark):
+    """local_rel advice: row/schema arity mismatch and non-integral
+    values for integral columns must raise instead of silently
+    dropping values or interpolating raw text into the SQL."""
+    from biometric_stream_processing_spark.functions.local_rel import (
+        values_frame,
+    )
+
+    with pytest.raises(ValueError, match="row 0 has 1 values"):
+        values_frame(spark, [("a",)], "s string, n bigint")
+    with pytest.raises(ValueError, match="row 1 has 3 values"):
+        values_frame(spark, [("a", 1), ("b", 2, 3)], "s string, n bigint")
+    with pytest.raises(TypeError, match="BIGINT column got str"):
+        values_frame(spark, [("1; DROP TABLE x",)], "n bigint")
+    with pytest.raises(TypeError, match="BIGINT column got bool"):
+        values_frame(spark, [(True,)], "n bigint")
+    with pytest.raises(TypeError, match="INT column got float"):
+        values_frame(spark, [(1.5,)], "n int")
+    with pytest.raises(TypeError, match="BOOLEAN column got int"):
+        values_frame(spark, [(1,)], "b boolean")
+    # NULLs stay allowed everywhere
+    row = values_frame(
+        spark, [(None, None, None)], "s string, n bigint, b boolean"
+    ).collect()[0]
+    assert (row.s, row.n, row.b) == (None, None, None)
+
+
+def test_values_frame_adversarial_string_roundtrip(spark):
+    """Verdict 5(b): the VALUES parser path is load-bearing for three
+    verdict-bearing queries — adversarial strings (newlines, quotes,
+    backslash runs, non-BMP, raw escape-lookalikes) must round-trip
+    bit-exactly."""
+    from biometric_stream_processing_spark.functions.local_rel import (
+        values_frame,
+    )
+
+    corpus = [
+        "",
+        "plain",
+        "line1\nline2",
+        "tab\there",
+        "cr\rhere",
+        "quote ' here",
+        'double " quote',
+        "''",
+        "\\",
+        "\\\\",
+        "x\\",
+        "\\x",
+        "\\n",          # two chars, must NOT become a newline
+        "\\u0041",      # must NOT become 'A'
+        "%s %% {brace}",
+        "emoji 🎉 snow ☃",
+        "non-bmp 𝔘𝔫𝔦",
+        "mixed '\\''\n\\\\'",
+        " leading and trailing ",
+    ]
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    out = values_frame(spark, rows, "i bigint, s string").collect()
+    got = {r.i: r.s for r in out}
+    assert got == dict(enumerate(corpus))
+
+
+def test_values_frame_hypothesis_string_roundtrip(spark):
+    """Property form of the adversarial round-trip: random unicode
+    (minus NUL and surrogates, which SQL text cannot carry) in one
+    batched VALUES call per example."""
+    from hypothesis import given, settings, strategies as st
+
+    from biometric_stream_processing_spark.functions.local_rel import (
+        values_frame,
+    )
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts)
+    def roundtrip(strings):
+        rows = [(i, s) for i, s in enumerate(strings)]
+        out = values_frame(spark, rows, "i bigint, s string").collect()
+        assert {r.i: r.s for r in out} == dict(enumerate(strings))
+
+    roundtrip()
+
+
+def test_corpus_helpers_reject_df_and_tf_together(spark):
+    """corpus_ops advice: vocab_topk/unigram_logprob take EITHER df
+    OR a prebuilt tf — both (silently-ignored df) or neither raises."""
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        doc_tf,
+        unigram_logprob,
+        vocab_topk,
+    )
+
+    df = _docs(spark, ["a b", "b c"])
+    tf = doc_tf(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        vocab_topk(df, tf=tf)
+    with pytest.raises(ValueError, match="exactly one"):
+        vocab_topk()
+    with pytest.raises(ValueError, match="exactly one"):
+        unigram_logprob(df, tf=tf)
+    with pytest.raises(ValueError, match="exactly one"):
+        unigram_logprob()
+    # the two valid spellings agree
+    a = {tuple(r) for r in vocab_topk(df, k=3).collect()}
+    b = {tuple(r) for r in vocab_topk(k=3, tf=tf).collect()}
+    assert a == b
+
+
+def test_report_queries_declare_eager_snapshot_contract():
+    """analytics advice: the two eager report queries must carry the
+    lazy→eager contract change in their public docstrings."""
+    from biometric_stream_processing_spark.plans.analytics import (
+        orders_profile,
+    )
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        dedup_pipeline_report,
+    )
+
+    assert "EAGER-SNAPSHOT" in orders_profile.__doc__
+    assert "EAGER-SNAPSHOT" in dedup_pipeline_report.__doc__

@@ -126,3 +126,41 @@ def test_session_memo_evicts_dead_app_entries():
     got = session_memo(cache, fake_spark("app-2"), "/tmp", lambda: "c")
     assert got == "c"
     assert list(cache) == [("app-2", "/tmp")]
+
+
+def test_session_memo_unrelated_caches_do_not_serialize(spark, tmp_path):
+    """Round-6 advice: per-cache locks — a slow eager build in one
+    cache must not block a build in a DIFFERENT cache. Thread A's
+    build waits until thread B's unrelated memo completes; under the
+    old global lock this deadlocks (B queues behind A forever)."""
+    import threading
+
+    from biometric_stream_processing_spark.memo import session_memo
+
+    cache_a: dict = {}
+    cache_b: dict = {}
+    a_started = threading.Event()
+    b_done = threading.Event()
+
+    def build_a():
+        a_started.set()
+        # blocks until the OTHER cache's build has fully finished
+        assert b_done.wait(timeout=20), (
+            "unrelated memo build serialized behind this one"
+        )
+        return "a"
+
+    def run_a():
+        session_memo(cache_a, spark, str(tmp_path), build_a)
+
+    def run_b():
+        a_started.wait(timeout=20)
+        session_memo(cache_b, spark, str(tmp_path), lambda: "b")
+        b_done.set()
+
+    ta = threading.Thread(target=run_a)
+    tb = threading.Thread(target=run_b)
+    ta.start(); tb.start()
+    ta.join(timeout=30); tb.join(timeout=30)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert cache_a and cache_b

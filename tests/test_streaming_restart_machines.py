@@ -1,0 +1,199 @@
+"""Restart-recovery goldens (round-6 verdict item 5a) for the
+streaming state machines that got first driver verdicts in round 6
+but had no mid-stream-kill coverage: the funnel, the absence/timer
+machine, native ``dropDuplicatesWithinWatermark``, and the windowed
+approx-distinct agg. Pattern: stop the query between micro-batches,
+restart from the same checkpoint, assert the keyed state SURVIVED
+(post-restart emissions depend on pre-restart history) and nothing
+pre-restart is duplicated (parquet sink ``_spark_metadata``
+exactly-once view). zscore / leading-throttle / SCD-2 restarts live
+in their own files."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+)
+from biometric_stream_processing_spark.streaming.state import (
+    absence_stream,
+    funnel_stream,
+)
+from tests.test_streaming import tmpdir  # noqa: F401
+
+T0 = datetime(2024, 1, 1)
+
+
+def _es(off: int) -> int:
+    return int((T0 + timedelta(seconds=off)).timestamp())
+
+
+def _writer(spark, indir, schema):
+    def write(rows):
+        data = [(T0 + timedelta(seconds=r[0]), *r[1:]) for r in rows]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(indir))
+
+    return write
+
+
+def _phase(spark, indir, ckpt, outdir, build, schema):
+    """One run-until-drained-then-stop phase against a shared
+    checkpoint: the restart boundary every test here pivots on."""
+    src = read_events_stream(
+        spark, str(indir), schema, max_files_per_trigger=1
+    )
+    q = (
+        build(src).writeStream.outputMode("append").format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt)).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_funnel_state_survives_restart(spark, tmpdir):  # noqa: F811
+    """view+click land before the kill; the purchase after restart
+    must emit stage 3 with the PRE-restart v_es/c_es (three-longs
+    state recovered), and the pre-restart emissions appear once."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    schema = "ts timestamp, user_id long, event_type string"
+    write = _writer(spark, indir, schema)
+
+    write([(0, 1, "view")])
+    write([(10, 1, "click")])
+    _phase(spark, indir, ckpt, outdir, funnel_stream, schema)
+
+    write([(20, 1, "purchase")])
+    _phase(spark, indir, ckpt, outdir, funnel_stream, schema)
+
+    rows = sorted(
+        (
+            (r.user_id, r.v_es, r.c_es, r.p_es, r.stage)
+            for r in spark.read.parquet(str(outdir)).collect()
+        ),
+        key=lambda r: r[4],
+    )
+    assert rows == [
+        (1, _es(0), None, None, 1),
+        (1, _es(0), _es(10), None, 2),
+        (1, _es(0), _es(10), _es(20), 3),
+    ]
+
+
+def test_absence_timer_survives_restart(spark, tmpdir):  # noqa: F811
+    """An unresolved click and its event-time timer must survive the
+    kill: the post-restart watermark push (sentinel row, no data for
+    the key) expires the PRE-restart trigger."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    horizon = 60
+
+    def write(rows):
+        data = [
+            (eid, T0 + timedelta(seconds=off), uid, kind)
+            for eid, off, uid, kind in rows
+        ]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(indir))
+
+    def build(src):
+        return absence_stream(
+            src, "click", "purchase", horizon,
+            keep_pred=F.col("event_type") == "wm",
+        )
+
+    write([(1, 0, 7, "click")])
+    _phase(spark, indir, ckpt, outdir, build, schema)
+    # nothing expired yet — the timer is pending keyed state
+    assert spark.read.parquet(str(outdir)).count() == 0
+
+    write([(999, 500, -1, "wm")])  # watermark → 500 ≫ 0 + horizon
+    _phase(spark, indir, ckpt, outdir, build, schema)
+
+    rows = [
+        (r.event_id, r.user_id, r.click_us)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id != -1
+    ]
+    assert rows == [(1, 7, _es(0) * 1_000_000)]
+
+
+def test_native_dedup_state_survives_restart(spark, tmpdir):  # noqa: F811
+    """dropDuplicatesWithinWatermark: a key first seen before the
+    kill must still suppress its duplicate arriving after the
+    restart (dedup state store recovered), while a genuinely new key
+    passes."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    schema = "ts timestamp, event_id long, user_id long"
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "600 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id")
+        )
+
+    write = _writer(spark, indir, schema)
+    write([(0, 1, 10), (5, 2, 20)])
+    _phase(spark, indir, ckpt, outdir, build, schema)
+
+    write([(6, 1, 10), (7, 3, 30)])  # dup of 1 + fresh 3
+    _phase(spark, indir, ckpt, outdir, build, schema)
+
+    rows = sorted(
+        (r.event_id, r.user_id)
+        for r in spark.read.parquet(str(outdir)).collect()
+    )
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_windowed_approx_distinct_survives_restart(spark, tmpdir):  # noqa: F811
+    """The HLL++ sketch behind a windowed approx_count_distinct is
+    per-window keyed state: users {1,2} land before the kill, {2,3}
+    after, and the window's single append-mode emission (forced
+    closed by a watermark push) must count 3 — merging pre- and
+    post-restart registrations in one sketch (exact at this
+    cardinality)."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    schema = "ts timestamp, user_id long"
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.approx_count_distinct("user_id").alias("n_users"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("wstart"),
+                "n_users",
+            )
+        )
+
+    write = _writer(spark, indir, schema)
+    write([(0, 1), (10, 2)])
+    _phase(spark, indir, ckpt, outdir, build, schema)
+    assert spark.read.parquet(str(outdir)).count() == 0  # window open
+
+    write([(20, 2), (30, 3)])
+    write([(7200, 99)])  # next-next hour: closes the first window
+    _phase(spark, indir, ckpt, outdir, build, schema)
+
+    rows = {
+        r.wstart: r.n_users
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert rows[_es(0)] == 3
