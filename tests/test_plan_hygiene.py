@@ -497,3 +497,16 @@ def test_overlap_matrix_reuses_split_gram_index(spark):
     assert "Scan ExistingRDD" in p, p
     assert "explode" not in p, p
     assert "md5" not in p, p
+
+
+def test_leading_debounce_single_exchange_partition_batched(spark):
+    """throttle_leading (round-7 rework): ONE exchange on the key, an
+    in-partition sort, and a partition-batched MapInPandas — never
+    the per-group FlatMapGroupsInPandas whose per-user Arrow slicing
+    the rework removed."""
+    p = _plan(biometric.alerts_leading_debounce(spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    # the debounce's key repartition and in-partition (key, ts) sort
+    assert "hashpartitioning(user_id" in p
+    assert "+- Sort (" in p  # the in-partition (key, ts) sort feeds it
