@@ -121,3 +121,28 @@ def test_flagship_on_testdata(spark):
     assert set(out.columns) == {"user_id", "alert_epoch", "message"}
     for r in rows:
         assert r.message == f"User {r.user_id} has a problem"
+
+
+def test_leading_debounce_state_crosses_arrow_batches(spark):
+    """Round-7 rework contract: the per-partition {key: last_emit}
+    dict must carry the recurrence across Arrow batch boundaries —
+    force tiny batches so a single user's sorted run spans many, and
+    check the exact leading-edge emission set (every (cooldown+1)th
+    timestamp) plus a second interleaved user."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        n, cool = 5000, 9
+        rows = [(1, t) for t in range(n)] + [(2, t * 3) for t in range(n)]
+        df = spark.createDataFrame(rows, "user_id long, wstart long")
+        out = throttle_leading(df, "wstart", cool, ["user_id"]).collect()
+        got = {(r.user_id, r.wstart) for r in out}
+        want = {(1, t) for t in range(0, n, cool + 1)}
+        # user 2's gaps are 3s: emits at multiples of 12 (first ts >
+        # last_emit + 9 is 4 steps later)
+        want |= {(2, t) for t in range(0, 3 * n, 12)}
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
