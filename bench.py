@@ -203,8 +203,8 @@ def main() -> None:
         qs = {**qs, **entrymod.queued_queries()}
 
     # Warm the JVM + parquet footer caches with the flagship, and the
-    # Python daemon/worker pool + Arrow lanes with the one
-    # applyInPandas query (worker fork + first Arrow batch cost would
+    # Python daemon/worker pool + Arrow lanes with the mapInPandas
+    # debounce query (worker fork + first Arrow batch cost would
     # otherwise be billed to that query alone).
     qs["alerts_throttled"](spark, sf_dir).count()
     qs["alerts_leading_debounce"](spark, sf_dir).count()
@@ -246,9 +246,10 @@ def main() -> None:
     fps.persist()
     # the clean corpus feeds four consumers (its own gate entry, the
     # token-budget selection, the training-corpus capstone, the funnel
-    # report); lazy like the others — in round-6 registration order
-    # training_corpus (front position 4) is the first consumer and
-    # pays the whole chain on the clock (MEMO_OWNERS "clean_corpus")
+    # report); lazy like the others — who pays the chain on the clock
+    # is whoever runs first in the CURRENT registration order, always
+    # recorded as MEMO_OWNERS "clean_corpus" above (round 7: the
+    # funnel report, front position 38)
     clean = documents_clean_corpus(spark, sf_dir)
     clean.persist()
     # (The cluster table — shared by near_dup_clusters and

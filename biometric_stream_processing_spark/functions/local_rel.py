@@ -24,7 +24,10 @@ def _lit(v, typ: str) -> str:
     if typ == "DOUBLE":
         # the one shared repr-round-trip double emitter (vec_sql.dlit)
         # — two copies of a bit-exactness-critical fragment would
-        # drift separately
+        # drift separately. Same strictness as the integral branch:
+        # a bool or numeric string would silently coerce via float()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(f"DOUBLE column got {type(v).__name__}: {v!r}")
         from .vec_sql import dlit
 
         return dlit(float(v))

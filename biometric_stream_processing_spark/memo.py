@@ -37,19 +37,23 @@ T = TypeVar("T")
 # the same frame. REENTRANT because builders nest (training_corpus →
 # documents_clean_corpus → ngram_jaccard_dups are each memoized);
 # nesting follows the build DAG, so per-cache lock acquisition order
-# is topological and cannot deadlock. Keyed by id(cache): every cache
-# is a module-level dict that lives for the process, so ids are
-# stable and never reused.
+# is topological and cannot deadlock. The lock lives INSIDE the
+# cache dict under a sentinel key (round-7 review: a side registry
+# keyed by id(cache) leaks entries for GC'd caches and can alias an
+# unrelated new dict after id reuse), so its lifetime is exactly the
+# cache's; _LOCKS_GUARD only covers the first-touch insertion race.
 _LOCKS_GUARD = threading.Lock()
-_CACHE_LOCKS: dict[int, threading.RLock] = {}
+_LOCK_KEY = "__memo_lock__"
 
 
 def _lock_for(cache: dict) -> threading.RLock:
-    with _LOCKS_GUARD:
-        lk = _CACHE_LOCKS.get(id(cache))
-        if lk is None:
-            lk = _CACHE_LOCKS[id(cache)] = threading.RLock()
-        return lk
+    lk = cache.get(_LOCK_KEY)
+    if lk is None:
+        with _LOCKS_GUARD:
+            lk = cache.get(_LOCK_KEY)
+            if lk is None:
+                lk = cache[_LOCK_KEY] = threading.RLock()
+    return lk
 
 
 def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
@@ -65,7 +69,10 @@ def session_memo(cache: dict, spark: SparkSession, sf_dir: str,
             # again — drop them so a host that cycles sessions doesn't
             # accumulate dead plan trees. (Per-sf_dir growth within
             # one live session is bounded by the dirs touched.)
-            dead = [k for k in cache if k[0] != app_id]
+            dead = [
+                k for k in cache
+                if k != _LOCK_KEY and k[0] != app_id
+            ]
             for k in dead:
                 del cache[k]
             got = cache.get(key)

@@ -345,6 +345,12 @@ def test_values_frame_rejects_malformed_rows(spark):
         values_frame(spark, [(1.5,)], "n int")
     with pytest.raises(TypeError, match="BOOLEAN column got int"):
         values_frame(spark, [(1,)], "b boolean")
+    with pytest.raises(TypeError, match="DOUBLE column got bool"):
+        values_frame(spark, [(True,)], "d double")
+    with pytest.raises(TypeError, match="DOUBLE column got str"):
+        values_frame(spark, [("7",)], "d double")
+    # ints remain valid doubles (exact float widening)
+    assert values_frame(spark, [(7,)], "d double").collect()[0].d == 7.0
     # NULLs stay allowed everywhere
     row = values_frame(
         spark, [(None, None, None)], "s string, n bigint, b boolean"

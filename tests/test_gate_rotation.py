@@ -180,12 +180,21 @@ def _registration_updated_since_last_artifact() -> bool:
         if not tracked:
             # Driver artifact present but uncommitted. The shipped
             # registration predates it unless the builder has edited
-            # the registration SINCE the artifact appeared on disk.
+            # the registration SINCE the artifact appeared on disk —
+            # uncommitted (mtime) or committed (commit time). Note a
+            # plain `log <last-tracked-artifact>..HEAD` check would
+            # false-positive here: the PREVIOUS round's registration
+            # commit is always newer than the previous artifact's
+            # commit yet older than this untracked artifact.
             art_mtime = os.path.getmtime(os.path.join(ROOT, newest))
             reg = os.path.join(ROOT, "__spark_entry__.py")
             dirty = _git("status", "--porcelain", "--",
                          "__spark_entry__.py").strip()
-            return bool(dirty) and os.path.getmtime(reg) > art_mtime
+            if dirty and os.path.getmtime(reg) > art_mtime:
+                return True
+            reg_ct = _git("log", "-n1", "--format=%ct", "--",
+                          "__spark_entry__.py").strip()
+            return bool(reg_ct) and int(reg_ct) > art_mtime
     base = _last_round_commit()
     if base is None:
         return True
@@ -265,31 +274,41 @@ def test_guard_handles_untracked_newest_artifact(monkeypatch):
     newest = f"CORRECTNESS_r{max(rounds):02d}.json"
     real_git = mod._git
 
-    def untracked_clean(*args):
-        if args[0] == "log" and args[-1] == newest:
-            return ""  # artifact has no commit
-        if args[0] == "status":
-            return ""  # registration clean
-        return real_git(*args)
+    def fake_git(status_out, reg_commit_ct):
+        def git(*args):
+            if args[0] == "log" and args[-1] == newest:
+                return ""  # artifact has no commit
+            if args[0] == "status":
+                return status_out
+            if args[0] == "log" and "--format=%ct" in args:
+                return reg_commit_ct
+            return real_git(*args)
 
-    monkeypatch.setattr(mod, "_git", untracked_clean)
+        return git
+
+    # 1) clean registration, last registration commit BEFORE the
+    #    artifact appeared → the canonical between-rounds state
+    monkeypatch.setattr(mod, "_git", fake_git("", "1"))
     assert mod._registration_updated_since_last_artifact() is False
     assert mod._last_round_commit() is not None  # older round anchors
 
-    def untracked_dirty(*args):
-        if args[0] == "log" and args[-1] == newest:
-            return ""
-        if args[0] == "status":
-            return " M __spark_entry__.py\n"
-        return real_git(*args)
-
-    monkeypatch.setattr(mod, "_git", untracked_dirty)
+    # 2) uncommitted registration edits newer than the artifact →
+    #    actively shipping
+    monkeypatch.setattr(
+        mod, "_git", fake_git(" M __spark_entry__.py\n", "1")
+    )
     real_mtime = os.path.getmtime
     monkeypatch.setattr(
         mod.os.path, "getmtime",
         lambda p: real_mtime(p)
         + (1e9 if p.endswith("__spark_entry__.py") else 0),
     )
+    assert mod._registration_updated_since_last_artifact() is True
+
+    # 3) clean tree but the registration COMMIT postdates the
+    #    artifact (rotate-then-commit mid-round, the round-7 review
+    #    hole) → also actively shipping
+    monkeypatch.setattr(mod, "_git", fake_git("", str(2**33)))
     assert mod._registration_updated_since_last_artifact() is True
 
 

@@ -116,16 +116,23 @@ def test_session_memo_evicts_dead_app_entries():
             sparkContext=SimpleNamespace(applicationId=app_id)
         )
 
+    def entries(cache):
+        return sorted(k for k in cache if isinstance(k, tuple))
+
     cache: dict = {}
     session_memo(cache, fake_spark("app-1"), "/tmp", lambda: "a")
-    assert len(cache) == 1
+    assert entries(cache) == [("app-1", "/tmp")]
     # same app, second dir: both live
     session_memo(cache, fake_spark("app-1"), "/var", lambda: "b")
-    assert len(cache) == 2
+    assert entries(cache) == [("app-1", "/tmp"), ("app-1", "/var")]
     # new app: dead entries evicted, new one cached
     got = session_memo(cache, fake_spark("app-2"), "/tmp", lambda: "c")
     assert got == "c"
-    assert list(cache) == [("app-2", "/tmp")]
+    assert entries(cache) == [("app-2", "/tmp")]
+    # the per-cache lock rides inside the dict and survives eviction
+    from biometric_stream_processing_spark.memo import _LOCK_KEY
+
+    assert _LOCK_KEY in cache
 
 
 def test_session_memo_unrelated_caches_do_not_serialize(spark, tmp_path):
