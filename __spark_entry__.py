@@ -234,14 +234,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """GATE QUEUE: drained in round 6 — all 35 round-5 entries now
-    register directly in ``queries()`` (front block, first verdicts).
-    Kept as the standing mechanism for any future round that builds
-    more operators than the verdict prefix can absorb:
+    """ROUND-8 GATE QUEUE: implemented, oracled and unit-tested in
+    round 7, NOT yet in ``queries()`` (the round-7 verdict prefix is
+    fully occupied by the 33-entry rotation obligation + the round-7
+    source-changed + oldest-r5 blocks). Round 8 registers these in
+    its front block alongside the 33-entry round-8 obligation
+    (33 + 5 = 38 ≤ 50 — see the obligation note in ``queries()``).
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+        run.__wrapped__ = fn
+        return run
+
+    return {
+        # record linkage (operators/linkage.py)
+        "fuzzy_name_matches": _wrap(analytics.fuzzy_name_matches),
+        # OHLC candlestick downsample (plans/timeseries_ops.py)
+        "event_type_ohlc": _wrap(timeseries_ops.event_type_ohlc),
+        # last-touch marketing attribution (plans/events_ops.py)
+        "purchase_attribution": _wrap(events_ops.purchase_attribution),
+        # perplexity-decile quality report (plans/corpus_ops.py);
+        # round-8 registration-order note: first queued consumer of
+        # the shared doc-term-matrix memo
+        "doc_perplexity_buckets": _wrap(corpus_ops.doc_perplexity_buckets),
+        # reciprocal-rank fusion of cosine + euclidean retrievers
+        # (plans/documents_ops.py, operators/similarity.l2_topk)
+        "embedding_rrf_fusion": _wrap(documents_ops.embedding_rrf_fusion),
+    }
 
 
 def oracle_sql() -> dict[str, str]:

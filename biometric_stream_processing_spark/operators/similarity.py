@@ -133,6 +133,49 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors of each query vector (self
+    excluded), deterministic tiebreak on neighbor id — the metric
+    twin of ``cosine_topk`` for rank fusion (norms matter here, so
+    the two rankings genuinely differ). Squared distance expands to
+    (|q|² + |c|²) − 2·q·c: per-row squared norms are computed ONCE
+    before the broadcast join and only the dot product runs per pair
+    — the same join/window plan shape (and cost) as ``cosine_topk``.
+    ``l2_dist`` = sqrt of the (non-negative-clamped) expansion,
+    rounded for display; ranking compares the raw doubles."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        dot_double(F.col(vec_col), F.col(vec_col)).alias("_q2"),
+    ))
+    c = _spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        dot_double(F.col(vec_col), F.col(vec_col)).alias("_c2"),
+    ))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ((F.col("_q2") + F.col("_c2"))
+             - 2.0 * dot_double(F.col("_qv"), F.col("_cv"))).alias("_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round(F.sqrt(F.greatest(F.col("_d2"), F.lit(0.0))), 6)
+                 .alias("l2_dist"))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

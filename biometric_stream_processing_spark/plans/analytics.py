@@ -646,6 +646,37 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED FUZZY ENTITY MATCHING (record linkage,
+    operators/linkage.blocked_edit_matches): customer↔supplier pairs
+    whose entity-number strings (the digits of c_name/s_name) are
+    within 1 edit, blocked on nationkey. The blocking-then-verify
+    shape every cross-catalog reconciliation runs: candidates come
+    from an equi-join on the block key (+ a length band — a necessary
+    condition for the edit bound), the banded Levenshtein verifies
+    only those. No cross product; at 100 TB the block key grows a
+    prefix component to bound per-block fan-in (same knob as LSH
+    bands). ROUND-7 QUEUE (registers round 8)."""
+    from ..operators.linkage import blocked_edit_matches
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.regexp_replace("c_name", "[^0-9]", "").alias("c_digits"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.regexp_replace("s_name", "[^0-9]", "").alias("s_digits"),
+    )
+    m = blocked_edit_matches(
+        c, s, ("c_digits", "s_digits"),
+        [("c_nationkey", "s_nationkey")], max_dist=1,
+    )
+    return m.select(
+        "c_custkey", "s_suppkey",
+        F.col("c_nationkey").alias("nationkey"), "edit_dist",
+    )
+
+
 _DSUM = "CAST(sum(CAST({e} AS DECIMAL(28,10))) AS DOUBLE)"
 
 
@@ -902,6 +933,25 @@ ORACLE = {
                    - count(DISTINCT user_id))
                  <= greatest(3.0, count(DISTINCT user_id) * 0.1) AS approx_ok
         FROM events GROUP BY event_type
+    """,
+    # ROUND-7 QUEUE (registers round 8): oracle repeats the
+    # block + length-band + threshold predicate so the hash proves
+    # the Spark plan's banded levenshtein(l, r, 1) exact within it
+    "fuzzy_name_matches": """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 regexp_replace(c_name, '[^0-9]', '', 'g') AS d
+          FROM customer
+        ), s AS (
+          SELECT s_suppkey, s_nationkey,
+                 regexp_replace(s_name, '[^0-9]', '', 'g') AS d
+          FROM supplier
+        )
+        SELECT c_custkey, s_suppkey, c_nationkey AS nationkey,
+               levenshtein(c.d, s.d) AS edit_dist
+        FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+         AND abs(len(c.d) - len(s.d)) <= 1
+         AND levenshtein(c.d, s.d) <= 1
     """,
 }
 

@@ -38,7 +38,7 @@ Scale notes (the design bar is 100 TB, not the sf0.1 bench):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, words
@@ -286,6 +286,56 @@ def unigram_logprob(df: DataFrame | None = None,
 
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(tf=shared_doc_tf(spark, sf_dir))
+
+
+#: perplexity-report bucket count (deciles)
+PPX_BUCKETS = 10
+
+
+def perplexity_buckets(lp: DataFrame, n_buckets: int = PPX_BUCKETS) -> DataFrame:
+    """PERPLEXITY-DECILE QUALITY REPORT (the CCNet head/middle/tail
+    perplexity filter generalized to 10 buckets): documents bucketed
+    by their LM score (``unigram_logprob``'s avg_logprob — higher =
+    more natural), with per-bucket doc and token mass — the table a
+    pipeline reads to pick its quality threshold.
+
+    Bucketing is COUNT-BASED deciles in pure integer arithmetic —
+    deliberately neither ntile() (a global ntile is a single-
+    partition sort over every document, the plan that dies at
+    100 TB) nor interpolated-percentile value cutoffs (measured
+    dead end: DuckDB's ``l + (u−l)·f`` and Spark's interpolation
+    disagree in the last ulp, flipping boundary scores between
+    buckets). Documents first collapse to the DISTINCT-SCORE
+    relation (counts + token mass per 6-dp score — bounded by score
+    granularity, ~10⁷ rows at any corpus size, and orders of
+    magnitude under that in practice), a running pre-count over that
+    small relation gives each score its 0-based rank offset, and
+    ``bucket = (offset · n_buckets) div n`` — all BIGINT ops, bit-
+    free of float compare. Score ties share a bucket (sizes then
+    differ from n/10 — honest for a score-based filter)."""
+    sc = lp.groupBy("avg_logprob").agg(
+        F.count("*").alias("_cnt"),
+        F.sum("n_words").alias("_words"),
+    )
+    n = sc.agg(F.sum("_cnt").alias("_n"))
+    w = W.orderBy("avg_logprob").rowsBetween(W.unboundedPreceding, -1)
+    b = sc.withColumn(
+        "_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0).cast("long"))
+    ).join(F.broadcast(n)).select(
+        "avg_logprob", "_cnt", "_words",
+        F.expr(f"(_cum * {n_buckets}) div _n").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.sum("_cnt").alias("n_docs"),
+        F.sum("_words").alias("total_words"),
+        F.min("avg_logprob").alias("min_logprob"),
+        F.max("avg_logprob").alias("max_logprob"),
+    )
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return perplexity_buckets(unigram_logprob(tf=shared_doc_tf(spark, sf_dir)))
 
 
 #: bigram-LM interpolation weight: score = ln(λ·p_bi + (1−λ)·p_uni)
@@ -744,6 +794,32 @@ ORACLE = {
         FROM documents GROUP BY source, lang
     """,
 }
+
+# ROUND-7 QUEUE (registers round 8): built on the doc_unigram_logprob
+# relation verbatim (same CTE); count-based deciles in pure BIGINT
+# arithmetic over the distinct-score relation — no float cutoffs
+# anywhere (interpolated percentiles diverge cross-engine by 1 ulp).
+ORACLE["doc_perplexity_buckets"] = f"""
+    WITH lp AS ({ORACLE["doc_unigram_logprob"]}),
+    sc AS (
+      SELECT avg_logprob, count(*) AS cnt, sum(n_words) AS words
+      FROM lp GROUP BY 1
+    ), n AS (
+      SELECT sum(cnt) AS n FROM sc
+    ), b AS (
+      SELECT avg_logprob, cnt, words,
+             (coalesce(sum(cnt) OVER (ORDER BY avg_logprob
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * {PPX_BUCKETS}) // n.n AS bucket
+      FROM sc, n
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           sum(cnt)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS total_words,
+           min(avg_logprob) AS min_logprob,
+           max(avg_logprob) AS max_logprob
+    FROM b GROUP BY 1
+"""
 
 QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,

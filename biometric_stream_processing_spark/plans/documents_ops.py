@@ -8,7 +8,7 @@ operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -709,6 +709,48 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_pairs_blocked(
         _emb(spark, sf_dir), "label", COSINE_THRESHOLD
+    )
+
+
+#: reciprocal-rank-fusion smoothing constant (the standard k=60 from
+#: Cormack/Clarke/Büttcher's RRF paper)
+RRF_K = 60
+
+
+def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of two exact retrievers: each query's
+    cosine top-k and euclidean top-k rankings merge by
+    Σ 1/(RRF_K + rank) per candidate, re-ranked by fused score (the
+    standard hybrid-retrieval combiner — rank-space fusion needs no
+    score calibration between metrics). Candidates found by only one
+    ranker keep their single term, exactly like fusing sparse+dense
+    retrieval lists.
+
+    Determinism: ranks are ints, each weight is one IEEE division,
+    each fused score sums ≤ 2 such doubles (commutative — order
+    can't matter), tiebreak on neighbor_id. Scale: both ranker plans
+    are the broadcast-queries shape (corpus never shuffles); the
+    fusion itself aggregates |queries|·2k tiny rows.
+    ROUND-7 QUEUE (registers round 8)."""
+    from ..operators.similarity import l2_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0)
+    cos = cosine_topk(q, e, k=TOPK).select("query_id", "neighbor_id", "rank")
+    l2 = l2_topk(q, e, k=TOPK).select("query_id", "neighbor_id", "rank")
+    u = cos.unionByName(l2).select(
+        "query_id", "neighbor_id",
+        (F.lit(1.0) / (F.lit(RRF_K) + F.col("rank"))).alias("_w"),
+    )
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("_w").alias("_rrf")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= TOPK)
+        .select("query_id", "fused_rank", "neighbor_id",
+                F.round("_rrf", 6).alias("rrf_score"))
     )
 
 
@@ -2270,6 +2312,45 @@ ORACLE["doc_pack_assignments"] = f"""
       FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
     )
     SELECT source, doc_id, n_tokens, pack_id FROM rec
+"""
+
+# ROUND-7 QUEUE (registers round 8): cosine list is the
+# embedding_topk relation verbatim; the euclidean ranker mirrors the
+# Spark (|q|² + |c|²) − 2·q·c expansion with the same association
+# ((q2 + c2) − (2·dot)); weights are single IEEE divisions off
+# integer ranks and each fused score sums ≤ 2 doubles (commutative).
+ORACLE["embedding_rrf_fusion"] = f"""
+    WITH cosr AS ({ORACLE["embedding_topk"]}),
+    l2s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ((({_dot('a', 'a')}) + ({_dot('b', 'b')}))
+              - 2.0 * ({_dot('a', 'b')})) AS d2
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % {QUERY_MOD} = 0
+    ), l2r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM l2s
+    ), u AS (
+      SELECT query_id, neighbor_id,
+             1.0::DOUBLE / ({RRF_K} + rank) AS w FROM cosr
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             1.0::DOUBLE / ({RRF_K} + rank) FROM l2r
+      WHERE rank <= {TOPK}
+    ), f AS (
+      SELECT query_id, neighbor_id, sum(w) AS rrf
+      FROM u GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, neighbor_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id)
+               AS fused_rank
+      FROM f
+    )
+    SELECT query_id, fused_rank, neighbor_id, round(rrf, 6) AS rrf_score
+    FROM r WHERE fused_rank <= {TOPK}
 """
 
 QUERIES = {

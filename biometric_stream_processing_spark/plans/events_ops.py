@@ -365,6 +365,65 @@ def abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abandoned_within(_events(spark, sf_dir))
 
 
+#: attribution lookback: a touch older than this is not credited
+ATTR_WINDOW_S = 7 * 86400
+#: touch event types eligible for attribution credit
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def last_touch_attribution(
+    ev: DataFrame,
+    touch_types: tuple[str, ...] = ATTR_TOUCH_TYPES,
+    conversion_type: str = "purchase",
+    window_s: int = ATTR_WINDOW_S,
+) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: credit each conversion to the most
+    recent preceding touch event (view/click) by the same user within
+    the lookback window, else to the 'direct' channel; roll up
+    conversion count and exact value sum per channel. The marketing-
+    analytics standard the funnel/absence operators don't cover: a
+    per-row "latest qualifying predecessor" lookup, expressed as
+    ``last(..., ignorenulls=True)`` over a ROWS UNBOUNDED PRECEDING →
+    1 PRECEDING frame (both engines define it identically). The touch
+    type and its timestamp are two IGNORE-NULLS lasts over the SAME
+    (us, event_id)-ordered frame, so they come from the same row.
+
+    Scale: one exchange on user_id for the window, then a tiny
+    per-channel hash aggregate; no self-join, no state."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    keyed = ev.select(
+        "user_id", "event_type", "value",
+        us.alias("_us"), "event_id",
+    )
+    is_touch = F.col("event_type").isin(*touch_types)
+    w = (
+        W.partitionBy("user_id").orderBy("_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = keyed.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+         .over(w).alias("_touch_type"),
+        F.last(F.when(is_touch, F.col("_us")), ignorenulls=True)
+         .over(w).alias("_touch_us"),
+    )
+    conv = flagged.where(F.col("event_type") == conversion_type)
+    channel = F.when(
+        F.col("_touch_us").isNotNull()
+        & (F.col("_us") - F.col("_touch_us") <= window_s * 1_000_000),
+        F.col("_touch_type"),
+    ).otherwise(F.lit("direct"))
+    return conv.groupBy(channel.alias("channel")).agg(
+        F.count("*").alias("n_conversions"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return last_touch_attribution(_events(spark, sf_dir))
+
+
 APPROX_PCT_ACC = 100          # approx_percentile accuracy knob
 APPROX_PCT_TOL = 25.0         # |approx − exact| tolerance (value units)
 
@@ -724,6 +783,36 @@ ORACLE = {
                round(max(value), 2) AS max_value,
                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1
+    """,
+    # ROUND-7 QUEUE (registers round 8): the two IGNORE-NULLS lasts
+    # read the same (us, event_id)-ordered 1-PRECEDING frame, so the
+    # credited type and its timestamp come from one row in both
+    # engines
+    "purchase_attribution": f"""
+        WITH e AS (
+          SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id
+          FROM events
+        ), flagged AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                                 THEN us END IGNORE NULLS)
+                   OVER w AS touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN touch_us IS NOT NULL
+                     AND us - touch_us <= {ATTR_WINDOW_S}::BIGINT * 1000000
+                    THEN touch_type ELSE 'direct' END AS channel,
+               count(*) AS n_conversions,
+               CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                 AS sum_value
+        FROM flagged WHERE event_type = 'purchase'
+        GROUP BY 1
     """,
 }
 

@@ -356,6 +356,39 @@ def user_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_median(_ordered(spark, sf_dir))
 
 
+#: OHLC bar width (seconds) — 15-minute candlesticks
+OHLC_BAR_S = 900
+
+
+def ohlc_bars(ev: DataFrame, bar_s: int = OHLC_BAR_S) -> DataFrame:
+    """OHLC DOWNSAMPLING (candlestick resample): per (event_type,
+    ``bar_s``-second bar), the open/high/low/close of the exact cents
+    value plus the event count — the time-series engine's standard
+    coarse-resolution rollup (the hypertable "continuous aggregate"
+    shape). Open/close are first/last in EVENT-TIME order — picked
+    with ``min_by``/``max_by`` over the (us, event_id) total order
+    (event_id breaks equal-timestamp ties), so the result is
+    order-independent and exact in BIGINT cents.
+
+    Scale: one hash aggregation — min_by/max_by fold with partial
+    (map-side) combine like min/max, so no per-bar row list ever
+    materializes and a 100 TB scan reduces to |types|×|bars| rows."""
+    bar = (F.expr(f"us div {bar_s * 1_000_000}") * bar_s).alias("bar_es")
+    tiebreak = F.struct("us", "event_id")
+    return ev.groupBy("event_type", bar).agg(
+        F.min_by("cents", tiebreak).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", tiebreak).alias("close_cents"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def event_type_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return ohlc_bars(_ordered(spark, sf_dir))
+
+
 # ---------------------------------------------------------- oracle SQL
 
 _EV = """
@@ -496,6 +529,24 @@ ORACLE = {
                (bucket + 1) * {HIST_WIDTH} AS hi,
                count(*) AS n
         FROM b GROUP BY event_type, bucket
+    """,
+    # ROUND-7 QUEUE (registers round 8): arg_min/arg_max take a
+    # scalar ordering key, so the (us, event_id) total order is
+    # encoded as us·10^12 + event_id in HUGEINT — lexicographically
+    # identical while event_id < 10^12 (event ids are sequential from
+    # 0; true at every oracle SF by orders of magnitude)
+    "event_type_ohlc": f"""
+        WITH ev AS ({_EV})
+        SELECT event_type,
+               (us // {OHLC_BAR_S * 1_000_000}) * {OHLC_BAR_S} AS bar_es,
+               arg_min(cents, us::HUGEINT * 1000000000000 + event_id)
+                 AS open_cents,
+               max(cents) AS high_cents,
+               min(cents) AS low_cents,
+               arg_max(cents, us::HUGEINT * 1000000000000 + event_id)
+                 AS close_cents,
+               count(*) AS n_events
+        FROM ev GROUP BY 1, 2
     """,
 }
 
