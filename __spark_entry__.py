@@ -239,7 +239,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fully occupied by the 33-entry rotation obligation + the round-7
     source-changed + oldest-r5 blocks). Round 8 registers these in
     its front block alongside the 33-entry round-8 obligation
-    (33 + 5 = 38 ≤ 50 — see the obligation note in ``queries()``).
+    (33 + 8 = 41 ≤ 50 — see the obligation note in ``queries()``).
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -264,6 +264,14 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal-rank fusion of cosine + euclidean retrievers
         # (plans/documents_ops.py, operators/similarity.l2_topk)
         "embedding_rrf_fusion": _wrap(documents_ops.embedding_rrf_fusion),
+        # first-order Markov journey transitions (plans/events_ops.py)
+        "session_transitions": _wrap(events_ops.session_transitions),
+        # per-key skew diagnostic feeding operators/skew.py decisions
+        "event_skew_profile": _wrap(events_ops.event_skew_profile),
+        # per-class embedding prototypes (plans/documents_ops.py)
+        "label_centroid_report": _wrap(
+            documents_ops.label_centroid_report
+        ),
     }
 
 

@@ -712,6 +712,37 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS EMBEDDING CENTROIDS in long format (label, dim,
+    mean_val) — the prototype table a nearest-class-mean classifier,
+    a per-class drift monitor, or a supervised IVF seeding reads.
+    posexplode flattens each vector to (label, dim, component) so the
+    centroid is ONE hash aggregation over (label, dim) — partial
+    map-side combine, no per-label vector lists, |labels|·64 output
+    rows at any corpus size. Means use the k-means sum recipe
+    (component rounded at 6 dp → exact DECIMAL sum, order-
+    independent) but emit the quotient UNROUNDED: the 6-dp-quantized
+    components make exactly-half means common (e.g. Σ=0.616992 over
+    n=192 is decimally 0.0032135 but binarily just under the half
+    boundary — Spark and DuckDB round it apart), while the raw IEEE
+    division of identical operands is bit-identical by definition.
+    ROUND-7 QUEUE (registers round 8)."""
+    e = _emb(spark, sf_dir)
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("_pos", "_v")
+    )
+    return flat.groupBy(
+        "label", (F.col("_pos") + 1).alias("dim")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.col("_v").cast("double"), 6)
+                 .cast("decimal(28,10)")
+            ).cast("double") / F.count("*")
+        ).alias("mean_val"),
+    )
+
+
 #: reciprocal-rank-fusion smoothing constant (the standard k=60 from
 #: Cormack/Clarke/Büttcher's RRF paper)
 RRF_K = 60
@@ -2351,6 +2382,20 @@ ORACLE["embedding_rrf_fusion"] = f"""
     )
     SELECT query_id, fused_rank, neighbor_id, round(rrf, 6) AS rrf_score
     FROM r WHERE fused_rank <= {TOPK}
+"""
+
+# ROUND-7 QUEUE (registers round 8): 6-dp component round → exact
+# DECIMAL sum → UNROUNDED IEEE divide (quantized components make
+# exactly-half means common and the engines' round() split them;
+# identical-operand division is bit-identical instead); dim
+# enumerated 1..64 to mirror posexplode's pos+1.
+ORACLE["label_centroid_report"] = """
+    SELECT label, i AS dim,
+           CAST(sum(CAST(round(embedding[i]::DOUBLE, 6)
+                 AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+             AS mean_val
+    FROM embeddings, unnest(range(1, 65)) t(i)
+    GROUP BY 1, 2
 """
 
 QUERIES = {

@@ -424,6 +424,82 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(_events(spark, sf_dir))
 
 
+#: transition-mining session gap: a >30-min silence breaks the chain
+TRANSITION_GAP_S = 1800
+
+
+def transition_counts(ev: DataFrame, gap_s: int = TRANSITION_GAP_S) -> DataFrame:
+    """SESSION-PATH TRANSITION MINING (first-order Markov journeys):
+    corpus-wide counts of consecutive (prev_type → type) steps within
+    a user's session (a silence over ``gap_s`` breaks the chain), plus
+    each step's conditional probability P(type | prev_type) — the
+    transition matrix journey-analysis and next-event models read.
+    One lag() over the per-user (us, event_id) order, one hash
+    aggregate, and a tiny per-prev-type window over the |types|²
+    transition relation for the denominator; probabilities are exact
+    small-integer ratios rounded at 6 dp (identical doubles in any
+    engine)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    keyed = ev.select(
+        "user_id", "event_type", us.alias("_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = keyed.select(
+        "event_type", "_us",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("_us").over(w).alias("_prev_us"),
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("_us") - F.col("_prev_us") <= gap_s * 1_000_000)
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "event_type", "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wt), 6
+        ).alias("p_next"),
+    )
+
+
+def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return transition_counts(_events(spark, sf_dir))
+
+
+def key_skew_profile(ev: DataFrame) -> DataFrame:
+    """PER-KEY SKEW PROFILER — the diagnostic that decides when a join
+    or aggregation needs the ``operators/skew.py`` salting treatment:
+    per event_type, the per-user row-count distribution (user count,
+    row count, max/p50/p90 per-user rows, and the hottest user's share
+    of the type's rows). Two-level aggregation: the (type, user)
+    count relation is the only full-data shuffle; the distribution
+    stats aggregate that already-small relation. Percentiles are
+    interpolated over exact integer counts and rounded at 6 dp (the
+    ``value_percentiles`` cross-engine pair, with rounding absorbing
+    any last-ulp interpolation difference); the hot-key share is an
+    exact integer ratio."""
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("_n")
+    )
+    return uc.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_user_rows"),
+        F.round(F.percentile("_n", 0.5), 6).alias("p50_user_rows"),
+        F.round(F.percentile("_n", 0.9), 6).alias("p90_user_rows"),
+        F.round(F.max("_n") / F.sum("_n"), 6).alias("top_user_share"),
+    )
+
+
+def event_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return key_skew_profile(_events(spark, sf_dir))
+
+
 APPROX_PCT_ACC = 100          # approx_percentile accuracy knob
 APPROX_PCT_TOL = 25.0         # |approx − exact| tolerance (value units)
 
@@ -813,6 +889,46 @@ ORACLE = {
                  AS sum_value
         FROM flagged WHERE event_type = 'purchase'
         GROUP BY 1
+    """,
+    # ROUND-7 QUEUE (registers round 8)
+    "session_transitions": f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), steps AS (
+          SELECT event_type, us,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(us) OVER w AS prev_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), c AS (
+          SELECT prev_type, event_type, count(*) AS n_transitions
+          FROM steps
+          WHERE prev_type IS NOT NULL
+            AND us - prev_us <= {TRANSITION_GAP_S}::BIGINT * 1000000
+          GROUP BY 1, 2
+        )
+        SELECT prev_type, event_type, n_transitions,
+               round(n_transitions /
+                     sum(n_transitions) OVER (PARTITION BY prev_type),
+                     6) AS p_next
+        FROM c
+    """,
+    # ROUND-7 QUEUE (registers round 8): percentiles of exact integer
+    # counts rounded at 6 dp; hot-key share is an exact int ratio
+    "event_skew_profile": """
+        WITH uc AS (
+          SELECT event_type, user_id, count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               count(*) AS n_users,
+               sum(n)::BIGINT AS n_rows,
+               max(n) AS max_user_rows,
+               round(quantile_cont(n, 0.5), 6) AS p50_user_rows,
+               round(quantile_cont(n, 0.9), 6) AS p90_user_rows,
+               round(max(n) / sum(n)::DOUBLE, 6) AS top_user_share
+        FROM uc GROUP BY 1
     """,
 }
 

@@ -165,3 +165,82 @@ def test_embedding_rrf_fusion_invariants(spark):
         # a candidate on both lists beats the floor of single-list
         # membership: max fused score must exceed any single term
         assert scores[0] > 1.0 / 61 - 1e-9
+
+
+# --------------------------------------------------- session transitions
+
+def test_transition_counts_gap_breaks_chain(spark):
+    from biometric_stream_processing_spark.plans.events_ops import (
+        transition_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)        # noqa: E731
+    rows = [
+        # user 1: view -> click -> [31 min gap] -> view -> purchase
+        (1, 1, "view", s(0)),
+        (2, 1, "click", s(60)),
+        (3, 1, "view", s(60 + 1860)),
+        (4, 1, "purchase", s(60 + 1920)),
+        # user 2: view -> view (transitions never cross users)
+        (5, 2, "view", s(0)),
+        (6, 2, "view", s(10)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp",
+    )
+    got = {tuple(r) for r in transition_counts(ev).collect()}
+    # the matrix is corpus-wide: prev='view' has 3 surviving steps
+    # (the 31-min gap step view->view for user 1 is dropped), each
+    # with conditional probability 1/3
+    assert got == {
+        ("view", "click", 1, 0.333333),
+        ("view", "purchase", 1, 0.333333),
+        ("view", "view", 1, 0.333333),
+    }
+
+
+# --------------------------------------------------------- skew profile
+
+def test_key_skew_profile_counts_and_share(spark):
+    from biometric_stream_processing_spark.plans.events_ops import (
+        key_skew_profile,
+    )
+
+    rows = [("view", 1)] * 6 + [("view", 2)] * 2 + [("view", 3)] * 2
+    ev = spark.createDataFrame(
+        [(t, u) for t, u in rows], "event_type string, user_id long"
+    )
+    got = [tuple(r) for r in key_skew_profile(ev).collect()]
+    # counts per user: [6, 2, 2] -> p50 = 2, p90 = 6*0.8+2*0.2 wrong:
+    # interpolated at position (3-1)*0.9 = 1.8 between 2 and 6 -> 5.2
+    assert got == [("view", 3, 10, 6, 2.0, 5.2, 0.6)]
+
+
+# ------------------------------------------------------ label centroids
+
+def test_label_centroid_report_exact_means(spark):
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        label_centroid_report,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    import os
+
+    tmp = tempfile.mkdtemp()
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.5], [2.0, 0.5], [10.0, -1.0]],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array([7, 7, 8], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+    got = {(r.label, r.dim): r.mean_val
+           for r in label_centroid_report(spark, tmp).collect()}
+    assert got == {
+        (7, 1): 1.5, (7, 2): 0.5, (8, 1): 10.0, (8, 2): -1.0,
+    }
