@@ -161,14 +161,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_quality", "orders_profile",
         "dedup_pipeline_report",
         # --- oldest r5-green fills (streaming_alerts block first per
-        # the r6 verdict; winnow owner before its contamination
-        # consumer) ---
+        # the r6 verdict) + the round-7 kernel rework ---
         "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs", "streaming_enriched_segment_counts",
         "streaming_session_stats", "streaming_vocab_topk",
         "streaming_abandoned_clicks", "streaming_outer_pairs",
         "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints", "contamination_overlaps",
+        "doc_winnow_fingerprints",
+        # user_value_ewma's KERNEL was reworked late in round 7
+        # (partition-batched mapInPandas, 3.1→0.6 s at sf0.1; helper
+        # edits don't move GATE_SOURCES fingerprints, so this is the
+        # policy's manual front-load). It takes the last fill slot;
+        # contamination_overlaps (r5-green, unchanged) moves to the
+        # head of the round-8 obligation block below — its winnow-
+        # memo owner stays in the front, so billing is unchanged.
+        "user_value_ewma",
     ]
     tail = [
         # ROUND-8 OBLIGATION (the K=3 schedule, debt-oldest-first):
@@ -180,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 so tail memo billing stays comparable.
         #
         # --- last green r5 (oldest debt → round-8 front) ---
+        "contamination_overlaps",
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs",
@@ -211,7 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters", "near_dup_representatives",
         "embedding_similar_pairs",
         "user_state_history", "user_hourly_gapfill",
-        "running_zscore_flags", "user_value_ewma",
+        "running_zscore_flags",
         "value_histogram", "user_retention_cohorts",
         "user_rolling_median",
         "doc_weighted_sample", "corpus_mixture_sample",

@@ -26,9 +26,11 @@ Scale notes (design bar is 100 TB, not the sf0.1 bench):
 * ``user_value_ewma`` is an honest sequential recurrence: the closed
   form Σ v_j·(1−α)^{i−j} needs (1−α)^{−j} partial products that
   overflow double past ~2500 rows per key, so a window-function
-  rewrite is numerically dead at scale — it runs as one Arrow-batched
-  ``applyInPandas`` pass per user (the packer's shape,
-  operators/sampling.py), O(events/user) state-free vector math.
+  rewrite is numerically dead at scale — it runs Python-side, as a
+  PARTITION-BATCHED ``mapInPandas`` over key-sorted partitions with
+  a per-partition carry dict (round 7; the throttle_leading lesson —
+  per-group ``applyInPandas`` Arrow slicing cost 3.1 s vs 0.6 s at
+  sf0.1 for an identical result).
 """
 
 from __future__ import annotations
@@ -230,31 +232,68 @@ def ewma(ev: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     Parity: α = 0.25 is a dyadic rational, the recurrence is the same
     IEEE double sequence DuckDB's recursive CTE computes, and the
     final ``round(…, 6)`` happens ENGINE-SIDE in Spark (F.round,
-    half-up — same as DuckDB's round), not in numpy (half-even)."""
+    half-up — same as DuckDB's round), not in numpy (half-even).
+
+    Plan shape: NOT ``groupBy().applyInPandas`` — with thousands of
+    small per-user groups the per-group Arrow exchange dominates (the
+    round-7 debounce lesson, operators/throttle.throttle_leading).
+    Instead one repartition + in-partition (user, us, event_id) sort
+    and a single ``mapInPandas`` per partition: pandas' C-level
+    ``groupby().ewm(adjust=False)`` smooths every in-batch group in
+    one call — the same recurrence kernel as Series.ewm, bit-identical
+    — and a per-partition ``{user: last_smoothed}`` dict carries state
+    across Arrow batch boundaries by seeding a boundary-split group
+    with a virtual first row (sᵢ = (1−α)·s_prev + α·vᵢ continues the
+    chain exactly; the seed output row is dropped). Measured at
+    sf0.1: 3.1-3.4 s → 0.6 s, identical 100k-row output."""
     out_schema = "user_id long, event_id long, us long, ewma_raw double"
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["us", "event_id"])
-        # pandas ewm(adjust=False) computes EXACTLY this recurrence
-        # (s₁ = v₁, sᵢ = (1−α)·sᵢ₋₁ + α·vᵢ) in C — bit-identical to
-        # the Python loop (same multiplies, commutative IEEE add) and
-        # to the oracle's recursive CTE; measured 4.2 s → ~0.9 s at
-        # sf0.1 (the interpreted per-row loop was the cost)
-        smoothed = (
-            pdf["cents"].astype("float64")
-            .ewm(alpha=alpha, adjust=False).mean()
-        )
-        return pd.DataFrame({
-            "user_id": pdf["user_id"],
-            "event_id": pdf["event_id"],
-            "us": pdf["us"],
-            "ewma_raw": smoothed,
-        })
+    def _ewma_part(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        carry: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            first_u = pdf["user_id"].iat[0]
+            seed = carry.get(first_u)
+            if seed is not None:
+                head = pd.DataFrame({
+                    "user_id": [first_u], "event_id": [0],
+                    "us": [0], "cents": [0],
+                })
+                work = pd.concat([head, pdf], ignore_index=True)
+                vals = work["cents"].astype("float64")
+                vals.iat[0] = seed
+            else:
+                work = pdf.reset_index(drop=True)
+                vals = work["cents"].astype("float64")
+            sm = (
+                vals.groupby(work["user_id"].to_numpy(), sort=False)
+                .ewm(alpha=alpha, adjust=False).mean()
+                .reset_index(level=0, drop=True).sort_index()
+            )
+            if seed is not None:
+                work = work.iloc[1:]
+                sm = sm.iloc[1:]
+            ulast = work["user_id"].to_numpy()
+            smv = sm.to_numpy()
+            for i in np.nonzero(np.r_[ulast[1:] != ulast[:-1], True])[0]:
+                carry[ulast[i]] = smv[i]
+            yield pd.DataFrame({
+                "user_id": work["user_id"],
+                "event_id": work["event_id"],
+                "us": work["us"],
+                "ewma_raw": smv,
+            })
 
     smoothed = (
         ev.select("user_id", "event_id", "us", "cents")
-        .groupBy("user_id")
-        .applyInPandas(_kernel, out_schema)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapInPandas(_ewma_part, schema=out_schema)
     )
     return smoothed.select(
         "user_id", "event_id", "us",

@@ -510,3 +510,18 @@ def test_leading_debounce_single_exchange_partition_batched(spark):
     # the debounce's key repartition and in-partition (key, ts) sort
     assert "hashpartitioning(user_id" in p
     assert "+- Sort (" in p  # the in-partition (key, ts) sort feeds it
+
+
+def test_ewma_single_exchange_partition_batched(spark):
+    """ewma (round-7 rework, same lesson as the debounce): one key
+    repartition + in-partition (user, us, event_id) sort feeding a
+    partition-batched MapInPandas — the per-group
+    FlatMapGroupsInPandas Arrow slicing is gone (3.1→0.6 s at
+    sf0.1)."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+
+    p = _plan(timeseries_ops.user_value_ewma(spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "hashpartitioning(user_id" in p
+    assert "+- Sort (" in p

@@ -174,6 +174,39 @@ def test_ewma_is_per_user_and_ordered_by_time(spark):
     assert out[(2, 4)] == pytest.approx(0.25 * 200 + 0.75 * 100)
 
 
+def test_ewma_state_crosses_arrow_batches(spark):
+    """Round-7 rework contract: the per-partition {user: last_smoothed}
+    carry must seed boundary-split groups so the recurrence continues
+    bit-exactly across Arrow batches — force tiny batches so one
+    user's sorted run spans many, and cross-check every value against
+    pandas ewm over the whole series."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        n = 3000
+        vals1 = [(i * 37) % 500 for i in range(n)]
+        vals2 = [(i * 91) % 300 for i in range(n)]
+        rows = [(i + 1, 1, "x", i * 1000, v)
+                for i, v in enumerate(vals1)]
+        rows += [(n + i + 1, 2, "x", i * 1000, v)
+                 for i, v in enumerate(vals2)]
+        out = {
+            (r.user_id, r.event_id): r.ewma_cents
+            for r in ewma(_ev(spark, rows)).collect()
+        }
+        for uid, vals, base in ((1, vals1, 0), (2, vals2, n)):
+            expect = (
+                pd.Series(vals, dtype="float64")
+                .ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+            )
+            for i, want in enumerate(expect):
+                assert out[(uid, base + i + 1)] == round(want, 6)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+
 def test_value_histogram_buckets_and_clamps(spark):
     rows = [
         (1, 1, "a", 0, 0),          # bucket 0 ([0, 20))
