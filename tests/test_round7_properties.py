@@ -1,0 +1,170 @@
+"""Property tests for the round-7 queue operators: random small
+inputs checked against independent pure-Python evaluators —
+(a) blocked edit matching ⟺ brute-force per-block Levenshtein,
+(b) count-based perplexity deciles ⟺ offset·K div n over the sorted
+distinct scores, (c) transition mining ⟺ a per-user sequential walk,
+(d) OHLC bars ⟺ first/last/min/max per bar in (ts, id) order."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from biometric_stream_processing_spark.operators.linkage import (
+    blocked_edit_matches,
+)
+from biometric_stream_processing_spark.plans.corpus_ops import (
+    PPX_BUCKETS,
+    perplexity_buckets,
+)
+from biometric_stream_processing_spark.plans.events_ops import (
+    transition_counts,
+)
+from biometric_stream_processing_spark.plans.timeseries_ops import (
+    ohlc_bars,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+key_st = st.text(alphabet="abc", min_size=0, max_size=4)
+block_st = st.integers(0, 1)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(block_st, key_st), min_size=1, max_size=6),
+    st.lists(st.tuples(block_st, key_st), min_size=1, max_size=6),
+)
+def test_blocked_edit_matches_equals_bruteforce(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(i, b, k) for i, (b, k) in enumerate(lrows)],
+        "l_id long, l_block long, l_key string",
+    )
+    right = spark.createDataFrame(
+        [(i, b, k) for i, (b, k) in enumerate(rrows)],
+        "r_id long, r_block long, r_key string",
+    )
+    out = blocked_edit_matches(
+        left, right, ("l_key", "r_key"), [("l_block", "r_block")],
+        max_dist=1,
+    ).select("l_id", "r_id", "edit_dist")
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        (i, j, _lev(lk, rk))
+        for i, (lb, lk) in enumerate(lrows)
+        for j, (rb, rk) in enumerate(rrows)
+        if lb == rb and _lev(lk, rk) <= 1
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(1, 9)),
+    min_size=1, max_size=20,
+))
+def test_perplexity_buckets_equals_reference(spark, docs):
+    # score quantized to integers so ties occur constantly
+    lp = spark.createDataFrame(
+        [(i, w, float(s)) for i, (s, w) in enumerate(docs)],
+        "doc_id long, n_words long, avg_logprob double",
+    )
+    got = {r.bucket: (r.n_docs, r.total_words, r.min_logprob,
+                      r.max_logprob)
+           for r in perplexity_buckets(lp).collect()}
+    n = len(docs)
+    by_score: dict = {}
+    for s, w in docs:
+        c, tw = by_score.get(s, (0, 0))
+        by_score[s] = (c + 1, tw + w)
+    want: dict = {}
+    offset = 0
+    for s in sorted(by_score):
+        c, tw = by_score[s]
+        b = (offset * PPX_BUCKETS) // n
+        wn, ww, wmin, wmax = want.get(b, (0, 0, float(s), float(s)))
+        want[b] = (wn + c, ww + tw, min(wmin, float(s)),
+                   max(wmax, float(s)))
+        offset += c
+    assert got == want
+    # deciles partition the corpus exactly
+    assert sum(v[0] for v in got.values()) == n
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 4000),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=20, unique_by=lambda t: (t[0], t[1]),
+))
+def test_transition_counts_equals_walk(spark, events):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, ty, t0 + dt.timedelta(seconds=off))
+        for i, (u, off, ty) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp",
+    )
+    got = {(r.prev_type, r.event_type): (r.n_transitions, r.p_next)
+           for r in transition_counts(ev, gap_s=1800).collect()}
+    steps: dict = {}
+    for u in {u for u, _, _ in events}:
+        seq = sorted(
+            ((off, i, ty) for i, (uu, off, ty) in enumerate(events)
+             if uu == u),
+        )
+        for (o1, _, t1), (o2, _, t2) in zip(seq, seq[1:]):
+            if o2 - o1 <= 1800:
+                steps[(t1, t2)] = steps.get((t1, t2), 0) + 1
+    denom: dict = {}
+    for (p, _), c in steps.items():
+        denom[p] = denom.get(p, 0) + c
+    want = {
+        k: (c, round(c / denom[k[0]], 6)) for k, c in steps.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 3000), st.integers(-50, 50)),
+    min_size=1, max_size=20,
+))
+def test_ohlc_bars_equals_reference(spark, readings):
+    rows = [
+        (i, 1, "x", s * 1_000_000, c)
+        for i, (s, c) in enumerate(readings)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "us long, cents long",
+    )
+    got = {tuple(r) for r in ohlc_bars(ev).collect()}
+    bars: dict = {}
+    for i, (s, c) in enumerate(readings):
+        bars.setdefault(s // 900 * 900, []).append((s * 1_000_000, i, c))
+    want = set()
+    for b, members in bars.items():
+        members.sort()
+        cents = [c for _, _, c in members]
+        want.add(("x", b, members[0][2], max(cents), min(cents),
+                  members[-1][2], len(members)))
+    assert got == want
