@@ -158,6 +158,11 @@ MEMO_OWNERS = {
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},
+    # round 7: the unigram-score relation (1 row/doc) is now
+    # memoized+persisted so the queued perplexity-decile report reads
+    # it cached; doc_unigram_logprob (front 35) materializes it
+    "unigram_scores": {
+        "owner": "doc_unigram_logprob", "prev": "doc_unigram_logprob"},
 }
 
 BENCH_CONFS = {

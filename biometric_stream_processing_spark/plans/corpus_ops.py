@@ -284,8 +284,27 @@ def unigram_logprob(df: DataFrame | None = None,
     )
 
 
+# one (doc_id, n_words, avg_logprob) row per document — three narrow
+# columns, trivially persistable at any corpus size
+_LP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized + persisted unigram-LM score relation shared by
+    ``doc_unigram_logprob`` and the perplexity-decile report (round
+    7): without it the second consumer re-runs the whole vocabulary +
+    probe aggregation (~2 s at sf0.1) to reproduce a 1-row-per-doc
+    frame. Same contract as ``shared_doc_tf``."""
+    from ..memo import session_memo
+
+    return session_memo(
+        _LP_CACHE, spark, sf_dir,
+        lambda: unigram_logprob(tf=shared_doc_tf(spark, sf_dir)).persist(),
+    )
+
+
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return unigram_logprob(tf=shared_doc_tf(spark, sf_dir))
+    return shared_unigram_scores(spark, sf_dir)
 
 
 #: perplexity-report bucket count (deciles)
@@ -334,8 +353,10 @@ def perplexity_buckets(lp: DataFrame, n_buckets: int = PPX_BUCKETS) -> DataFrame
 
 
 def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUND-7 QUEUE (registers round 8)."""
-    return perplexity_buckets(unigram_logprob(tf=shared_doc_tf(spark, sf_dir)))
+    """ROUND-7 QUEUE (registers round 8). Reads the persisted
+    unigram-score memo; ``doc_unigram_logprob`` (front, earlier) owns
+    its materialization bill."""
+    return perplexity_buckets(shared_unigram_scores(spark, sf_dir))
 
 
 #: bigram-LM interpolation weight: score = ln(λ·p_bi + (1−λ)·p_uni)
