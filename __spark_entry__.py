@@ -246,8 +246,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 7, NOT yet in ``queries()`` (the round-7 verdict prefix is
     fully occupied by the 33-entry rotation obligation + the round-7
     source-changed + oldest-r5 blocks). Round 8 registers these in
-    its front block alongside the 33-entry round-8 obligation
-    (33 + 8 = 41 ≤ 50 — see the obligation note in ``queries()``).
+    its front block alongside the 34-entry round-8 obligation (the
+    r5-green tail block incl. the demoted contamination_overlaps:
+    34 + 9 = 43 ≤ 50 — see the obligation note in ``queries()``).
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -280,6 +281,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_report": _wrap(
             documents_ops.label_centroid_report
         ),
+        # streaming candlestick twin: min_by/max_by under windowed
+        # streaming aggregation state (streaming/pipeline.py)
+        "streaming_ohlc": _wrap(streaming_pipeline.streaming_ohlc),
     }
 
 
@@ -316,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
     # _staged_events_dir_with_sentinel) closes every session, so the
     # streaming emission equals the batch throttled relation exactly
     o["streaming_alerts"] = biometric.ORACLE["alerts_throttled"]
+    # streaming OHLC (ROUND-7 QUEUE): complete-mode snapshot over one
+    # micro-batch == the batch candlestick relation; min_by/max_by
+    # state merges like min/max so the fold-in is engine machinery
+    o["streaming_ohlc"] = timeseries_ops.ORACLE["event_type_ohlc"]
     # update-mode emission log over a single-micro-batch source ==
     # the batch alert_windows relation (cadence is golden-tested)
     o["streaming_alert_windows_update"] = biometric.ORACLE["alert_windows"]

@@ -861,6 +861,57 @@ def streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the candlestick twin of
+    ``plans/timeseries_ops.event_type_ohlc``, whose exact oracle it
+    shares: 15-minute tumbling windows per event type with
+    ``min_by``/``max_by`` over the (us, event_id) total order picking
+    open/close under STREAMING aggregation state (they are ordinary
+    declarative aggregates — per-group state is the running
+    (value, orderkey) pair, O(1) like min/max, never a row list).
+    Complete-mode snapshot over the single-batch source equals the
+    batch relation; cross-batch fold-in follows from the aggregate's
+    merge semantics (same engine machinery as every windowed agg twin
+    here). ROUND-7 QUEUE (registers round 8)."""
+    import os
+    import uuid
+
+    from ..plans.timeseries_ops import OHLC_BAR_S
+
+    with pinned_shuffle_partitions(spark):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        keyed = src.select(
+            "event_type", "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                F.col("event_id"),
+            ).alias("_ord"),
+        )
+        agg = keyed.groupBy(
+            F.window("ts", f"{OHLC_BAR_S} seconds"), "event_type"
+        ).agg(
+            F.min_by("cents", F.col("_ord")).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", F.col("_ord")).alias("close_cents"),
+            F.count("*").alias("n_events"),
+        )
+        name = "ohlc_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(
+            agg, name, scratch_dir("bspe_ohlc_"), output_mode="complete"
+        )
+    return out.select(
+        "event_type",
+        F.unix_timestamp(F.col("window.start")).alias("bar_es"),
+        "open_cents", "high_cents", "low_cents", "close_cents",
+        "n_events",
+    )
+
+
 def streaming_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ABSENCE detection (`A NOT FOLLOWED BY B WITHIN T`) —
     the CEP-negation twin of ``plans/events_ops.abandoned_clicks``,

@@ -1,0 +1,66 @@
+"""Streaming OHLC twin: the gate entry ``streaming_ohlc`` checks the
+single-batch == batch-relation identity against the exact
+``event_type_ohlc`` oracle; here the cross-batch fold — min_by/max_by
+aggregation STATE must merge like min/max, so a later micro-batch
+carrying an EARLIER event (out-of-order across batches, no watermark
+in complete mode) retakes the bar's open."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    read_events_stream,
+    run_stream_to_memory,
+)
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+
+def _ohlc_agg(src):
+    # the streaming_ohlc aggregation shape over the test SCHEMA
+    # (no event_id column: ts is unique per row in these goldens)
+    keyed = src.select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        ).alias("_ord"),
+    )
+    return keyed.groupBy(
+        F.window("ts", "900 seconds"), "event_type"
+    ).agg(
+        F.min_by("cents", F.col("_ord")).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", F.col("_ord")).alias("close_cents"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def test_streaming_ohlc_state_merges_across_batches(spark, tmpdir):  # noqa: F811
+    name = "ohlc" + uuid.uuid4().hex[:10]
+    indir = tmpdir / "in" / name
+    b1 = [(100, "hr", 1, 5.0), (200, "hr", 1, 7.0)]
+    # batch 2 carries an EARLIER event for bar 0 (must retake open)
+    # and opens a second bar
+    b2 = [(50, "hr", 2, 9.0), (950, "hr", 1, 3.0)]
+    _write_batches(spark, indir, [b1, b2])
+    src = read_events_stream(
+        spark, str(indir), SCHEMA, max_files_per_trigger=1
+    )
+    out = run_stream_to_memory(
+        _ohlc_agg(src), name, str(tmpdir / "ckpt" / name),
+        output_mode="complete",
+    )
+    got = {
+        (r.event_type, r["window"].start.minute * 60
+         + r["window"].start.second + r["window"].start.hour * 3600):
+        (r.open_cents, r.high_cents, r.low_cents, r.close_cents,
+         r.n_events)
+        for r in out.collect()
+    }
+    bars = {k[1] % 3600: v for k, v in got.items()}
+    assert bars[0] == (900, 900, 500, 700, 3)
+    assert bars[900] == (300, 300, 300, 300, 1)
