@@ -42,6 +42,11 @@ def blocked_edit_matches(
     columns (shuffle- or broadcast-hashable by Catalyst); the length
     band and the thresholded Levenshtein ride along as join filters.
     """
+    if not block_cols:
+        # an empty blocking key would silently degrade to a filtered
+        # cross product — the exact plan this operator exists to avoid
+        raise ValueError("block_cols must name at least one blocking "
+                         "column pair")
     lk, rk = key_cols
     cond: Column = F.lit(True)
     for lb, rb in block_cols:

@@ -49,6 +49,14 @@ def test_blocked_edit_matches_blocks_bands_and_verifies(spark):
     assert got == {(1, 10, 0), (2, 10, 1)}
 
 
+def test_blocked_edit_matches_rejects_empty_blocking(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "i long, k string")
+    with pytest.raises(ValueError, match="block_cols"):
+        blocked_edit_matches(df, df, ("k", "k"), [])
+
+
 # ---------------------------------------------------------------- OHLC
 
 def test_ohlc_bars_picks_open_close_in_event_time_order(spark):
