@@ -248,7 +248,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source-changed + oldest-r5 blocks). Round 8 registers these in
     its front block alongside the 34-entry round-8 obligation (the
     r5-green tail block incl. the demoted contamination_overlaps:
-    34 + 9 = 43 ≤ 50 — see the obligation note in ``queries()``).
+    34 + 10 = 44 ≤ 50 — see the obligation note in ``queries()``).
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -284,6 +284,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming candlestick twin: min_by/max_by under windowed
         # streaming aggregation state (streaming/pipeline.py)
         "streaming_ohlc": _wrap(streaming_pipeline.streaming_ohlc),
+        # sub-document C4-style passage dedup (plans/corpus_ops.py)
+        "doc_passage_dedup": _wrap(corpus_ops.doc_passage_dedup),
     }
 
 

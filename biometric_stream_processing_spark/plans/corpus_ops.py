@@ -227,6 +227,44 @@ def doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages(_docs(spark, sf_dir))
 
 
+def passage_dedup_stats(df: DataFrame) -> DataFrame:
+    """SUB-DOCUMENT (passage-level) DEDUPLICATION — the C4/CCNet
+    "drop repeated lines/paragraphs corpus-wide" step at passage
+    granularity, which doc-level ``dedup_exact`` cannot express:
+    every passage occurrence is kept only at its FIRST position in
+    the corpus-wide (doc_id, passage_idx) order; per document the
+    report gives passage count, survivors, surviving token mass and
+    the duplication ratio — the numbers that decide whether a
+    boilerplate stripper is needed before training.
+
+    One shuffle on passage_hash (first-occurrence window over 16-byte
+    md5 keys — passages themselves never ride the exchange), then a
+    per-doc hash rollup. Hot hashes (a boilerplate paragraph repeated
+    millions of times) are bounded by the same content-hash
+    distribution argument as exact dedup; the ratio is an exact
+    small-integer quotient rounded at 6 dp."""
+    w = W.partitionBy("passage_hash").orderBy("doc_id", "passage_idx")
+    flagged = df.select(
+        "doc_id", "n_words",
+        (F.row_number().over(w) == 1).alias("_keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("_keep"), F.col("n_words")).otherwise(F.lit(0))
+        ).alias("kept_words"),
+        F.round(
+            1 - F.sum(F.col("_keep").cast("long")) / F.count("*"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-7 QUEUE (registers round 8)."""
+    return passage_dedup_stats(passages(_docs(spark, sf_dir)))
+
+
 def unigram_logprob(df: DataFrame | None = None,
                     tf: DataFrame | None = None) -> DataFrame:
     """Unigram-LM quality scoring (the CCNet-style perplexity filter,
@@ -840,6 +878,26 @@ ORACLE["doc_perplexity_buckets"] = f"""
            min(avg_logprob) AS min_logprob,
            max(avg_logprob) AS max_logprob
     FROM b GROUP BY 1
+"""
+
+# ROUND-7 QUEUE (registers round 8): first-occurrence window over the
+# doc_passages relation verbatim; all integers until the final exact
+# quotient.
+ORACLE["doc_passage_dedup"] = f"""
+    WITH p AS ({ORACLE["doc_passages"]}),
+    f AS (
+      SELECT doc_id, n_words,
+             row_number() OVER (PARTITION BY passage_hash
+                                ORDER BY doc_id, passage_idx) = 1
+               AS keep
+      FROM p
+    )
+    SELECT doc_id, count(*) AS n_passages,
+           sum(keep::INT)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN n_words ELSE 0 END)::BIGINT
+             AS kept_words,
+           round(1 - sum(keep::INT)::DOUBLE / count(*), 6) AS dup_ratio
+    FROM f GROUP BY doc_id
 """
 
 QUERIES = {

@@ -133,6 +133,33 @@ def test_perplexity_buckets_ties_share_a_bucket(spark):
     assert got == [(0, 5, 25, -2.0, -2.0), (5, 5, 35, -1.0, -1.0)]
 
 
+# ----------------------------------------------------- passage dedup
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        passage_dedup_stats, passages,
+    )
+
+    A = " ".join(["a"] * 32)      # one full passage of 'a's
+    B = " ".join(["b"] * 32)
+    C = " ".join(["c"] * 16)      # a short tail passage
+    docs = spark.createDataFrame(
+        [
+            (1, f"{A} {B}"),      # doc 1: A, B (both first occurrences)
+            (2, f"{B} {C}"),      # doc 2: B duplicates doc 1's; C new
+            (3, f"{A} {A}"),      # doc 3: A twice — both duplicate doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_passages, r.n_kept, r.kept_words, r.dup_ratio)
+           for r in passage_dedup_stats(passages(docs)).collect()}
+    assert got == {
+        1: (2, 2, 64, 0.0),
+        2: (2, 1, 16, 0.5),
+        3: (2, 0, 0, 1.0),
+    }
+
+
 # ------------------------------------------------------ l2 top-k / RRF
 
 def test_l2_topk_ranks_by_euclidean_distance(spark):
