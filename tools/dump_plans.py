@@ -140,6 +140,16 @@ SHOWCASE = [
      "hash aggregation (partial combine map-side); output is "
      "|labels|x64 rows at any corpus size — no per-label vector "
      "collection."),
+    ("doc_passage_dedup",
+     "Sub-document dedup: the chunker stays narrow (generate in the "
+     "scan stage), the only exchange carries (doc_id, idx, hash) "
+     "triples — never passage text — for the first-occurrence "
+     "window, then the per-doc rollup reuses nothing corpus-wide."),
+    ("embedding_rrf_fusion",
+     "Hybrid retrieval: ONE broadcast pair join computes the dot "
+     "product once; cosine and d2 derive row-locally, and the two "
+     "metric rank windows plus the fused re-rank share a single "
+     "query_id exchange — no second corpus pass, no union/groupBy."),
 ]
 
 
