@@ -142,8 +142,10 @@ def l2_topk(
 ) -> DataFrame:
     """Exact top-k EUCLIDEAN neighbors of each query vector (self
     excluded), deterministic tiebreak on neighbor id — the metric
-    twin of ``cosine_topk`` for rank fusion (norms matter here, so
-    the two rankings genuinely differ). Squared distance expands to
+    twin of ``cosine_topk`` (norms matter here, so the two rankings
+    genuinely differ; ``documents_ops.embedding_rrf_fusion`` fuses
+    both rankings by inlining this exact d² expression shape into
+    one shared pair scan). Squared distance expands to
     (|q|² + |c|²) − 2·q·c: per-row squared norms are computed ONCE
     before the broadcast join and only the dot product runs per pair
     — the same join/window plan shape (and cost) as ``cosine_topk``.
