@@ -1,9 +1,13 @@
 """Unit tests for the round-7 gate-queue operators (registered round
 8): blocked fuzzy entity matching, OHLC downsampling, last-touch
-attribution, count-based perplexity deciles, and euclidean top-k /
-reciprocal-rank fusion. Hand-built frames with known answers; DuckDB
-hash parity is covered by the module ORACLE entries via
-``tools/check_oracle.py --queued``."""
+attribution, count-based perplexity deciles, euclidean top-k /
+reciprocal-rank fusion, session-path transition mining, per-key skew
+profiling, per-class embedding centroids, and passage-level dedup
+(the streaming OHLC twin's cross-batch golden lives in
+``test_streaming_ohlc.py``). Hand-built frames with known answers;
+DuckDB hash parity is covered by the module ORACLE entries via
+``tools/check_oracle.py --queued``; hypothesis suites vs independent
+Python references live in ``test_round7_properties.py``."""
 
 from __future__ import annotations
 
