@@ -369,18 +369,30 @@ def perplexity_buckets(lp: DataFrame, n_buckets: int = PPX_BUCKETS) -> DataFrame
     small relation gives each score its 0-based rank offset, and
     ``bucket = (offset · n_buckets) div n`` — all BIGINT ops, bit-
     free of float compare. Score ties share a bucket (sizes then
-    differ from n/10 — honest for a score-based filter)."""
+    differ from n/10 — honest for a score-based filter).
+
+    The rank offset itself is ``operators/windows.global_running_sum``
+    — the same two-phase range-partitioned prefix sum the token-budget
+    cutoff uses — NOT a bare ``sum() OVER (ORDER BY score)``, which
+    Spark plans as one WindowExec partition holding every distinct
+    score. The distinct-score relation is granularity-bounded, so the
+    single-task form would not die outright, but the two-phase shape
+    keeps the only unpartitioned window at partition-COUNT size and
+    is bit-identical (integer counts sum exactly under any partition
+    boundaries). The helper's inclusive running sum minus the row's
+    own ``_cnt`` is the exclusive pre-count the bucket formula needs."""
+    from ..operators.windows import global_running_sum
+
     sc = lp.groupBy("avg_logprob").agg(
         F.count("*").alias("_cnt"),
         F.sum("n_words").alias("_words"),
     )
     n = sc.agg(F.sum("_cnt").alias("_n"))
-    w = W.orderBy("avg_logprob").rowsBetween(W.unboundedPreceding, -1)
-    b = sc.withColumn(
-        "_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0).cast("long"))
+    b = global_running_sum(
+        sc, [F.col("avg_logprob")], "_cnt", "_run"
     ).join(F.broadcast(n)).select(
         "avg_logprob", "_cnt", "_words",
-        F.expr(f"(_cum * {n_buckets}) div _n").alias("bucket"),
+        F.expr(f"((_run - _cnt) * {n_buckets}) div _n").alias("bucket"),
     )
     return b.groupBy("bucket").agg(
         F.sum("_cnt").alias("n_docs"),

@@ -271,6 +271,21 @@ def test_token_budget_prefix_sum_is_range_partitioned(spark):
             assert "_pt" in seg, seg
 
 
+def test_perplexity_rank_offset_is_range_partitioned(spark):
+    """The decile report's rank offset must be the same two-phase
+    prefix sum as the token budget: the distinct-score window runs
+    partitioned by the range partition id; the only unpartitioned
+    window is the offsets prefix over the partition-count-sized
+    totals relation (its input carries _pt)."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_perplexity_buckets(spark, SF_DIR))
+    assert "rangepartitioning" in p.lower(), p
+    for seg in p.split("\n\n"):
+        if "Window" in seg.split("\n")[0] and "_pid" not in seg:
+            assert "_pt" in seg, seg
+
+
 def test_absence_antijoin_shuffles_on_user_id_only(spark):
     """Batch absence detection must stay a single keyed anti-join:
     every exchange hash-partitions on user_id and no nested-loop /
