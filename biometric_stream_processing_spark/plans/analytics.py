@@ -656,7 +656,12 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition for the edit bound), the banded Levenshtein verifies
     only those. No cross product; at 100 TB the block key grows a
     prefix component to bound per-block fan-in (same knob as LSH
-    bands). ROUND-7 QUEUE (registers round 8)."""
+    bands). ROUND-7 QUEUE (registers round 8).
+
+    Floor attribution (round 7, warm best-of-2 in one session):
+    0.57 s at sf0.1 vs 0.29 s at sf0.001 — 51% scheduling floor; the
+    QUEUED_BENCH 1.16 s reading is a first-run that includes the
+    customer/supplier reader memo bills."""
     from ..operators.linkage import blocked_edit_matches
 
     c = _t(spark, sf_dir, "customer").select(

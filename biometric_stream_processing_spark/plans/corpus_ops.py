@@ -405,7 +405,12 @@ def perplexity_buckets(lp: DataFrame, n_buckets: int = PPX_BUCKETS) -> DataFrame
 def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUND-7 QUEUE (registers round 8). Reads the persisted
     unigram-score memo; ``doc_unigram_logprob`` (front, earlier) owns
-    its materialization bill."""
+    its materialization bill.
+
+    Floor attribution (round 7, warm best-of-2 in one session):
+    1.25 s at sf0.1 vs 0.79 s at sf0.001 — 63% scheduling floor
+    (the prefix-sum's extra stages are partition-count-sized; the
+    data term is the memoized score scan)."""
     return perplexity_buckets(shared_unigram_scores(spark, sf_dir))
 
 

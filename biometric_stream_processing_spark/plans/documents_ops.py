@@ -773,7 +773,12 @@ def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0-1.3 s → 0.75 s at sf0.1, and half the pair-scan work — the
     term that grows at scale. Queries broadcast; the corpus never
     shuffles before the (tiny) ranked relation.
-    ROUND-7 QUEUE (registers round 8)."""
+    ROUND-7 QUEUE (registers round 8).
+
+    Floor attribution (round 7, warm best-of-2 in one session):
+    0.66 s at sf0.1 vs 0.49 s at sf0.001 — 75% scheduling floor; the
+    QUEUED_BENCH 1.83 s reading is a first-run that includes the
+    embedding-reader memo bill."""
     from ..operators.similarity import _spread, dot_double
 
     e = _emb(spark, sf_dir)
