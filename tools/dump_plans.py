@@ -130,11 +130,14 @@ SHOWCASE = [
      "no per-bar row list ever materializes."),
     ("doc_perplexity_buckets",
      "Perplexity deciles WITHOUT a global sort: the doc-score "
-     "relation collapses to distinct scores first, the running "
-     "pre-count window runs over that small relation, the total "
-     "rides as a 1-row broadcast, and bucket assignment + rollup are "
-     "pure integer expressions — no ntile over the corpus, no "
-     "single-partition window over documents."),
+     "relation collapses to distinct scores first, the rank offset "
+     "is the two-phase range-partitioned prefix sum "
+     "(`RangePartitioning` exchange, per-`_pid` windows, the only "
+     "unpartitioned window over the partition-count `_pt` totals — "
+     "the token-budget shape), the total rides as a 1-row broadcast, "
+     "and bucket assignment + rollup are pure integer expressions — "
+     "no ntile over the corpus, no single-partition window over "
+     "documents or distinct scores."),
     ("label_centroid_report",
      "Per-class centroids: posexplode → ONE (label, dim) two-phase "
      "hash aggregation (partial combine map-side); output is "
