@@ -94,6 +94,12 @@ scheduling latency, which amortizes at real scale. The sub-floor
 entries (winnowing's sort+window, the debounce's sequential
 applyInPandas, the profiler's two scans) carry real per-row work with
 plans audited to be the minimal shape for their semantics.
+
+Round-7 refresher for the two reworked recurrences (the partition-
+batched mapInPandas forms): alerts_leading_debounce 0.54 s sf0.001 vs
+0.69 s sf0.1 (78% floor; was 38% — the rework removed most of the
+data-dependent Arrow cost) and user_value_ewma 0.29 vs 0.44 s (66%
+floor). Both now floor-dominated like the rest of the table.
 """
 
 from __future__ import annotations
