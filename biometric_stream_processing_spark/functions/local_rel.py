@@ -70,15 +70,6 @@ def values_frame(spark: SparkSession, rows: list[tuple],
             raise ValueError(
                 f"row {i} has {len(r)} values for {len(cols)} columns"
             )
-    # The string escaping in _lit is written against Spark's DEFAULT
-    # string-literal parser; with the legacy conf enabled the doubled
-    # backslashes would survive as two characters and every emitted
-    # string would silently corrupt. Pin the conf (runtime SQL conf,
-    # session-scoped, default false) rather than trusting the host —
-    # set only on divergence (Spark 4 WARNs on every set).
-    _ESC = "spark.sql.parser.escapedStringLiterals"
-    if spark.conf.get(_ESC, "false") != "false":
-        spark.conf.set(_ESC, "false")
     body = ", ".join(
         "(" + ", ".join(
             _lit(v, typ) for v, (_, typ) in zip(r, cols)
@@ -86,4 +77,20 @@ def values_frame(spark: SparkSession, rows: list[tuple],
         for r in rows
     )
     names = ", ".join(n for n, _ in cols)
-    return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({names})")
+    # The string escaping in _lit is written against Spark's DEFAULT
+    # string-literal parser; with the legacy conf enabled the doubled
+    # backslashes would survive as two characters and every emitted
+    # string would silently corrupt. String-literal parsing happens
+    # eagerly inside spark.sql(), so pin the conf only around that
+    # call and restore the host's value after — a session that
+    # deliberately runs the legacy parser keeps its semantics for its
+    # own SQL. Set only on divergence (Spark 4 WARNs on every set).
+    _ESC = "spark.sql.parser.escapedStringLiterals"
+    host_val = spark.conf.get(_ESC, "false")
+    if host_val == "false":
+        return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({names})")
+    spark.conf.set(_ESC, "false")
+    try:
+        return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({names})")
+    finally:
+        spark.conf.set(_ESC, host_val)

@@ -482,20 +482,42 @@ def key_skew_profile(ev: DataFrame) -> DataFrame:
     row count, max/p50/p90 per-user rows, and the hottest user's share
     of the type's rows). Two-level aggregation: the (type, user)
     count relation is the only full-data shuffle; the distribution
-    stats aggregate that already-small relation. Percentiles are
-    interpolated over exact integer counts and rounded at 6 dp (the
-    ``value_percentiles`` cross-engine pair, with rounding absorbing
-    any last-ulp interpolation difference); the hot-key share is an
-    exact integer ratio."""
+    stats are computed over that already-reduced relation.
+
+    Percentiles are EXACT lower-rank integer percentiles (ANSI
+    ``percentile_disc``: the value at ascending rank ``ceil(p·cnt)``,
+    with the rank derived in pure BIGINT arithmetic as
+    ``(k·cnt + 9) div 10`` for p = k/10) — NOT interpolated
+    ``percentile``/``quantile_cont``, whose cross-engine parity would
+    rest on two engines' floating interpolation agreeing at the last
+    ulp under 6-dp rounding (round-7 advice). Both engines rank the
+    same integers the same way; ties in the count value make the
+    tiebreak irrelevant. The per-type rank window runs over the
+    already-aggregated (type, user) counts — the same
+    buffer-the-group cost class the exact percentile aggregate had.
+    The hot-key share stays an exact integer ratio rounded at 6 dp."""
     uc = ev.groupBy("event_type", "user_id").agg(
         F.count("*").alias("_n")
     )
-    return uc.groupBy("event_type").agg(
+    wt = W.partitionBy("event_type")
+    ranked = uc.select(
+        "event_type", "_n",
+        F.row_number().over(wt.orderBy("_n", "user_id")).alias("_rn"),
+        F.count("*").over(wt).alias("_cnt"),
+    )
+    def _at(k: int):  # value at lower-rank percentile p = k/10
+        return F.max(
+            F.when(
+                F.col("_rn") == F.expr(f"({k} * _cnt + 9) div 10"),
+                F.col("_n"),
+            )
+        )
+    return ranked.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum("_n").alias("n_rows"),
         F.max("_n").alias("max_user_rows"),
-        F.round(F.percentile("_n", 0.5), 6).alias("p50_user_rows"),
-        F.round(F.percentile("_n", 0.9), 6).alias("p90_user_rows"),
+        _at(5).alias("p50_user_rows"),
+        _at(9).alias("p90_user_rows"),
         F.round(F.max("_n") / F.sum("_n"), 6).alias("top_user_share"),
     )
 
@@ -919,21 +941,31 @@ ORACLE = {
                      6) AS p_next
         FROM c
     """,
-    # ROUND-7 QUEUE (registers round 8): percentiles of exact integer
-    # counts rounded at 6 dp; hot-key share is an exact int ratio
+    # ROUND-7 QUEUE (registers round 8): exact lower-rank integer
+    # percentiles (value at ascending rank ceil(p*cnt), rank in pure
+    # BIGINT arithmetic) — no floating interpolation anywhere; the
+    # hot-key share is an exact int ratio rounded at 6 dp
     "event_skew_profile": """
         WITH uc AS (
           SELECT event_type, user_id, count(*) AS n
           FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT event_type, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n, user_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM uc
         )
         SELECT event_type,
                count(*) AS n_users,
                sum(n)::BIGINT AS n_rows,
                max(n) AS max_user_rows,
-               round(quantile_cont(n, 0.5), 6) AS p50_user_rows,
-               round(quantile_cont(n, 0.9), 6) AS p90_user_rows,
+               max(CASE WHEN rn = (5 * cnt + 9) // 10 THEN n END)
+                 AS p50_user_rows,
+               max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n END)
+                 AS p90_user_rows,
                round(max(n) / sum(n)::DOUBLE, 6) AS top_user_share
-        FROM uc GROUP BY 1
+        FROM r GROUP BY 1
     """,
 }
 

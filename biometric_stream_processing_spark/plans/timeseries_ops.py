@@ -411,8 +411,16 @@ def ohlc_bars(ev: DataFrame, bar_s: int = OHLC_BAR_S) -> DataFrame:
 
     Scale: one hash aggregation — min_by/max_by fold with partial
     (map-side) combine like min/max, so no per-bar row list ever
-    materializes and a 100 TB scan reduces to |types|×|bars| rows."""
-    bar = (F.expr(f"us div {bar_s * 1_000_000}") * bar_s).alias("bar_es")
+    materializes and a 100 TB scan reduces to |types|×|bars| rows.
+
+    Bar assignment is FLOOR division in exact BIGINT arithmetic
+    (``(us - pmod(us, N)) div N`` — pmod's non-negative remainder
+    makes the numerator the floor multiple, so the truncating ``div``
+    is exact): matches DuckDB ``//``, ``F.window``'s bucketing in the
+    streaming twin, and stays correct for pre-1970 timestamps, unlike
+    bare ``div`` which truncates toward zero (round-7 advice)."""
+    n = bar_s * 1_000_000
+    bar = (F.expr(f"(us - pmod(us, {n})) div {n}") * bar_s).alias("bar_es")
     tiebreak = F.struct("us", "event_id")
     return ev.groupBy("event_type", bar).agg(
         F.min_by("cents", tiebreak).alias("open_cents"),

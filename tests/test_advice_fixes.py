@@ -305,9 +305,12 @@ def test_dynamic_session_oracle_handles_duplicate_ts(spark, tmp_path):
 # ------------------------------------------------- round-6 advice fixes
 
 def test_values_frame_pins_string_parser_conf(spark):
-    """local_rel advice: with the legacy escapedStringLiterals conf
-    enabled by the host, values_frame must still round-trip (it pins
-    the conf back to the default parser its escaping targets)."""
+    """local_rel advice (round 6 + round 7): with the legacy
+    escapedStringLiterals conf enabled by the host, values_frame must
+    still round-trip (it pins the conf to the default parser its
+    escaping targets around the single eager spark.sql parse) AND —
+    round-7 advice — must RESTORE the host's deliberate legacy value
+    afterwards instead of leaving the session conf mutated."""
     from biometric_stream_processing_spark.functions.local_rel import (
         values_frame,
     )
@@ -315,12 +318,15 @@ def test_values_frame_pins_string_parser_conf(spark):
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try:
         tricky = "a\\n'b' \\\\ c\\"
-        out = values_frame(spark, [(tricky,)], "s string").collect()
-        assert out[0].s == tricky
+        df = values_frame(spark, [(tricky,)], "s string")
+        # host conf restored immediately after construction (parsing
+        # is eager inside spark.sql, so restore-before-collect is
+        # safe for the frame itself)
         assert (
             spark.conf.get("spark.sql.parser.escapedStringLiterals")
-            == "false"
+            == "true"
         )
+        assert df.collect()[0].s == tricky
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
 

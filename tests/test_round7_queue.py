@@ -252,9 +252,24 @@ def test_key_skew_profile_counts_and_share(spark):
         [(t, u) for t, u in rows], "event_type string, user_id long"
     )
     got = [tuple(r) for r in key_skew_profile(ev).collect()]
-    # counts per user: [6, 2, 2] -> p50 = 2, p90 = 6*0.8+2*0.2 wrong:
-    # interpolated at position (3-1)*0.9 = 1.8 between 2 and 6 -> 5.2
-    assert got == [("view", 3, 10, 6, 2.0, 5.2, 0.6)]
+    # counts per user ascending: [2, 2, 6], cnt = 3. Exact lower-rank
+    # percentiles (value at rank ceil(p*cnt)): p50 rank (5*3+9)//10=2
+    # -> 2; p90 rank (9*3+9)//10=3 -> 6. All BIGINT, no interpolation
+    # (round-7 advice: interpolated quantiles were an ulp-parity risk).
+    assert got == [("view", 3, 10, 6, 2, 6, 0.6)]
+
+
+def test_key_skew_profile_single_user_percentiles(spark):
+    from biometric_stream_processing_spark.plans.events_ops import (
+        key_skew_profile,
+    )
+
+    ev = spark.createDataFrame(
+        [("click", 9)] * 4, "event_type string, user_id long"
+    )
+    # one user: every percentile is that user's count, share is 1.0
+    got = [tuple(r) for r in key_skew_profile(ev).collect()]
+    assert got == [("click", 1, 4, 4, 4, 4, 1.0)]
 
 
 # ------------------------------------------------------ label centroids
