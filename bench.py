@@ -121,54 +121,61 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = the round-5 owner.
 MEMO_OWNERS = {
-    # Round-7 rotation moved the memo-owning corpus entries into the
-    # r6-green TAIL and the funnel report / doc-tf consumers into the
-    # FRONT, so several first-consumer bills shift this round — each
-    # shift below is a billing move, not a regression ("prev" = the
-    # round-6 owner).
+    # Round-8 registration puts the r5-green obligation block FIRST
+    # (positions 1-34), then the round-7 queue (35-44), then the
+    # corpus-LM re-pins (45-47) and three r6-green fills (48-50) —
+    # so the corpus-chain and winnow bills move to the obligation
+    # block's early entries and the doc-term-matrix/unigram bills to
+    # the queue's perplexity report. Each shift below is a billing
+    # move, not a regression ("prev" = the round-7 owner).
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # the funnel report (front, position 38) now precedes every other
-    # consumer of the corpus-pipeline memos — it pays the gram index,
-    # decontam survivors, training corpus, clean corpus, and the
-    # MinHash/LSH chain in one bill (expect its r7 bench time to
-    # absorb what decontaminated_train_docs/training_corpus paid in
-    # r6, and those two to drop to cached-read time)
+    # decontaminated_train_docs (front 50) precedes training_corpus /
+    # dedup_pipeline_report (both tail) — the decontamination index
+    # bills revert to their round-6 owner
     "decontam_gram_index": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "decontam_survivors": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
+    # training_corpus (tail 51) is the first consumer of its own
+    # capstone rows again
     "training_corpus_rows": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+        "owner": "training_corpus", "prev": "dedup_pipeline_report"},
+    # corpus_token_budget (front 10) reads documents_clean_corpus —
+    # first clean-corpus-chain consumer in the round-8 order
     "clean_corpus": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+        "owner": "corpus_token_budget", "prev": "dedup_pipeline_report"},
+    # minhash_lsh_pairs (front 3) precedes every other LSH consumer
     "text_lsh_pairs": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
-    # corpus_vocab_topk (front 34) is now the first doc-term-matrix
-    # consumer (doc_repetition_stats moved to the r6-green tail)
+        "owner": "minhash_lsh_pairs", "prev": "dedup_pipeline_report"},
+    # doc_perplexity_buckets (front 38, first registration) is the
+    # first doc-term-matrix AND first unigram-score consumer — expect
+    # its first bench reading to carry both materializations while
+    # doc_unigram_logprob (front 45) and corpus_vocab_topk (tail)
+    # drop to cached-read time (~0.17 s warm, pinned in the
+    # doc_unigram_logprob docstring)
     "doc_term_matrix": {
-        "owner": "corpus_vocab_topk", "prev": "doc_repetition_stats"},
-    # the r5-green tail block precedes the r6-green block, so the
-    # closure/IVF bills revert to their round-5 owners
+        "owner": "doc_perplexity_buckets", "prev": "corpus_vocab_topk"},
+    "unigram_scores": {
+        "owner": "doc_perplexity_buckets", "prev": "doc_unigram_logprob"},
+    # unchanged: the r5 block leads again, so the closure/IVF owners
+    # keep their round-7 (= round-5) assignments
     "embedding_cluster_closure": {
         "owner": "cross_modal_dup_agreement",
-        "prev": "embedding_dup_clusters"},
+        "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
-        "owner": "near_dup_clusters",
-        "prev": "near_dup_representatives"},
+        "owner": "near_dup_clusters", "prev": "near_dup_clusters"},
     "ivf_cell_assignment": {
-        "owner": "embedding_ivf_topk", "prev": "ivf_recall_report"},
+        "owner": "embedding_ivf_topk", "prev": "embedding_ivf_topk"},
+    # contamination_overlaps (front 1) builds the winnow sketch that
+    # doc_winnow_fingerprints (tail) then reads from the bench's lazy
+    # persist
     "winnow_fingerprints": {
-        "owner": "doc_winnow_fingerprints",
+        "owner": "contamination_overlaps",
         "prev": "doc_winnow_fingerprints"},
-    # round 7: the unigram-score relation (1 row/doc) is now
-    # memoized+persisted so the queued perplexity-decile report reads
-    # it cached; doc_unigram_logprob (front 35) materializes it
-    "unigram_scores": {
-        "owner": "doc_unigram_logprob", "prev": "doc_unigram_logprob"},
 }
 
 BENCH_CONFS = {
@@ -259,8 +266,8 @@ def main() -> None:
     # token-budget selection, the training-corpus capstone, the funnel
     # report); lazy like the others — who pays the chain on the clock
     # is whoever runs first in the CURRENT registration order, always
-    # recorded as MEMO_OWNERS "clean_corpus" above (round 7: the
-    # funnel report, front position 38)
+    # recorded as MEMO_OWNERS "clean_corpus" above (round 8: the
+    # token-budget selection, front position 10)
     clean = documents_clean_corpus(spark, sf_dir)
     clean.persist()
     # (The cluster table — shared by near_dup_clusters and

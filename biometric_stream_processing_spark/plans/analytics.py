@@ -987,4 +987,6 @@ QUERIES = {
     "orders_constraint_report": orders_constraint_report,
     "sql_nation_revenue": sql_nation_revenue,
     "salted_segment_revenue": salted_segment_revenue,
+    # round-7 queue, registered round 8
+    "fuzzy_name_matches": fuzzy_name_matches,
 }

@@ -991,4 +991,8 @@ QUERIES = {
     "hll_user_rollup": hll_user_rollup,
     "parse_props_variant": parse_props_variant,
     "dynamic_session_stats": dynamic_session_stats,
+    # round-7 queue, registered round 8
+    "purchase_attribution": purchase_attribution,
+    "session_transitions": session_transitions,
+    "event_skew_profile": event_skew_profile,
 }

@@ -607,4 +607,6 @@ QUERIES = {
     "value_histogram": value_histogram,
     "user_retention_cohorts": user_retention_cohorts,
     "user_rolling_median": user_rolling_median,
+    # round-7 queue, registered round 8
+    "event_type_ohlc": event_type_ohlc,
 }

@@ -1188,3 +1188,97 @@ def run_stream_update_log(
     q.processAllAvailable()
     q.stop()
     return log
+
+
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LAST-TOUCH ATTRIBUTION — the streaming twin of
+    ``plans/events_ops.purchase_attribution``, whose DuckDB oracle it
+    shares: each conversion credited to the user's most recent
+    preceding touch within the lookback window, held in ONE
+    (touch_type, touch_us) pair of keyed state
+    (``state.attribution_stream`` — the same keyed-state shape as the
+    SCD-2 machine with the run machinery replaced by a single
+    remembered predecessor, as the round-7 verdict sketched). With
+    the single-file source the whole table is one micro-batch and the
+    kernel's (us, event_id) sort makes absorption order equal the
+    batch window's total order, so the attributed per-conversion
+    emission equals the batch frame's row set exactly; cross-batch
+    carry of the remembered touch is golden-tested in
+    test_streaming_attribution.py.
+
+    The per-channel rollup (3 rows) runs batch-side over the memory
+    sink — Structured Streaming forbids an aggregation AFTER a Python
+    stateful operator in append mode (the module-head note), and at
+    deployment scale that rollup is the downstream reader's windowed
+    aggregate, not this operator's job. ROUND-8 QUEUE (registers
+    round 9)."""
+    import os
+    import uuid
+
+    from ..plans.events_ops import (
+        ATTR_TOUCH_TYPES,
+        ATTR_WINDOW_S,
+        dsum,
+    )
+    from .state import attribution_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = attribution_stream(
+            src, ATTR_TOUCH_TYPES, "purchase", ATTR_WINDOW_S
+        )
+        name = "attr_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_attr_"))
+    return out.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-TRANSITION MINING — the streaming twin of
+    ``plans/events_ops.session_transitions``, whose DuckDB oracle it
+    shares: per user, each event within the session gap of its
+    predecessor emits one (prev_type, event_type) journey step, held
+    in ONE (prev_type, prev_us) pair of keyed state
+    (``state.transition_stream`` — the streaming form of the batch
+    lag()). Single-batch source ⇒ the step emission equals the batch
+    lag relation exactly; cross-batch chain continuation is
+    golden-tested in test_streaming_attribution.py.
+
+    The Markov-matrix rollup (counts + row-normalized p_next over the
+    tiny |types|² relation) runs batch-side over the memory sink for
+    the same stateful-then-aggregate reason as
+    ``streaming_attribution``. ROUND-8 QUEUE (registers round 9)."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ..plans.events_ops import TRANSITION_GAP_S
+    from .state import transition_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = transition_stream(src, TRANSITION_GAP_S)
+        name = "trans_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_trn_"))
+    counts = out.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "event_type", "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wt), 6
+        ).alias("p_next"),
+    )

@@ -608,3 +608,173 @@ def scd2_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ATTRIB_OUTPUT_SCHEMA = "channel string, value double"
+# the most recent qualifying touch: its event type and event-time µs
+# (-1 = no touch seen yet) — ONE pair per user, O(1) state
+ATTRIB_STATE_SCHEMA = "touch_type string, touch_us long"
+
+
+def attribution_fn(touch_types: tuple[str, ...], conversion_type: str,
+                   window_s: int):
+    """Per-key stateful function for ``attribution_stream``: streaming
+    LAST-TOUCH ATTRIBUTION with one (touch_type, touch_us) pair of
+    state per user — the keyed-state shape of the SCD-2 machine with
+    the run machinery replaced by a single remembered predecessor.
+
+    Each conversion is credited against the state BEFORE the row is
+    absorbed (strictly-prior semantics — exactly the batch twin's
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frame in
+    ``plans/events_ops.last_touch_attribution``). Watermark delay 0
+    drops cross-batch late arrivals (F6/W4) and the processor sorts
+    within a batch by (us, event_id), so the absorption order equals
+    the batch window's total order. Emission is immediate (one row
+    per conversion) — no timers, no flush sentinel needed."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tt, tus = state.get if state.exists else (None, -1)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int, str, float]] = []
+        for pdf in pdfs:
+            for us, eid, et, val in zip(
+                pdf["tus"], pdf["event_id"],
+                pdf["event_type"], pdf["value"],
+            ):
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid), et, float(val)))
+        rows.sort(key=lambda r: (r[0], r[1]))
+
+        out = []
+        horizon_us = window_s * 1_000_000
+        for us, _eid, et, val in rows:
+            if et == conversion_type:
+                if tus >= 0 and us - tus <= horizon_us:
+                    out.append((tt, val))
+                else:
+                    out.append(("direct", val))
+            if et in touch_types:
+                tt, tus = et, us
+
+        if tus >= 0:
+            state.update((tt, tus))
+        if out:
+            yield pd.DataFrame(out, columns=["channel", "value"])
+
+    return fn
+
+
+def attribution_stream(
+    events: DataFrame,
+    touch_types: tuple[str, ...],
+    conversion_type: str,
+    window_s: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming last-touch attribution — per-conversion (channel,
+    value) rows; the per-channel rollup happens downstream (see
+    ``pipeline.streaming_attribution``)."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            "event_type",
+            "value",
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        attribution_fn(touch_types, conversion_type, window_s),
+        ATTRIB_OUTPUT_SCHEMA,
+        ATTRIB_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+TRANSITION_OUTPUT_SCHEMA = "prev_type string, event_type string"
+# the chain's most recent event: type + event-time µs (-1 = none)
+TRANSITION_STATE_SCHEMA = "prev_type string, prev_us long"
+
+
+def transition_fn(gap_s: int):
+    """Per-key stateful function for ``transition_stream``: streaming
+    first-order journey-step mining. State is the single most recent
+    event per user; each admissible row whose distance to that
+    predecessor is within the session gap emits one (prev_type,
+    event_type) step — the streaming form of the batch twin's lag()
+    over (us, event_id) order (``plans/events_ops.transition_counts``).
+    Same exactness contract as the attribution machine: watermark
+    delay 0 + in-batch (us, event_id) sort ⇒ absorption order equals
+    the batch total order, so steps match row-for-row."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pt, pus = state.get if state.exists else (None, -1)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            for us, eid, et in zip(
+                pdf["tus"], pdf["event_id"], pdf["event_type"]
+            ):
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid), et))
+        rows.sort(key=lambda r: (r[0], r[1]))
+
+        out = []
+        gap_us = gap_s * 1_000_000
+        for us, _eid, et in rows:
+            if pus >= 0 and us - pus <= gap_us:
+                out.append((pt, et))
+            pt, pus = et, us
+
+        if pus >= 0:
+            state.update((pt, pus))
+        if out:
+            yield pd.DataFrame(out, columns=["prev_type", "event_type"])
+
+    return fn
+
+
+def transition_stream(
+    events: DataFrame,
+    gap_s: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming journey-step emission — one row per in-gap
+    transition; the Markov-matrix rollup happens downstream (see
+    ``pipeline.streaming_transitions``)."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            "event_type",
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        transition_fn(gap_s),
+        TRANSITION_OUTPUT_SCHEMA,
+        TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

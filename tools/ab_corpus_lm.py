@@ -1,0 +1,48 @@
+"""One-off A/B for the corpus-LM wall-weak family (round-8 verdict
+item 5): in ONE warm session, time doc_unigram_logprob,
+doc_bigram_logprob and doc_tfidf_keywords at sf0.1 and sf0.001 with
+the shared memos (doc-term matrix, unigram scores) pre-materialized,
+best-of-2. The sf0.001 reading is the scheduling floor (py4j + job
+launch); the retained fraction at sf0.1 attributes wall time to
+floor vs data work. Pattern: the orders_profile re-measurement the
+round-6 verdict prescribed."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from biometric_stream_processing_spark.session import tune_session  # noqa: E402
+from biometric_stream_processing_spark.plans import (  # noqa: E402
+    corpus_ops,
+    documents_ops,
+)
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+tune_session(spark)
+spark.sparkContext.setLogLevel("ERROR")
+
+QUERIES = {
+    "doc_unigram_logprob": corpus_ops.doc_unigram_logprob,
+    "doc_bigram_logprob": corpus_ops.doc_bigram_logprob,
+    "doc_tfidf_keywords": documents_ops.doc_tfidf_keywords,
+}
+
+for sf_dir in ("/root/testdata/sf0.1", "/root/testdata/sf0.001"):
+    # pre-materialize the shared memos so readings are pure per-query
+    corpus_ops.shared_doc_tf(spark, sf_dir).count()
+    corpus_ops.shared_unigram_scores(spark, sf_dir).count()
+    for name, fn in QUERIES.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            best = min(best, time.monotonic() - t0)
+        print(f"{sf_dir.rsplit('/', 1)[1]} {name}: {best:.3f}s",
+              flush=True)
