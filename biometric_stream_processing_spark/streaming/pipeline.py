@@ -1211,7 +1211,12 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator in append mode (the module-head note), and at
     deployment scale that rollup is the downstream reader's windowed
     aggregate, not this operator's job. ROUND-8 QUEUE (registers
-    round 9)."""
+    round 9).
+
+    Wall (sf0.1, local[32]): QUEUED_BENCH_r08's 15.4 s first run is
+    cold-session staged-source + checkpoint setup; warm same-session
+    runs measure 2.7-2.8 s (best-of-3), in line with the other
+    Python-stateful twins (streaming_abandoned_clicks 3.1 s)."""
     import os
     import uuid
 
@@ -1253,7 +1258,10 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Markov-matrix rollup (counts + row-normalized p_next over the
     tiny |types|² relation) runs batch-side over the memory sink for
     the same stateful-then-aggregate reason as
-    ``streaming_attribution``. ROUND-8 QUEUE (registers round 9)."""
+    ``streaming_attribution``. ROUND-8 QUEUE (registers round 9).
+
+    Wall (sf0.1, local[32]): 4.4 s first run in QUEUED_BENCH_r08,
+    2.7 s warm (best-of-3) — the staged-source twin floor."""
     import os
     import uuid
 

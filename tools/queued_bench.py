@@ -1,0 +1,61 @@
+"""Record sf0.1 Spark wall / DuckDB oracle wall / row count for the
+CURRENT gate queue (``__spark_entry__.queued_queries``) into
+QUEUED_BENCH_r<N>.json. Usage: python tools/queued_bench.py <round>.
+Same format as QUEUED_BENCH_r07.json (first-run readings — memo
+bills included; warm floors belong in the entry docstrings)."""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def main() -> None:
+    rnd = sys.argv[1]
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from biometric_stream_processing_spark.session import tune_session
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    tune_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    oracles = entrymod.oracle_sql()
+    out = {}
+    for name, fn in entrymod.queued_queries().items():
+        t0 = time.monotonic()
+        rows = fn(spark, SF_DIR).count()
+        spark_s = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        con.execute(oracles[name]).fetchall()
+        duck_s = round(time.monotonic() - t0, 2)
+        out[name] = {"spark_s": spark_s, "duckdb_s": duck_s,
+                     "rows": rows}
+        print(name, out[name], flush=True)
+
+    with open(f"/root/repo/QUEUED_BENCH_r{rnd}.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
