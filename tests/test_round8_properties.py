@@ -1,0 +1,199 @@
+"""Property tests for the round-8 queue's two keyed-state kernels
+(``state.attribution_fn`` / ``state.transition_fn``), driven DIRECTLY
+through a simulated micro-batch protocol — no Spark session, so
+hypothesis can afford hundreds of examples.
+
+The simulation mirrors the documented contract of the real pipeline
+(goldens in test_streaming_attribution.py pin the Spark-side cadence):
+the kernel sees batches in arrival order, sorts within each batch by
+(us, event_id), drops rows below the current watermark, and the
+watermark before batch i is the max event time over all earlier
+batches (delay 0, ms granularity — Spark reports watermarks in ms).
+The references below are independent single-pass recurrences written
+from the BATCH twins' SQL semantics (events_ops.last_touch_attribution
+ROWS .. 1 PRECEDING frame; transition_counts lag() over (us,
+event_id)), so agreement proves the state carry/update protocol — not
+just the shared loop shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biometric_stream_processing_spark.streaming.state import (
+    attribution_fn,
+    transition_fn,
+)
+
+TOUCH = ("view", "click")
+CONV = "purchase"
+TYPES = ("view", "click", "purchase", "error")
+WINDOW_S = 10
+GAP_S = 10
+
+
+class FakeGroupState:
+    """The slice of pyspark GroupState the kernels touch."""
+
+    def __init__(self) -> None:
+        self._v: tuple | None = None
+        self.wm_ms = 0
+
+    @property
+    def exists(self) -> bool:
+        return self._v is not None
+
+    @property
+    def get(self) -> tuple:
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = tuple(v)
+
+    def getCurrentWatermarkMs(self) -> int:
+        return self.wm_ms
+
+
+# ms-aligned microsecond timestamps spanning ~3 windows, so expiry,
+# ties (distinct event_ids) and cross-batch carry all occur
+_US = st.integers(0, 3 * WINDOW_S * 1000).map(lambda ms: ms * 1000)
+
+
+def _events(with_value: bool):
+    row = (
+        st.tuples(_US, st.sampled_from(TYPES), st.floats(0, 100, width=32))
+        if with_value
+        else st.tuples(_US, st.sampled_from(TYPES))
+    )
+    return st.lists(row, min_size=0, max_size=40)
+
+
+_SPLITS = st.lists(st.integers(1, 8), min_size=0, max_size=6)
+
+
+def _batches(rows, splits):
+    """Split rows (already carrying unique event_ids) into arrival-order
+    micro-batches at the given chunk sizes; leftovers form a final
+    batch."""
+    out, i = [], 0
+    for n in splits:
+        if i >= len(rows):
+            break
+        out.append(rows[i:i + n])
+        i += n
+    if i < len(rows):
+        out.append(rows[i:])
+    return [b for b in out if b]
+
+
+def _drive(fn, batches, columns):
+    """Run the kernel over the batches under the simulated protocol;
+    returns (emitted rows, surviving rows in absorption order)."""
+    state = FakeGroupState()
+    emitted: list[tuple] = []
+    survivors: list[tuple] = []
+    seen_max = -1
+    for batch in batches:
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        wm_us = state.wm_ms * 1000
+        pdf = pd.DataFrame(batch, columns=columns)
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        survivors += sorted(
+            r for r in batch if wm_us == 0 or r[0] >= wm_us
+        )
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    return emitted, survivors
+
+
+def _ref_attribution(rows):
+    """Batch-twin semantics: credit each conversion to the most recent
+    STRICTLY PRIOR touch within the window, else 'direct'."""
+    out, tt, tus = [], None, -1
+    for r in rows:
+        us, _eid, et, val = r
+        if et == CONV:
+            if tus >= 0 and us - tus <= WINDOW_S * 1_000_000:
+                out.append((tt, val))
+            else:
+                out.append(("direct", val))
+        if et in TOUCH:
+            tt, tus = et, us
+    return out
+
+
+def _ref_transitions(rows):
+    """Batch-twin semantics: one (prev, next) step per consecutive
+    pair within the gap, in (us, event_id) order."""
+    out, pt, pus = [], None, -1
+    for us, _eid, et in rows:
+        if pus >= 0 and us - pus <= GAP_S * 1_000_000:
+            out.append((pt, et))
+        pt, pus = et, us
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(_events(with_value=True), _SPLITS)
+def test_attribution_kernel_matches_batch_reference(events, splits):
+    rows = [
+        (us, eid, et, float(v))
+        for eid, (us, et, v) in enumerate(events)
+    ]
+    emitted, survivors = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert emitted == _ref_attribution(survivors)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_events(with_value=False), _SPLITS)
+def test_transition_kernel_matches_batch_reference(events, splits):
+    rows = [(us, eid, et) for eid, (us, et) in enumerate(events)]
+    emitted, survivors = _drive(
+        transition_fn(GAP_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type"],
+    )
+    assert emitted == _ref_transitions(survivors)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_events(with_value=True))
+def test_attribution_single_batch_equals_split_batches(events):
+    """Batch-split invariance on an event-time-sorted stream: chunking
+    a sorted stream never changes the emission (no row is late, state
+    carry is exact)."""
+    rows = sorted(
+        (us, eid, et, float(v))
+        for eid, (us, et, v) in enumerate(events)
+    )
+    one, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S), [rows] if rows else [],
+        ["tus", "event_id", "event_type", "value"],
+    )
+    per_row, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S),
+        [[r] for r in rows],
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert one == per_row
+
+
+def test_late_row_neither_emits_nor_updates_state():
+    """A row below the watermark is invisible: no credit, no touch
+    update — the F6/W4 contract."""
+    batches = [
+        [(20_000_000, 0, "click", 1.0)],
+        # arrives late (wm = 20s): would otherwise retake the touch
+        [(5_000_000, 1, "view", 1.0),
+         (25_000_000, 2, "purchase", 7.0)],
+    ]
+    emitted, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S), batches,
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert emitted == [("click", 7.0)]
