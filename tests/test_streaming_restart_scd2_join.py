@@ -1,0 +1,132 @@
+"""Restart-recovery goldens for the two streaming shapes still
+without mid-stream-kill coverage after rounds 6-8: the SCD-2 keyed
+state machine WITH its event-time timer (``state.scd2_stream`` —
+restart must recover the four-field run state AND the registered
+flush timer) and the stream-stream OUTER interval join
+(``pipeline.interval_pairs_stream`` — restart must recover the
+engine-managed join buffers so a pre-kill unmatched row still
+null-emits, and a pre-kill matched pair does not re-emit). Pattern
+follows test_streaming_restart_machines.py: stop between
+micro-batches, restart from the same checkpoint, parquet sink for the
+exactly-once emission view."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timedelta
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    interval_pairs_stream,
+    read_events_stream,
+)
+from biometric_stream_processing_spark.streaming.state import (
+    SCD2_FLUSH_AT_MS,
+    scd2_stream,
+)
+from tests.test_streaming import SCHEMA, _write_batches, tmpdir  # noqa: F401
+
+T0 = datetime(2024, 1, 1)
+SCD2_SCHEMA = "ts timestamp, event_id long, user_id long, event_type string"
+FLUSH_OFF_S = SCD2_FLUSH_AT_MS // 1000 + 10**6  # past the flush mark
+
+
+def _us(off: int) -> int:
+    return int((T0 + timedelta(seconds=off)).timestamp()) * 1_000_000
+
+
+def _phase(spark, indir, ckpt, outdir, build, schema):
+    src = read_events_stream(
+        spark, str(indir), schema, max_files_per_trigger=1
+    )
+    q = (
+        build(src).writeStream.outputMode("append").format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt)).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _scd2_write(spark, indir, rows):
+    data = [
+        (T0 + timedelta(seconds=off), eid, uid, kind)
+        for off, eid, uid, kind in rows
+    ]
+    spark.createDataFrame(data, SCD2_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(indir))
+
+
+def test_scd2_state_and_timer_survive_restart(spark, tmpdir):  # noqa: F811
+    """Two view events open a run before the kill. After restart, a
+    click must close that run with the PRE-restart n_events=2 and
+    valid_from (four-field state recovered), and the sentinel flush
+    must emit the open click run (the event-time timer registered
+    before the kill still fires after recovery)."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+
+    _scd2_write(spark, indir, [(0, 1, 1, "view"), (10, 2, 1, "view")])
+    _phase(spark, indir, ckpt, outdir, scd2_stream, SCD2_SCHEMA)
+    # the run is still open — nothing emitted before the kill
+    assert spark.read.parquet(str(outdir)).count() == 0
+
+    _scd2_write(spark, indir, [(20, 3, 1, "click")])
+    _scd2_write(spark, indir, [(FLUSH_OFF_S, -1, -1, "__sentinel__")])
+    _phase(spark, indir, ckpt, outdir, scd2_stream, SCD2_SCHEMA)
+
+    rows = sorted(
+        (r.user_id, r.run_id, r.state, r.valid_from_us,
+         r.valid_to_us, r.n_events)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id != -1
+    )
+    assert rows == [
+        (1, 1, "view", _us(0), _us(20), 2),    # pre-kill state folded
+        (1, 2, "click", _us(20), None, 1),     # timer flush post-kill
+    ]
+
+
+def test_outer_join_state_survives_restart(spark, tmpdir):  # noqa: F811
+    """A matched pair emits before the kill; an unmatched hr row is
+    held in the join buffer. After restart, watermark-advancing
+    sentinel batches must null-emit the HELD pre-kill row exactly once
+    (join state recovered), and the pre-kill matched pair must not
+    re-emit (exactly-once via the parquet sink metadata)."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+
+    def build(src):
+        return interval_pairs_stream(src, 5, how="left_outer")
+
+    # user 1: hr(2) matches bp(0) within ±5 s → emits in this phase.
+    # user 2: hr(10), no bp ever → held in join state across the kill.
+    _write_batches(spark, indir, [
+        [(0, "bp", 1, 85.0), (2, "hr", 1, 150.0), (10, "hr", 2, 160.0)],
+    ])
+    _phase(spark, indir, ckpt, outdir, build, SCHEMA)
+    pre = [
+        (r.user_id, r.bp_user)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id is not None and r.user_id >= 0
+    ]
+    assert pre == [(1, 1)]
+
+    # sentinels qualify on both sides but match nothing; the second
+    # batch triggers the eviction pass (watermarks advance at the END
+    # of the batch that read the sentinel — the engine's one-batch lag)
+    _write_batches(spark, indir, [
+        [(100, "hr", -1, 150.0), (100, "bp", -2, 85.0)],
+        [(101, "hr", -1, 150.0), (101, "bp", -2, 85.0)],
+    ])
+    _phase(spark, indir, ckpt, outdir, build, SCHEMA)
+
+    rows = sorted(
+        (r.user_id, r.bp_user, r.bp_ts is None)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id is not None and r.user_id >= 0
+    )
+    # matched pair exactly once; held row null-emitted exactly once
+    assert rows == [(1, 1, False), (2, None, True)]
