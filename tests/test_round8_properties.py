@@ -23,6 +23,7 @@ from hypothesis import strategies as st
 
 from biometric_stream_processing_spark.streaming.state import (
     attribution_fn,
+    scd2_fn,
     transition_fn,
 )
 
@@ -39,6 +40,8 @@ class FakeGroupState:
     def __init__(self) -> None:
         self._v: tuple | None = None
         self.wm_ms = 0
+        self.hasTimedOut = False
+        self.timeout_ms: int | None = None
 
     @property
     def exists(self) -> bool:
@@ -50,6 +53,12 @@ class FakeGroupState:
 
     def update(self, v) -> None:
         self._v = tuple(v)
+
+    def remove(self) -> None:
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms: int) -> None:
+        self.timeout_ms = ms
 
     def getCurrentWatermarkMs(self) -> int:
         return self.wm_ms
@@ -181,6 +190,60 @@ def test_attribution_single_batch_equals_split_batches(events):
         ["tus", "event_id", "event_type", "value"],
     )
     assert one == per_row
+
+
+def _ref_scd2(rows):
+    """Batch-twin semantics (gaps-and-islands SCD-2): one row per
+    maximal run of equal consecutive state in absorption order,
+    valid_to = the successor run's start (None for the final open
+    run), n_events = the run length."""
+    out, cur, frm, n, rid = [], None, 0, 0, 0
+    for us, _eid, et in rows:
+        if cur is None:
+            cur, frm, n, rid = et, us, 1, 1
+        elif et == cur:
+            n += 1
+        else:
+            out.append((1, rid, cur, frm, us, n))
+            cur, frm, n, rid = et, us, 1, rid + 1
+    if cur is not None:
+        out.append((1, rid, cur, frm, None, n))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(_events(with_value=False), _SPLITS)
+def test_scd2_kernel_matches_batch_reference(events, splits):
+    """The four-field SCD-2 state machine over arbitrary batch splits
+    + a final timer flush equals the single-pass gaps-and-islands
+    reference over the surviving rows — closed runs emit on successor
+    open, the open run on timeout, nothing twice."""
+    rows = [(us, eid, et) for eid, (us, et) in enumerate(events)]
+    fn = scd2_fn()
+    state = FakeGroupState()
+    emitted: list[tuple] = []
+    survivors: list[tuple] = []
+    seen_max = -1
+    for batch in _batches(rows, splits):
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        wm_us = state.wm_ms * 1000
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id", "event_type"])
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        survivors += sorted(
+            r for r in batch if wm_us == 0 or r[0] >= wm_us
+        )
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    if state.exists:  # the sentinel-driven flush
+        state.hasTimedOut = True
+        for out in fn((1,), iter([]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        assert not state.exists  # flush clears the key's state
+    fixed = [
+        (u, r, s, f, None if pd.isna(t) else int(t), n)
+        for u, r, s, f, t, n in emitted
+    ]
+    assert fixed == _ref_scd2(survivors)
 
 
 def test_late_row_neither_emits_nor_updates_state():
