@@ -560,3 +560,93 @@ def test_ewma_single_exchange_partition_batched(spark):
     assert "FlatMapGroupsInPandas" not in p
     assert "hashpartitioning(user_id" in p
     assert "+- Sort (" in p
+
+
+def test_attribution_single_user_exchange_no_join(spark):
+    """purchase_attribution: the full-data shuffle is the single
+    user_id exchange feeding the 1-PRECEDING frame; the only other
+    exchange is the per-channel rollup over the tiny per-conversion
+    relation. No self-join, no single-partition window."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.purchase_attribution(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 2, sh
+    assert "user_id" in sh[0]
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian",
+                   "SinglePartition"):
+        assert marker not in p, marker
+
+
+def test_transitions_full_data_shuffles_once_on_user(spark):
+    """session_transitions: the lag() rides ONE user_id exchange; the
+    two later exchanges carry only the |types|²-bounded transition
+    relation (count agg + denominator window). No joins, no
+    single-partition stage."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.session_transitions(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 3, sh
+    assert "user_id" in sh[0]
+    assert "prev_type" in sh[1] and "prev_type" in sh[2]
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian",
+                   "SinglePartition"):
+        assert marker not in p, marker
+
+
+def test_skew_profile_second_level_shuffles_reduced_relation(spark):
+    """event_skew_profile: only the (type, user) count relation
+    shuffles full data; the rank window and final rollup run over the
+    already-reduced relation keyed by event_type."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.event_skew_profile(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 2, sh
+    assert "event_type" in sh[0] and "user_id" in sh[0]
+    assert "event_type" in sh[1] and "user_id" not in sh[1]
+    assert "SinglePartition" not in p
+
+
+def test_ohlc_one_exchange_partial_agg_no_row_lists(spark):
+    """event_type_ohlc: ONE (type, bar) exchange with a partial
+    aggregate before it (min_by/max_by fold map-side like min/max);
+    no window operator, no per-bar collect_list."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+
+    p = _plan(timeseries_ops.event_type_ohlc(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 1, sh
+    assert "event_type" in sh[0]
+    for marker in ("WindowExec", "collect_list", "SinglePartition"):
+        assert marker not in p, marker
+
+
+def test_centroids_one_label_dim_exchange_no_vector_lists(spark):
+    """label_centroid_report: posexplode feeds ONE (label, dim) hash
+    aggregate — components fold map-side; no per-label vector list
+    ever materializes."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.label_centroid_report(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 1, sh
+    assert "label" in sh[0]
+    for marker in ("collect_list", "SinglePartition", "WindowExec"):
+        assert marker not in p, marker
+
+
+def test_passage_dedup_hash_then_doc_exchanges_only(spark):
+    """doc_passage_dedup: the first-occurrence window shuffles on
+    passage_hash (16-byte keys — passage text never rides an
+    exchange), the per-doc rollup on doc_id; nothing else, no
+    single-partition stage."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_passage_dedup(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 2, sh
+    assert "passage_hash" in sh[0]
+    assert "doc_id" in sh[1]
+    assert "SinglePartition" not in p
