@@ -153,6 +153,23 @@ SHOWCASE = [
      "product once; cosine and d2 derive row-locally, and the two "
      "metric rank windows plus the fused re-rank share a single "
      "query_id exchange — no second corpus pass, no union/groupBy."),
+    ("purchase_attribution",
+     "Last-touch attribution: the full-data shuffle is the SINGLE "
+     "user_id exchange feeding the two IGNORE-NULLS last() reads "
+     "over one 1-PRECEDING frame; the second exchange carries only "
+     "the per-conversion rows into the channel rollup — no "
+     "self-join, no per-conversion range scan."),
+    ("session_transitions",
+     "Journey-step mining: one lag() over the per-user (us, "
+     "event_id) order rides the same single user_id exchange; the "
+     "count aggregation and the denominator window run over the "
+     "|types|²-bounded transition relation, so the two later "
+     "exchanges are constant-size at any corpus scale."),
+    ("event_skew_profile",
+     "The skew diagnostic practices what it preaches: only the "
+     "(type, user) count relation shuffles full data; the exact "
+     "lower-rank percentile window and the final rollup run over "
+     "the already-reduced per-user counts keyed by event_type."),
 ]
 
 
