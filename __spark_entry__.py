@@ -116,7 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-7 queue registers for first verdicts, then the 3 entries
     # whose source/fingerprint changed this round (the corpus-LM
     # floor pins from the verdict's consolidated measurement pass),
-    # then 3 oldest-r6 fills that shrink the round-9 obligation.
+    # then streaming_funnel (its kernel's tie sort changed this round
+    # — the helper edit doesn't move the GATE_SOURCES fingerprint, so
+    # it is front-loaded by hand per the rotation policy) and 2
+    # oldest-r6 fills that shrink the round-9 obligation.
     # values_frame's conf set/restore rework (round-7 advice) is
     # conf-only (result-identical, unit-tested) and does not force
     # re-verification of its consumers — the same precedent as
@@ -166,19 +169,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their GATE_SOURCES fingerprints, so they re-verify here ---
         "doc_unigram_logprob", "doc_bigram_logprob",
         "doc_tfidf_keywords",
-        # --- fills: the 3 oldest r6-green entries (their round-9
-        # debt retires a round early, easing the round-9 prefix) ---
-        "embedding_kmeans_quality", "embedding_kmeans_cells",
+        # --- source-changed round 8 (late): funnel_fn's same-second
+        # tie sort became stage-ranked (view < click < purchase) to
+        # match the batch plan's inclusive conditional minima — a
+        # kernel/helper edit, front-loaded by hand ---
+        "streaming_funnel",
+        # --- fills: the 2 oldest r6-green entries (their round-9
+        # debt retires a round early, easing the round-9 prefix;
+        # embedding_kmeans_cells returned to the tail to make room
+        # for the funnel re-verification — its memo stays owned by
+        # embedding_kmeans_quality, so billing is unchanged) ---
+        "embedding_kmeans_quality",
         "decontaminated_train_docs",
     ]
     tail = [
         # ROUND-9 OBLIGATION (the K=3 schedule, debt-oldest-first):
         # when round 9 records, r6 falls out of the K=3 window — the
-        # 39 entries below (the r6-green block minus the 5 promoted
-        # into the round-8 front) plus user_value_ewma (green r7,
-        # listed here oldest-first among the r7 block) must fill the
-        # round-9 prefix, alongside first verdicts for anything the
-        # round-8 queue holds and any round-9 source-changed entries.
+        # 39 entries below (the r6-green block minus the entries
+        # promoted into the round-8 front; embedding_kmeans_cells
+        # rejoined it when streaming_funnel took its front slot) plus
+        # user_value_ewma (green r7, listed here oldest-first among
+        # the r7 block) must fill the round-9 prefix, alongside first
+        # verdicts for anything the round-8 queue holds and any
+        # round-9 source-changed entries.
         # Relative order preserved from r6 so tail memo billing stays
         # comparable.
         #
@@ -203,7 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_stats", "dup_graph_pagerank",
         "dup_graph_bfs_depths", "ivf_recall_report",
         "streaming_approx_users", "streaming_native_dedup",
-        "streaming_funnel", "streaming_anomalies",
+        "embedding_kmeans_cells", "streaming_anomalies",
         "streaming_state_history",
         # user_value_ewma: green r7 (kernel-rework re-verification),
         # scheduled at the head of the round-9 fills

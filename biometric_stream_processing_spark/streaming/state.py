@@ -274,7 +274,19 @@ def funnel_fn():
     likewise the purchase. A deployment wanting late-regression
     repair would trade this for O(history) retained events; that
     trade (state vs exactness under disorder) is the documented
-    contract, same as the reference's updateStateByKey machine."""
+    contract, same as the reference's updateStateByKey machine.
+
+    SAME-SECOND TIES sort by funnel-stage rank (view < click <
+    purchase), NOT lexically: the batch plan's ``es >= v_es`` is
+    INCLUSIVE, so a click sharing the first view's second qualifies —
+    a lexical sort would absorb that click before the view and skip
+    it (found by the round-8 direct-kernel hypothesis suite). With
+    the rank sort the greedy pass equals the chained conditional
+    minima exactly: every candidate with es > anchor sorts after the
+    anchor by time, and every candidate with es == anchor sorts after
+    it by rank."""
+
+    rank = {"view": 0, "click": 1, "purchase": 2}
 
     def fn(
         key: tuple[Any, ...],
@@ -284,15 +296,16 @@ def funnel_fn():
         v, c, p = state.get if state.exists else (-1, -1, -1)
 
         wm_s = state.getCurrentWatermarkMs() // 1000
-        rows: list[tuple[int, str]] = []
+        rows: list[tuple[int, int, str]] = []
         for pdf in pdfs:
             for es, et in zip(pdf["es"], pdf["event_type"]):
                 if wm_s > 0 and es < wm_s:
                     continue  # late (F6/W4)
-                rows.append((int(es), str(et)))
+                et = str(et)
+                rows.append((int(es), rank.get(et, 3), et))
         rows.sort()
 
-        for es, et in rows:
+        for es, _rk, et in rows:
             if et == "view" and v < 0:
                 v = es
             elif et == "click" and c < 0 and v >= 0 and es >= v:

@@ -23,8 +23,10 @@ from hypothesis import strategies as st
 
 from biometric_stream_processing_spark.streaming.state import (
     attribution_fn,
+    funnel_fn,
     scd2_fn,
     transition_fn,
+    zscore_fn,
 )
 
 TOUCH = ("view", "click")
@@ -244,6 +246,111 @@ def test_scd2_kernel_matches_batch_reference(events, splits):
         for u, r, s, f, t, n in emitted
     ]
     assert fixed == _ref_scd2(survivors)
+
+
+def _ref_zscore(rows, min_prior):
+    """Batch-twin semantics: each reading scored against the
+    strictly-prior (count, sum, sum-of-squares) — the ROWS .. 1
+    PRECEDING frame — in (us, event_id) order."""
+    import math
+
+    out, n, s, s2 = [], 0, 0, 0
+    for us, eid, cents in rows:
+        z = None
+        if n >= min_prior:
+            var = (s2 - s * s / n) / (n - 1)
+            if var > 0:
+                z = (cents - s / n) / math.sqrt(var)
+        out.append((eid, 1, us, n, z))
+        n, s, s2 = n + 1, s + cents, s2 + cents * cents
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_US, st.integers(-500, 500)), max_size=40),
+    _SPLITS,
+)
+def test_zscore_kernel_matches_batch_reference(readings, splits):
+    """Integer (n, Σ, Σ²) state makes batch-split invariance EXACT —
+    the z emitted for any row depends only on the absorbed-prefix
+    integers, so arbitrary splits reproduce the single-pass floats
+    bit-for-bit."""
+    rows = [
+        (us, eid, cents) for eid, (us, cents) in enumerate(readings)
+    ]
+    emitted, survivors = _drive(
+        zscore_fn(3), _batches(rows, splits),
+        ["tus", "event_id", "cents"],
+    )
+    fixed = [
+        (int(e), int(u), int(us), int(n),
+         None if pd.isna(z) else float(z))
+        for e, u, us, n, z in emitted
+    ]
+    assert fixed == _ref_zscore(survivors, 3)
+
+
+def _ref_funnel(rows):
+    """Batch-twin semantics, stated as the SQL states them — pure
+    chained conditional minima (order-free, INCLUSIVE bounds):
+    v = min view es; c = min click es >= v; p = min purchase es >= c.
+    This is deliberately NOT a sequential pass, so it would catch an
+    absorption-order bug in the kernel (and did: the pre-round-8
+    lexical tie sort skipped a click sharing the first view's
+    second)."""
+    views = [es for es, et in rows if et == "view"]
+    if not views:
+        return None
+    v = min(views)
+    clicks = [es for es, et in rows if et == "click" and es >= v]
+    c = min(clicks) if clicks else None
+    p = None
+    if c is not None:
+        purchases = [
+            es for es, et in rows if et == "purchase" and es >= c
+        ]
+        p = min(purchases) if purchases else None
+    return (1, v, c, p, 1 + (c is not None) + (p is not None))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50),
+                  st.sampled_from(("view", "click", "purchase"))),
+        max_size=30,
+    ),
+    _SPLITS,
+)
+def test_funnel_kernel_final_snapshot_matches_batch(events, splits):
+    """The three-longs funnel state over arbitrary batch splits: the
+    LAST emitted snapshot equals the single-pass conditional-minima
+    result over the surviving rows, and per-batch snapshots are
+    monotone in stage (progress never regresses)."""
+    rows = list(dict.fromkeys(events))  # funnel rows have no event_id
+    state = FakeGroupState()
+    fn = funnel_fn()
+    snaps: list[tuple] = []
+    survivors: list[tuple] = []
+    seen_max = -1
+    for batch in _batches(rows, splits):
+        state.wm_ms = 0 if seen_max < 0 else (seen_max // 1) * 1000
+        wm_s = state.wm_ms // 1000
+        pdf = pd.DataFrame(batch, columns=["es", "event_type"])
+        for out in fn((1,), iter([pdf]), state):
+            snaps += [tuple(r) for r in out.itertuples(index=False)]
+        survivors += [r for r in batch if wm_s == 0 or r[0] >= wm_s]
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    fixed = [
+        (int(u), int(v),
+         None if pd.isna(c) else int(c),
+         None if pd.isna(p) else int(p), int(st_))
+        for u, v, c, p, st_ in snaps
+    ]
+    assert (fixed[-1] if fixed else None) == _ref_funnel(survivors)
+    stages = [s[-1] for s in fixed]
+    assert stages == sorted(stages)  # progress is monotone
 
 
 def test_late_row_neither_emits_nor_updates_state():

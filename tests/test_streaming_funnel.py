@@ -96,3 +96,15 @@ def test_late_regression_dropped_by_watermark(spark, tmpdir):  # noqa: F811
     ])
     # batch 2 still re-emits the (unchanged) state for the touched key
     assert set(rows) == {(4, _es(50), _es(60), None, 2)}
+
+
+def test_same_second_click_qualifies_inclusive(spark, tmpdir):  # noqa: F811
+    """A click sharing the first view's SECOND qualifies — the batch
+    plan's `es >= v_es` is inclusive, and the kernel's stage-rank tie
+    sort (view < click < purchase) absorbs the view first. Pinned
+    end-to-end after the round-8 hypothesis suite caught the lexical
+    sort skipping this click."""
+    rows = _run(spark, tmpdir, [
+        [(5, 9, "click"), (5, 9, "view"), (5, 9, "purchase")],
+    ])
+    assert rows == [(9, _es(5), _es(5), _es(5), 3)]
