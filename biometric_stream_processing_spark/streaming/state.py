@@ -220,8 +220,11 @@ def absence_stream(
     timers expiring unresolved triggers. ``keep_pred`` lets a
     watermark-advancing sentinel row survive the input filter (the
     plan pushes filters below the watermark node, so a filtered-out
-    sentinel would never advance the clock); such rows are neither
-    trigger nor resolver and contribute only their event time."""
+    sentinel would never advance the clock). Precisely: a kept
+    non-trigger row is CLASSIFIED AS A RESOLVER for its own key — a
+    sentinel must therefore use a reserved key no real row shares
+    (``pipeline.SENTINEL_USER_ID``), where that classification is
+    inert; its effect on real keys is only the watermark advance."""
     from pyspark.sql import functions as F
 
     is_trig = F.col("event_type") == trigger_type
@@ -284,7 +287,18 @@ def funnel_fn():
     the rank sort the greedy pass equals the chained conditional
     minima exactly: every candidate with es > anchor sorts after the
     anchor by time, and every candidate with es == anchor sorts after
-    it by rank."""
+    it by rank.
+
+    The rank sort repairs ties WITHIN a batch; ACROSS batches the
+    second-granularity watermark still admits one boundary case the
+    three-longs state deliberately does not repair: a candidate
+    arriving a batch EARLIER than the anchor it would tie (click in
+    batch N, view at the same second in batch N+1) is gone by the
+    time the anchor lands. That is the same state-vs-disorder trade
+    as the late-regression contract above; the exactness guarantee
+    is for event-time-monotonic arrival (the oracled single-batch
+    source is its degenerate case), property-tested both ways in
+    test_round8_properties.py."""
 
     rank = {"view": 0, "click": 1, "purchase": 2}
 

