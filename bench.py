@@ -123,7 +123,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MEMO_OWNERS = {
     # Round-8 registration puts the r5-green obligation block FIRST
     # (positions 1-34), then the round-7 queue (35-44), then the
-    # corpus-LM re-pins (45-47) and three r6-green fills (48-50) —
+    # corpus-LM re-pins (45-47), streaming_funnel (48 — its kernel's
+    # tie sort changed in round 8) and two r6-green fills (49-50;
+    # embedding_kmeans_cells returned to the tail, its kmeans-map
+    # memo still owned by embedding_kmeans_quality in front) —
     # so the corpus-chain and winnow bills move to the obligation
     # block's early entries and the doc-term-matrix/unigram bills to
     # the queue's perplexity report. Each shift below is a billing
