@@ -258,26 +258,27 @@ def absence_stream(
 FUNNEL_OUTPUT_SCHEMA = (
     "user_id long, v_es long, c_es long, p_es long, stage int"
 )
-FUNNEL_STATE_SCHEMA = "v long, c long, p long"
+FUNNEL_STATE_SCHEMA = "v long, c long, p long, hc long, hp long"
 
 
 def funnel_fn():
     """Per-key stateful function for ``funnel_stream``: the
-    view→click→purchase ordered-sequence machine with THREE LONGS of
+    view→click→purchase ordered-sequence machine with FIVE LONGS of
     state per user — the O(1)-state streaming form of the batch
     chained-conditional-minima funnel
     (``plans/events_ops.funnel_view_click_purchase``).
 
-    Why O(1) state is exact here: with watermark delay 0 the engine's
-    late-data contract (F6/W4, enforced below like the throttle)
-    guarantees no admissible event precedes anything already absorbed
-    across batches, and within a batch the processor sorts — so the
-    first view encountered IS the global earliest view, the first
-    click at-or-after it IS the batch plan's conditional minimum, and
-    likewise the purchase. A deployment wanting late-regression
-    repair would trade this for O(history) retained events; that
-    trade (state vs exactness under disorder) is the documented
-    contract, same as the reference's updateStateByKey machine.
+    Why O(1) state is exact for EVENT-TIME-MONOTONIC arrival: with
+    watermark delay 0 the engine's late-data contract (F6/W4,
+    enforced below like the throttle) guarantees no admissible event
+    precedes anything already absorbed across batches, and within a
+    batch the processor sorts — so the first view encountered IS the
+    global earliest view, the first click at-or-after it IS the batch
+    plan's conditional minimum, and likewise the purchase. A
+    deployment wanting late-regression repair under genuine disorder
+    would trade this for O(history) retained events; that trade
+    (state vs exactness under disorder) is the documented contract,
+    same as the reference's updateStateByKey machine.
 
     SAME-SECOND TIES sort by funnel-stage rank (view < click <
     purchase), NOT lexically: the batch plan's ``es >= v_es`` is
@@ -289,15 +290,22 @@ def funnel_fn():
     anchor by time, and every candidate with es == anchor sorts after
     it by rank.
 
-    The rank sort repairs ties WITHIN a batch; ACROSS batches the
-    second-granularity watermark still admits one boundary case the
-    three-longs state deliberately does not repair: a candidate
-    arriving a batch EARLIER than the anchor it would tie (click in
-    batch N, view at the same second in batch N+1) is gone by the
-    time the anchor lands. That is the same state-vs-disorder trade
-    as the late-regression contract above; the exactness guarantee
-    is for event-time-monotonic arrival (the oracled single-batch
-    source is its degenerate case), property-tested both ways in
+    The rank sort repairs ties WITHIN a batch; ties that STRADDLE a
+    batch boundary stage-inverted (click in batch N, view at the same
+    second in batch N+1 — still time-monotonic arrival!) are repaired
+    by two extra longs, ``hc``/``hp`` = the max click/purchase second
+    seen so far: under monotonic arrival every candidate that arrived
+    before its anchor has es ≤ anchor, so the ONLY repairable case is
+    es == anchor — detectable as ``hc == v`` (``hp == c``) at
+    anchor-landing time, and the repaired value equals the batch
+    plan's conditional minimum exactly (found by the round-9
+    hypothesis run — the round-8 suite's sort happened to emit this
+    arrival order). Under genuine disorder the repair never
+    overshoots the order-free reference: the tying candidate passed
+    the same late-filter the reference's survivor set uses, so the
+    reference grants the same anchor. Exactness guarantee:
+    event-time-monotonic arrival, full stop (the oracled single-batch
+    source is its degenerate case); property-tested both ways in
     test_round8_properties.py."""
 
     rank = {"view": 0, "click": 1, "purchase": 2}
@@ -307,7 +315,9 @@ def funnel_fn():
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        v, c, p = state.get if state.exists else (-1, -1, -1)
+        v, c, p, hc, hp = (
+            state.get if state.exists else (-1, -1, -1, -1, -1)
+        )
 
         wm_s = state.getCurrentWatermarkMs() // 1000
         rows: list[tuple[int, int, str]] = []
@@ -320,14 +330,25 @@ def funnel_fn():
         rows.sort()
 
         for es, _rk, et in rows:
-            if et == "view" and v < 0:
-                v = es
-            elif et == "click" and c < 0 and v >= 0 and es >= v:
-                c = es
-            elif et == "purchase" and p < 0 and c >= 0 and es >= c:
-                p = es
+            if et == "view":
+                if v < 0:
+                    v = es
+                    if c < 0 and hc == v:
+                        c = v  # stage-inverted same-second straddle
+                        if p < 0 and hp == c:
+                            p = c
+            elif et == "click":
+                hc = max(hc, es)
+                if c < 0 and v >= 0 and es >= v:
+                    c = es
+                    if p < 0 and hp == c:
+                        p = c
+            elif et == "purchase":
+                hp = max(hp, es)
+                if p < 0 and c >= 0 and es >= c:
+                    p = es
 
-        state.update((v, c, p))
+        state.update((v, c, p, hc, hp))
         out = []
         if v >= 0:
             stage = 1 + (c >= 0) + (p >= 0)
