@@ -339,3 +339,101 @@ def similar_pairs_blocked(
         .where(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+def int_quantize(col: Column, scale: int, clamp: int | None = None) -> Column:
+    """Per-dimension scalar quantization to BIGINT:
+    ``floor(double(x) · scale)``, optionally clamped to ±``clamp``
+    (int8 deployment uses clamp=127). With ``scale`` a power of two
+    the multiply is an exponent shift — exact for every float32
+    input (subnormals included) — and floor is exact on any double,
+    so the quantized vector is bit-identical in any IEEE engine: the
+    whole downstream ranking lives in integer arithmetic with no
+    cross-engine ulp surface."""
+    def q(x: Column) -> Column:
+        v = F.floor(x.cast("double") * F.lit(float(scale)))
+        if clamp is not None:
+            v = F.greatest(
+                F.lit(-clamp).cast("long"),
+                F.least(F.lit(clamp).cast("long"), v),
+            )
+        return v
+    return F.transform(col, q)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product over two BIGINT arrays — one
+    ``zip_with`` + fold, same single-pass shape as ``dot_fold`` but
+    order-independent by construction (integer addition), so no
+    left-association contract is even needed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    scale: int,
+    clamp: int,
+    ref_scale: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SCALAR-QUANTIZATION RECALL REPORT — the acceptance test a
+    vector index runs before switching its corpus to int8 (4× memory,
+    SIMD integer dot): per query, recall@k of the top-k under the
+    coarse quantization (``scale``/``clamp`` — int8 at scale 64)
+    against the top-k under a fine fixed-point reference
+    (``ref_scale`` — 2²⁰ resolves float32 embeddings well past their
+    own precision on [-1, 1] inputs). Both rankings rank by integer
+    inner product with (dot DESC, neighbor_id) tiebreak, self
+    excluded — a neighbor is a hit when its row carries both ranks
+    ≤ k, so recall needs NO set intersection: one conditional sum
+    over the pair relation.
+
+    Plan: vectors quantize ONCE per row (two BIGINT arrays) before
+    the broadcast join; per pair only the two integer folds run. Both
+    row_number windows share one (query_id) exchange. Brute force is
+    O(Q·N) — the declared exact-demo shape (cosine_topk's contract);
+    the int8 payoff is per-pair cost and corpus memory, and at large
+    Q the same quantized arrays drop into the IVF/LSH bucketed
+    paths."""
+    quant = lambda df, prefix: df.select(  # noqa: E731
+        F.col(id_col).alias(f"{prefix}_id"),
+        int_quantize(F.col(vec_col), scale, clamp).alias(f"_{prefix}8"),
+        int_quantize(F.col(vec_col), ref_scale).alias(f"_{prefix}r"),
+    )
+    q = F.broadcast(quant(queries, "query"))
+    c = _spread(quant(corpus, "neighbor"))
+    pairs = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot(F.col("_query8"), F.col("_neighbor8")).alias("_d8"),
+            int_dot(F.col("_queryr"), F.col("_neighborr")).alias("_dr"),
+        )
+    )
+    w8 = W.partitionBy("query_id").orderBy(
+        F.col("_d8").desc(), F.col("neighbor_id")
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("_dr").desc(), F.col("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(w8).alias("_r8"),
+        F.row_number().over(wr).alias("_rr"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum(
+            ((F.col("_r8") <= k) & (F.col("_rr") <= k)).cast("long")
+        ).alias("n_hit"),
+    ).select(
+        "query_id", "k", "n_hit",
+        F.round(F.col("n_hit").cast("double") / k, 6).alias("recall_at_k"),
+    )

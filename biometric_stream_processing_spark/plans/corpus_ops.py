@@ -265,6 +265,117 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup_stats(passages(_docs(spark, sf_dir)))
 
 
+#: Words per gram in the duplicated-span extractor. 5 keeps the gram
+#: relation |words|-sized while making single-word coincidences
+#: invisible; production ExactSubstr uses ~50 BPE tokens — the knob,
+#: not the shape.
+DUP_SPAN_K = 5
+
+
+def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """EXACT-SUBSTRING DUPLICATED-SPAN EXTRACTION — the suffix-array
+    dedup step of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally: a word
+    ``k``-gram occurring in ≥2 DISTINCT documents marks its positions
+    duplicated; runs of consecutive duplicated positions merge into
+    maximal islands (gaps-and-islands); island coverage intervals
+    [start, end+k-1] — which overlap or touch whenever two islands
+    sit ``k`` or fewer words apart — union via a running-max interval
+    merge, so a reported span is a MAXIMAL CONTIGUOUS run of
+    duplicated words and the duplicated-word mass is exact, never
+    double-counted. Per affected
+    doc: span count, longest span, duplicated words, and the
+    duplicated fraction — the numbers that decide whether to cut
+    spans (Lee et al.'s choice) or drop whole documents. Docs with no
+    cross-doc duplicated gram produce no row (within-doc repetition
+    is ``doc_repetition_stats``' job).
+
+    Scale (the suffix array is the single-node formulation; this is
+    the distributed one): the gram relation is |words|-sized and
+    shuffles ONCE on the 16-byte gram hash — grams themselves never
+    ride an exchange after the hash projection; the duplicated-key
+    set comes from a partial-agg count-distinct over that same
+    partitioning, and the flag-back is a semi join on the SAME key
+    (no second full shuffle of the gram relation under AQE exchange
+    reuse). Everything after is per-doc: one narrow (doc, pos)
+    exchange, then islands / interval-merge windows whose partitions
+    are single documents — bounded by doc length, never corpus size.
+    All-integer until the final 6-dp exact quotient, so the hash
+    oracle is engine-portable by construction."""
+    ws = words(F.col("text"))
+    grams = df.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        shingles(ws, k).alias("_gs"),
+    ).select(
+        "doc_id", "n_words",
+        F.posexplode("_gs").alias("pos", "_gram"),
+    ).select(
+        "doc_id", "n_words", (F.col("pos") + 1).alias("pos"),
+        F.md5("_gram").alias("_gh"),
+    )
+    dup_keys = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_gh")
+    )
+    flagged = grams.join(dup_keys, "_gh", "left_semi")
+
+    # maximal runs of consecutive duplicated gram positions
+    w_pos = W.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w_pos)
+    )
+    spans = islands.groupBy("doc_id", "n_words", "_isl").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + (k - 1)).alias("_e"),
+    )
+
+    # interval union: islands ≤ k words apart overlap or touch in
+    # word coverage; chain-merge on start ≤ running max end + 1, so a
+    # span is a MAXIMAL CONTIGUOUS run of duplicated words
+    w_span = W.partitionBy("doc_id").orderBy("_s")
+    prev_max_e = F.max("_e").over(
+        w_span.rowsBetween(W.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn(
+            "_new",
+            (F.col("_s") > F.coalesce(prev_max_e, F.lit(-2)) + 1)
+            .cast("long"),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                w_span.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "n_words", "_grp")
+        .agg(
+            F.min("_s").alias("_ms"),
+            F.max("_e").alias("_me"),
+        )
+    )
+    span_words = F.col("_me") - F.col("_ms") + 1
+    return merged.groupBy("doc_id", "n_words").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.max(span_words).alias("longest_span_words"),
+        F.sum(span_words).alias("dup_words"),
+    ).select(
+        "doc_id", "n_words", "n_dup_spans", "longest_span_words",
+        "dup_words",
+        F.round(
+            F.col("dup_words").cast("double") / F.col("n_words"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-9 QUEUE (registers round 10)."""
+    return duplicate_spans(_docs(spark, sf_dir))
+
+
 def unigram_logprob(df: DataFrame | None = None,
                     tf: DataFrame | None = None) -> DataFrame:
     """Unigram-LM quality scoring (the CCNet-style perplexity filter,
@@ -931,6 +1042,60 @@ ORACLE["doc_passage_dedup"] = f"""
     FROM f GROUP BY doc_id
 """
 
+# ROUND-9 QUEUE (registers round 10): the duplicated-span pipeline
+# verbatim — positional k-grams → cross-doc duplicated keys → islands
+# → interval union; all integers until the final exact quotient.
+ORACLE["doc_duplicate_spans"] = f"""
+    WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, len(ws) AS n_words,
+             unnest(list_transform(
+               range(1, len(ws) - {DUP_SPAN_K} + 2),
+               i -> {{'pos': i,
+                      'gh': md5(array_to_string(
+                              ws[i:i+{DUP_SPAN_K}-1], ' '))}})) AS p
+      FROM d WHERE len(ws) >= {DUP_SPAN_K}
+    ), pos AS (
+      SELECT doc_id, n_words, p.pos AS pos, p.gh AS gh FROM g
+    ), dup AS (
+      SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ), fl AS (
+      SELECT doc_id, n_words, pos FROM pos JOIN dup USING (gh)
+    ), isl AS (
+      SELECT doc_id, n_words, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+      FROM fl
+    ), spans AS (
+      SELECT doc_id, n_words, min(pos) AS s,
+             max(pos) + {DUP_SPAN_K} - 1 AS e
+      FROM isl GROUP BY doc_id, n_words, island
+    ), marked AS (
+      SELECT doc_id, n_words, s, e,
+             CASE WHEN s > coalesce(
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM spans
+    ), grouped AS (
+      SELECT doc_id, n_words, s, e,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS grp
+      FROM marked
+    ), m AS (
+      SELECT doc_id, n_words, min(s) AS ms, max(e) AS me
+      FROM grouped GROUP BY doc_id, n_words, grp
+    )
+    SELECT doc_id, n_words,
+           count(*)::BIGINT AS n_dup_spans,
+           max(me - ms + 1)::BIGINT AS longest_span_words,
+           sum(me - ms + 1)::BIGINT AS dup_words,
+           round(sum(me - ms + 1)::DOUBLE / n_words, 6) AS dup_frac
+    FROM m GROUP BY doc_id, n_words
+"""
+
 QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "doc_repetition_stats": doc_repetition_stats,
@@ -946,4 +1111,7 @@ QUERIES = {
     # round-7 queue, registered round 8
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_passage_dedup": doc_passage_dedup,
+    # doc_duplicate_spans is ROUND-9 QUEUED (__spark_entry__
+    # .queued_queries references it directly); it joins this dict
+    # when the round-10 registration promotes it into the prefix
 }

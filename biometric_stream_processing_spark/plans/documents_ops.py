@@ -2451,6 +2451,77 @@ ORACLE["label_centroid_report"] = """
     GROUP BY 1, 2
 """
 
+#: int8 deployment quantization: floor(x·64) clamped to ±127 — the
+#: 4×-memory / SIMD-integer-dot scale path for the embedding corpus
+Q8_SCALE = 64
+Q8_CLAMP = 127
+#: fine fixed-point reference ranking: floor(x·2^20) — resolves
+#: float32 components past their own precision on [-1, 1] inputs,
+#: while keeping the whole recall report in exact integer arithmetic
+Q8_REF_SCALE = 1 << 20
+Q8_K = 10
+
+
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-QUANTIZATION RECALL REPORT (``operators/similarity.
+    quantized_recall``): per query (vec_id % QUERY_MOD), recall@10 of
+    the int8 inner-product top-k against a 2²⁰ fixed-point reference
+    ranking — the acceptance gate before flipping a vector index to
+    int8 storage. Power-of-two scales make every quantized component
+    exact in any IEEE engine, so the ENTIRE report — ranking,
+    tiebreak, hit count — is integer arithmetic: no ulp tolerance,
+    no rounding contract, just equal BIGINTs. ROUND-9 QUEUE
+    (registers round 10)."""
+    e = _emb(spark, sf_dir)
+    from ..operators.similarity import quantized_recall
+
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0)
+    return quantized_recall(
+        q, e, k=Q8_K, scale=Q8_SCALE, clamp=Q8_CLAMP,
+        ref_scale=Q8_REF_SCALE,
+    )
+
+
+_Q8_SQL = (
+    f"CAST(greatest(-{Q8_CLAMP}, least({Q8_CLAMP}, "
+    f"floor(CAST(x AS DOUBLE) * {Q8_SCALE}))) AS BIGINT)"
+)
+_QR_SQL = f"CAST(floor(CAST(x AS DOUBLE) * {Q8_REF_SCALE}) AS BIGINT)"
+
+# ROUND-9 QUEUE (registers round 10): quantize once per vector in a
+# CTE, two integer list dots per pair, same dual-rank + conditional
+# sum as the Spark plan — all integers until the final exact quotient.
+ORACLE["embedding_int8_recall"] = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_Q8_SQL}) AS v8,
+             list_transform(embedding, x -> {_QR_SQL}) AS vr
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.v8) + 1),
+                  i -> a.v8[i] * b.v8[i])) AS BIGINT) AS d8,
+             CAST(list_sum(list_transform(range(1, len(a.vr) + 1),
+                  i -> a.vr[i] * b.vr[i])) AS BIGINT) AS dr
+      FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % {QUERY_MOD} = 0
+    ), ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d8 DESC, neighbor_id) AS r8,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dr DESC, neighbor_id) AS rr
+      FROM pairs
+    )
+    SELECT query_id, CAST({Q8_K} AS BIGINT) AS k,
+           sum(CASE WHEN r8 <= {Q8_K} AND rr <= {Q8_K}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN r8 <= {Q8_K} AND rr <= {Q8_K}
+                          THEN 1 ELSE 0 END)::DOUBLE / {Q8_K}, 6)
+             AS recall_at_k
+    FROM ranked GROUP BY query_id
+"""
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_lang_quality": doc_lang_quality,

@@ -1,0 +1,265 @@
+"""Round-9 gate-queue operators: duplicated-span extraction
+(``corpus_ops.duplicate_spans``) and the int8-quantization recall
+report (``similarity.quantized_recall``). Unit tests pin the edge
+semantics the sf0.01 oracle corpus may not exercise (adjacent-span
+merge, clamp saturation, quantization-collapsed rankings); the
+hypothesis test checks the whole span pipeline against an independent
+set-based reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biometric_stream_processing_spark.plans.corpus_ops import (
+    DUP_SPAN_K,
+    duplicate_spans,
+)
+from biometric_stream_processing_spark.operators.similarity import (
+    int_dot,
+    int_quantize,
+    quantized_recall,
+)
+
+
+def _docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _spans_map(spark, texts, k=DUP_SPAN_K):
+    rows = duplicate_spans(_docs_df(spark, texts), k).collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def _w(n, tag=""):
+    """n distinct filler words unique to ``tag``."""
+    return " ".join(f"{tag}f{i}" for i in range(n))
+
+
+def test_shared_phrase_marks_both_docs(spark):
+    phrase = "alpha beta gamma delta epsilon zeta"  # 6 words, k=5 → 2 grams
+    out = _spans_map(spark, [f"{_w(6, 'a')} {phrase}",
+                             f"{phrase} {_w(6, 'b')}"])
+    assert set(out) == {0, 1}
+    for d in (0, 1):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_words"] == 6
+        assert out[d]["longest_span_words"] == 6
+        assert out[d]["n_words"] == 12
+        assert out[d]["dup_frac"] == 0.5
+
+
+def test_within_doc_repetition_is_not_flagged(spark):
+    phrase = "alpha beta gamma delta epsilon"
+    out = _spans_map(spark, [f"{phrase} {_w(3, 'a')} {phrase}",
+                             _w(10, "b")])
+    assert out == {}
+
+
+def test_short_docs_produce_no_row(spark):
+    out = _spans_map(spark, ["alpha beta", "alpha beta"])
+    assert out == {}
+
+
+def test_adjacent_coverage_merges_into_one_span(spark):
+    """Separated islands stay separate spans; JUXTAPOSED shared
+    phrases (both duplicated, their juxtaposition unique to one doc,
+    so the straddling grams form a gap between islands) produce
+    coverage intervals that exactly touch — and must merge into one
+    maximal contiguous duplicated-word run."""
+    k = DUP_SPAN_K
+    p1 = "alpha beta gamma delta epsilon"   # k words
+    p2 = "omega psi chi phi upsilon"        # k words
+    # far apart (k unique words between): two spans of k words each
+    out = _spans_map(
+        spark, [f"{p1} {_w(k, 'a')} {p2}", f"{p1} {_w(k, 'b')} {p2}"]
+    )
+    assert out[0]["n_dup_spans"] == 2
+    assert out[0]["dup_words"] == 2 * k
+    assert out[0]["longest_span_words"] == k
+    # juxtaposed in doc 0 only: doc 0's islands are the p1 gram and
+    # the p2 gram (straddling grams unique to doc 0), with coverage
+    # [1, k] and [k+1, 2k] — touching, not overlapping → ONE span
+    out2 = _spans_map(
+        spark, [f"{p1} {p2}", f"{p2} {_w(3, 'y')} {p1}"]
+    )
+    assert out2[0]["n_dup_spans"] == 1
+    assert out2[0]["dup_words"] == 2 * k
+    assert out2[0]["dup_frac"] == 1.0  # fully covered
+    # the reversed doc keeps its two separated spans
+    assert out2[1]["n_dup_spans"] == 2
+    assert out2[1]["dup_words"] == 2 * k
+
+
+def _ref_spans(texts: list[str], k: int):
+    """Independent set-based reference: duplicated word positions =
+    union over cross-doc-duplicated gram starts p of [p, p+k-1];
+    spans = maximal contiguous runs of that set."""
+    docs = [t.split() for t in texts]
+    grams: dict[str, set[int]] = {}
+    for d, ws in enumerate(docs):
+        for p in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(ws[p:p + k]), set()).add(d)
+    out = {}
+    for d, ws in enumerate(docs):
+        covered: set[int] = set()
+        for p in range(len(ws) - k + 1):
+            if len(grams[" ".join(ws[p:p + k])]) >= 2:
+                covered |= set(range(p, p + k))
+        if not covered:
+            continue
+        runs, cur = [], None
+        for i in sorted(covered):
+            if cur is not None and i == cur[1] + 1:
+                cur = (cur[0], i)
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = (i, i)
+        runs.append(cur)
+        lens = [b - a + 1 for a, b in runs]
+        out[d] = {
+            "n_words": len(ws),
+            "n_dup_spans": len(runs),
+            "longest_span_words": max(lens),
+            "dup_words": sum(lens),
+            "dup_frac": round(sum(lens) / len(ws), 6),
+        }
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=24),
+        min_size=1, max_size=5,
+    ),
+    st.integers(2, 4),
+)
+def test_duplicate_spans_equals_set_reference(shared_spark, wordlists, k):
+    texts = [" ".join(ws) for ws in wordlists]
+    got = {
+        d: {f: r[f] for f in ("n_words", "n_dup_spans",
+                              "longest_span_words", "dup_words",
+                              "dup_frac")}
+        for d, r in _spans_map(shared_spark, texts, k).items()
+    }
+    assert got == _ref_spans(texts, k)
+
+
+@pytest.fixture(scope="module")
+def shared_spark(spark):
+    return spark
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_int_quantize_floor_and_clamp(spark):
+    df = spark.createDataFrame(
+        [([3.0, -3.0, 0.5, -0.015625, 0.0],)], "v array<float>"
+    ).select(
+        int_quantize("v", 64, 127).alias("q8"),
+        int_quantize("v", 1 << 20).alias("qr"),
+    )
+    row = df.collect()[0]
+    assert row["q8"] == [127, -127, 32, -1, 0]
+    assert row["qr"] == [3 << 20, -3 << 20, 1 << 19, -16384, 0]
+
+
+def test_int_dot_matches_python(spark):
+    df = spark.createDataFrame(
+        [([1, -2, 3], [4, 5, -6])], "a array<long>, b array<long>"
+    ).select(int_dot("a", "b").alias("d"))
+    assert df.collect()[0]["d"] == 1 * 4 - 2 * 5 - 3 * 6
+
+
+def test_quantized_recall_perfect_when_rankings_agree(spark):
+    # well-separated directions: both scales rank identically
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.5, 0.5], [0.0, 1.0]]
+    e = _emb_df(spark, vecs)
+    q = e.where("vec_id = 0")
+    out = quantized_recall(q, e, k=2, scale=64, clamp=127,
+                           ref_scale=1 << 20).collect()
+    assert len(out) == 1
+    assert out[0]["n_hit"] == 2 and out[0]["recall_at_k"] == 1.0
+
+
+def test_quantized_recall_detects_int8_collapse(spark):
+    """Two candidates differ only below int8 resolution (1/64) but
+    above the reference resolution (2^-20): int8 ties them (id-order
+    tiebreak picks the WRONG one first), the fine ranking separates
+    them → recall@1 = 0."""
+    vecs = [
+        [1.0, 0.0],
+        [0.5, 0.0],          # int8: 32; ref: 0.5·2^20
+        [0.5009765625, 0.0],  # = 0.5 + 2^-10 → int8: 32 (tie); ref: higher
+    ]
+    e = _emb_df(spark, vecs)
+    q = e.where("vec_id = 0")
+    out = quantized_recall(q, e, k=1, scale=64, clamp=127,
+                           ref_scale=1 << 20).collect()
+    # int8 top-1 = vec 1 (tie, lower id); reference top-1 = vec 2
+    assert out[0]["n_hit"] == 0 and out[0]["recall_at_k"] == 0.0
+
+
+def test_funnel_same_second_straddle_repair():
+    """Round-9 regression (hypothesis-found): a same-second tie
+    straddling a batch boundary stage-inverted — click in batch N,
+    view at the same second in batch N+1 — is time-monotonic arrival
+    and must reach the batch plan's conditional minima; likewise the
+    fully-chained three-stage straddle."""
+    from biometric_stream_processing_spark.streaming.state import (
+        funnel_fn,
+    )
+
+    class _State:
+        def __init__(self):
+            self._v, self.wm_ms = None, 0
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+    def drive(batches):
+        fn, state, last = funnel_fn(), _State(), None
+        for batch in batches:
+            pdf = pd.DataFrame(batch, columns=["es", "event_type"])
+            for out in fn((1,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    last = (
+                        int(r.v_es),
+                        None if pd.isna(r.c_es) else int(r.c_es),
+                        None if pd.isna(r.p_es) else int(r.p_es),
+                        int(r.stage),
+                    )
+        return last
+
+    # click@0 then view@0 across batches → stage 2, both anchors 0
+    assert drive([[(0, "click")], [(0, "view")]]) == (0, 0, None, 2)
+    # purchase@0, click@0, view@0 in three batches → full chain
+    assert drive(
+        [[(0, "purchase")], [(0, "click")], [(0, "view")]]
+    ) == (0, 0, 0, 3)
+    # non-tying earlier click (es < later view) must NOT be absorbed
+    assert drive([[(0, "click")], [(1, "view")]]) == (1, None, None, 1)
