@@ -101,6 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming_pipeline.streaming_outer_pairs
     )
     all_q["streaming_ohlc"] = _wrap(streaming_pipeline.streaming_ohlc)
+    all_q["streaming_attribution"] = _wrap(
+        streaming_pipeline.streaming_attribution
+    )
+    all_q["streaming_transitions"] = _wrap(
+        streaming_pipeline.streaming_transitions
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -131,6 +137,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the LSH pair chain, corpus_token_budget the clean-corpus chain,
     # contamination_overlaps the winnow sketch,
     # decontaminated_train_docs the decontamination index).
+    #
+    # ROUND 9 — the driver never recorded round 8's artifacts (no
+    # CORRECTNESS_r08.json / BENCH_r08.json exist; recorded rounds
+    # remain r1-r7), so the round-8 front above never received its
+    # verdicts and is STILL the outstanding debt: the 34 r5-green
+    # entries (now two rounds overdue — r5 leaves the K=3 window the
+    # moment the next round records, whatever number the driver
+    # stamps on it) and the 10 never-verified round-7 queue entries
+    # must keep the prefix. The r6-green block does NOT expire this
+    # round (the post-recording window is {r6, r7, next}), so the
+    # only change vs the shipped round-8 plan is the last two slots:
+    # the two r6-green fills (embedding_kmeans_quality,
+    # decontaminated_train_docs — fresh through the next window)
+    # return to the tail head, yielding their slots to first verdicts
+    # for the round-8 queue (streaming_attribution,
+    # streaming_transitions). Their memo ownership is unchanged by
+    # the move: both still precede every consumer of their memos in
+    # bench order (kmeans map before embedding_kmeans_cells; the
+    # decontamination index before training_corpus /
+    # dedup_pipeline_report).
     front = [
         # --- ROUND-8 OBLIGATION: last green r5 — 34 entries,
         # relative order preserved from the r7 tail ---
@@ -174,28 +200,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # match the batch plan's inclusive conditional minima — a
         # kernel/helper edit, front-loaded by hand ---
         "streaming_funnel",
-        # --- fills: the 2 oldest r6-green entries (their round-9
-        # debt retires a round early, easing the round-9 prefix;
-        # embedding_kmeans_cells returned to the tail to make room
-        # for the funnel re-verification — its memo stays owned by
-        # embedding_kmeans_quality, so billing is unchanged) ---
-        "embedding_kmeans_quality",
-        "decontaminated_train_docs",
+        # --- round-8 queue: first driver verdicts (queue order
+        # preserved; no shared memos — both are staged-source
+        # streaming twins reading events.parquet directly) ---
+        "streaming_attribution",
+        "streaming_transitions",
     ]
     tail = [
-        # ROUND-9 OBLIGATION (the K=3 schedule, debt-oldest-first):
-        # when round 9 records, r6 falls out of the K=3 window — the
-        # 39 entries below (the r6-green block minus the entries
-        # promoted into the round-8 front; embedding_kmeans_cells
-        # rejoined it when streaming_funnel took its front slot) plus
-        # user_value_ewma (green r7, listed here oldest-first among
-        # the r7 block) must fill the round-9 prefix, alongside first
-        # verdicts for anything the round-8 queue holds and any
-        # round-9 source-changed entries.
+        # ROUND-10 OBLIGATION (the K=3 schedule, debt-oldest-first;
+        # recorded rounds are r1-r7 — round 8's artifacts were never
+        # written, so this round's recording is the first since r7):
+        # when the NEXT round records, r6 falls out of the window
+        # (last-3 = {r7, this round, next}) — the 41-entry r6-green
+        # block below (the 39 parked last round plus the two fills
+        # returned from the round-8 front) must fill the round-10
+        # prefix, alongside first verdicts for anything the round-9
+        # queue holds and any round-10 source-changed entries.
+        # user_value_ewma (green r7) stays fresh through that window
+        # and rotates in round 11 with the r7 block.
         # Relative order preserved from r6 so tail memo billing stays
-        # comparable.
+        # comparable; the two returned fills lead the block (their
+        # memos — the kmeans training/assignment map and the
+        # decontamination index — must stay ahead of their consumers
+        # embedding_kmeans_cells / training_corpus /
+        # dedup_pipeline_report).
         #
-        # --- last green r6 (oldest debt → round-9 front) ---
+        # --- last green r6 (oldest debt → round-10 front) ---
+        "embedding_kmeans_quality", "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
         "nation_pair_volume", "embedding_srp_pairs",
         "ngram_jaccard_dups", "documents_clean_corpus",
@@ -219,10 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_cells", "streaming_anomalies",
         "streaming_state_history",
         # user_value_ewma: green r7 (kernel-rework re-verification),
-        # scheduled at the head of the round-9 fills
+        # rotates with the r7 block below
         "user_value_ewma",
-        # --- last green r7 (fresh through round 9; rotate rounds
-        # 9-10). r7 front order preserved ---
+        # --- last green r7 (fresh through the next recorded round;
+        # rotate in round 11 when r7 leaves the window). r7 front
+        # order preserved ---
         "biometric_union", "alert_windows", "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -258,17 +290,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ROUND-8 GATE QUEUE: implemented, oracled and unit-tested this
-    round, NOT yet in ``queries()`` (the round-8 verdict prefix is
-    fully occupied by the 34-entry rotation obligation + the 10
-    round-7 queue registrations + source-changed/fill slots). Round 9
-    registers these in its front block alongside the round-9
-    obligation (the r6-green tail block + user_value_ewma — see the
-    obligation note in ``queries()``; the verdict's slot arithmetic
-    caps this queue at ~2 entries). ``tools/check_oracle.py
-    --queued`` verifies entries here against ``oracle_sql()`` exactly
-    like registered ones, and ``SPARK_GRAFT_BENCH_QUEUED=1`` appends
-    them to the bench run."""
+    """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
+    in ``queries()`` when the verdict prefix is full. The round-8
+    queue (streaming_attribution, streaming_transitions) registered
+    in the round-9 front. Round-9 additions queue here for round-10
+    registration — the round-10 prefix already owes the 41-entry
+    r6-green block, capping this queue at ~5 entries.
+    ``tools/check_oracle.py --queued`` verifies entries here against
+    ``oracle_sql()`` exactly like registered ones, and
+    ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
@@ -277,15 +307,14 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     return {
-        # streaming last-touch attribution: one remembered (touch,
-        # µs) pair of keyed state per user (streaming/pipeline.py)
-        "streaming_attribution": _wrap(
-            streaming_pipeline.streaming_attribution
-        ),
-        # streaming journey-step mining: one remembered predecessor
-        # per user, Markov rollup batch-side (streaming/pipeline.py)
-        "streaming_transitions": _wrap(
-            streaming_pipeline.streaming_transitions
+        # ExactSubstr-style duplicated-span extraction (Lee et al.
+        # 2022): cross-doc k-gram flags → islands → interval union
+        # (plans/corpus_ops.py)
+        "doc_duplicate_spans": _wrap(corpus_ops.doc_duplicate_spans),
+        # int8-quantization recall gate: dual integer rankings over
+        # one pair scan, zero ulp surface (plans/documents_ops.py)
+        "embedding_int8_recall": _wrap(
+            documents_ops.embedding_int8_recall
         ),
     }
 

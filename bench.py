@@ -121,16 +121,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = the round-5 owner.
 MEMO_OWNERS = {
-    # Round-8 registration puts the r5-green obligation block FIRST
-    # (positions 1-34), then the round-7 queue (35-44), then the
-    # corpus-LM re-pins (45-47), streaming_funnel (48 — its kernel's
-    # tie sort changed in round 8) and two r6-green fills (49-50;
-    # embedding_kmeans_cells returned to the tail, its kmeans-map
-    # memo still owned by embedding_kmeans_quality in front) —
-    # so the corpus-chain and winnow bills move to the obligation
-    # block's early entries and the doc-term-matrix/unigram bills to
-    # the queue's perplexity report. Each shift below is a billing
-    # move, not a regression ("prev" = the round-7 owner).
+    # Round-9 registration keeps the round-8 front (the driver never
+    # recorded round 8, so that prefix still owes its verdicts): the
+    # r5-green obligation block FIRST (positions 1-34), then the
+    # round-7 queue (35-44), the corpus-LM re-pins (45-47),
+    # streaming_funnel (48), and the round-8 queue's first verdicts
+    # (49-50: streaming_attribution, streaming_transitions — staged
+    # streaming twins, no shared memos). The two r6-green fills
+    # (embedding_kmeans_quality, decontaminated_train_docs) returned
+    # to the tail HEAD, still ahead of every consumer of their memos
+    # (embedding_kmeans_cells / training_corpus /
+    # dedup_pipeline_report), so every owner below is unchanged from
+    # the round-8 map. Each "prev" = the round-7 owner.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
