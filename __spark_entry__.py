@@ -316,6 +316,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_int8_recall": _wrap(
             documents_ops.embedding_int8_recall
         ),
+        # per-source unigram KL drift: doc-term-matrix consumer,
+        # 6-dp ln + exact-DECIMAL weighted sum (plans/corpus_ops.py)
+        "source_unigram_kl": _wrap(corpus_ops.source_unigram_kl),
     }
 
 

@@ -302,6 +302,11 @@ def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     are single documents — bounded by doc length, never corpus size.
     All-integer until the final 6-dp exact quotient, so the hash
     oracle is engine-portable by construction."""
+    # single-file degenerate-case guard (dedup._spread's rationale):
+    # the tokenize+shingle explode must not run on one input split;
+    # a real corpus arrives in thousands of splits, so this
+    # round-robin is a no-op cost at scale
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ws = words(F.col("text"))
     grams = df.select(
         "doc_id",
@@ -313,7 +318,11 @@ def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     ).select(
         "doc_id", "n_words", (F.col("pos") + 1).alias("pos"),
         F.md5("_gram").alias("_gh"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazily materialized once (the bigram-model pattern): both
+    # consumers — the duplicated-key derive and the flag-back semi
+    # join — read the narrow (doc, pos, hash) index instead of
+    # re-running tokenize+shingle+md5 each
     dup_keys = (
         grams.groupBy("_gh")
         .agg(F.count_distinct("doc_id").alias("_nd"))
@@ -372,7 +381,17 @@ def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
 
 
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUND-9 QUEUE (registers round 10)."""
+    """ROUND-9 QUEUE (registers round 10).
+
+    Wall (sf0.1, local[32], bench confs): 2.3-3.2 s warm best-of-3
+    (~1.8× DuckDB's 1.27 s); QUEUED_BENCH_r09's 14.15 s is the
+    cold-session first call (JVM + codegen for the shingle/window
+    shapes). The round-9 tuning pass took warm 5.1 → 2.3 s: the
+    single-file degenerate-case spread before the tokenize explode
+    (one input split was serializing the gram pipeline on one core)
+    and the lazy localCheckpoint of the (doc, pos, hash) index so the
+    duplicated-key derive and the flag-back join stop re-running
+    tokenize+shingle+md5 each."""
     return duplicate_spans(_docs(spark, sf_dir))
 
 
@@ -780,6 +799,71 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE DISTRIBUTION DRIFT: KL(P_source ‖ P_corpus) over
+    unigram distributions — the number a corpus-mixing pipeline
+    watches to spot a source whose language shifted (crawl rot, a
+    scraper regression, an injected spam burst) and to weight
+    domain-upsampling decisions. Every source word exists in the
+    corpus distribution by construction, so the divergence is always
+    finite.
+
+    Determinism: the per-word log ratio ln((stf/ns)/(ctf/n)) is
+    computed from bit-identical double divisions of exact integers
+    and rounded at 6 dp BEFORE the weighted sum (kills libm ln ulp
+    divergence — the PMI/tf-idf trick); the Σ stf·lp accumulation is
+    exact DECIMAL (12,6 × 18,0 → 31,6, under the 38 cap), so the
+    aggregate is order-independent.
+
+    Scale: derives from the memoized doc-term matrix
+    (``shared_doc_tf``) joined to the narrow (doc_id, source)
+    projection — co-partitioned on doc_id, no token-stream second
+    pass; the (source, word) rollup partial-aggregates map-side and
+    is lazily localCheckpointed (the bigram-model pattern) so its
+    THREE consumers — the scored relation, the vocabulary and the
+    per-source totals — read one materialization instead of
+    re-deriving the corpus pass each; the vocabulary and totals
+    re-join as broadcasts (hot words are single pre-aggregated rows,
+    |sources| is tiny). ROUND-9 QUEUE (registers round 10)."""
+    tf = shared_doc_tf(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    stf = (
+        tf.join(docs, "doc_id")
+        .groupBy("source", "word")
+        .agg(F.sum("tf").alias("stf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = stf.groupBy("word").agg(F.sum("stf").alias("ctf"))
+    src_tot = stf.groupBy("source").agg(F.sum("stf").alias("ns"))
+    tot = vocab.agg(F.sum("ctf").cast("double").alias("n"))
+    lp = (
+        stf.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "source", "stf",
+            F.round(
+                F.log(
+                    (F.col("stf").cast("double")
+                     / F.col("ns").cast("double"))
+                    / (F.col("ctf").cast("double") / F.col("n"))
+                ), 6,
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy("source").agg(
+        F.sum("stf").alias("n_tokens"),
+        F.count("*").alias("n_words"),
+        F.round(
+            F.sum(
+                F.col("lp").cast("decimal(12,6)")
+                * F.col("stf").cast("decimal(18,0)")
+            ).cast("double") / F.sum("stf").cast("double"),
+            6,
+        ).alias("kl_nats"),
+    )
+
+
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang) corpus report: document count, character
     totals/extremes, and total word count — the triage table a corpus
@@ -1094,6 +1178,36 @@ ORACLE["doc_duplicate_spans"] = f"""
            sum(me - ms + 1)::BIGINT AS dup_words,
            round(sum(me - ms + 1)::DOUBLE / n_words, 6) AS dup_frac
     FROM m GROUP BY doc_id, n_words
+"""
+
+# ROUND-9 QUEUE (registers round 10): the same (source, word) counts
+# via direct explode (≡ Σ per-doc tf), the same double-ratio → 6-dp
+# ln → exact-DECIMAL weighted sum as the Spark plan.
+ORACLE["source_unigram_kl"] = f"""
+    WITH stf AS (
+      SELECT source, word, count(*)::BIGINT AS stf FROM (
+        SELECT source, unnest({_WS}) AS word FROM documents
+      ) GROUP BY source, word
+    ), vocab AS (
+      SELECT word, sum(stf)::BIGINT AS ctf FROM stf GROUP BY word
+    ), srct AS (
+      SELECT source, sum(stf)::BIGINT AS ns FROM stf GROUP BY source
+    ), tot AS (SELECT sum(ctf)::DOUBLE AS n FROM vocab),
+    lp AS (
+      SELECT s.source, s.stf,
+             round(ln((s.stf::DOUBLE / t2.ns::DOUBLE)
+                      / (v.ctf::DOUBLE / tot.n)), 6) AS lp
+      FROM stf s
+      JOIN vocab v USING (word)
+      JOIN srct t2 USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, sum(stf)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_words,
+           round(CAST(sum(CAST(lp AS DECIMAL(12,6))
+                          * CAST(stf AS DECIMAL(18,0))) AS DOUBLE)
+                 / sum(stf)::DOUBLE, 6) AS kl_nats
+    FROM lp GROUP BY source
 """
 
 QUERIES = {

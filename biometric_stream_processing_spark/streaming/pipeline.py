@@ -1021,8 +1021,10 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table — the streaming twin of
     ``plans/events_ops.funnel_view_click_purchase``, whose DuckDB
     oracle it shares: per user, earliest view → earliest click
-    at-or-after → earliest purchase at-or-after, held in three longs
-    of keyed state (``state.funnel_stream``). With the single-file
+    at-or-after → earliest purchase at-or-after, held in five longs
+    of keyed state (``state.funnel_stream``; two track the max
+    click/purchase second seen, repairing stage-inverted same-second
+    ties that straddle batch boundaries — the round-9 kernel fix). With the single-file
     source the whole table is one micro-batch, so the per-batch
     emission equals the batch funnel relation exactly; multi-batch
     progression cadence is golden-tested in test_streaming_funnel.py.

@@ -650,3 +650,55 @@ def test_passage_dedup_hash_then_doc_exchanges_only(spark):
     assert "passage_hash" in sh[0]
     assert "doc_id" in sh[1]
     assert "SinglePartition" not in p
+
+
+def test_duplicate_spans_gram_then_doc_exchanges_only(spark):
+    """doc_duplicate_spans (round-9 queue): the gram relation
+    shuffles on its 16-byte hash (the count-distinct pre-shuffle adds
+    doc_id to the key; gram TEXT never rides an exchange), then ONE
+    doc_id exchange feeds all three windows and both rollups
+    (subset-clustering reuse: hash(doc_id) satisfies every later
+    (doc_id, …) requirement). Never a cartesian/NLJ pair
+    enumeration, never a single-partition stage."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_duplicate_spans(spark, SF_DIR))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    sh = _shuffles(p)
+    assert len(sh) == 3, sh
+    assert "_gh" in sh[0] and "_gh" in sh[1]
+    assert "doc_id" in sh[2] and "_gh" not in sh[2]
+    assert "SinglePartition" not in p
+
+
+def test_int8_recall_rank_windows_share_one_exchange(spark):
+    """embedding_int8_recall (round-9 queue): queries broadcast over
+    the corpus (the declared exact-brute-force demo shape, as
+    cosine_topk), quantized arrays computed BEFORE the join, and both
+    integer rank windows ride ONE (query_id) exchange — a second
+    exchange would double the pair relation's shuffle. No Python on
+    the path."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    p = _plan(documents_ops.embedding_int8_recall(spark, SF_DIR))
+    sh = _shuffles(p)
+    assert len(sh) == 2, sh           # _spread round-robin + query_id
+    assert "query_id" in sh[1]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_source_kl_single_stf_materialization(spark):
+    """source_unigram_kl (round-9 queue): the (source, word) rollup
+    is lazily localCheckpointed, so its three consumers (scored
+    relation, vocabulary, per-source totals) must NOT re-derive the
+    corpus pass — at most one (source, word) exchange appears, the
+    derives re-join as broadcasts, and nothing goes cartesian."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.source_unigram_kl(spark, SF_DIR))
+    assert "Cartesian" not in p
+    sh = _shuffles(p)
+    both = [s for s in sh if "source" in s and "word" in s]
+    assert len(both) <= 1, sh
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p

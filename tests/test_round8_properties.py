@@ -364,10 +364,11 @@ def test_funnel_kernel_matches_batch_on_ordered_stream(events, splits):
 @settings(max_examples=300, deadline=None)
 @given(_FUNNEL_EVENTS, _SPLITS)
 def test_funnel_kernel_monotone_under_disorder(events, splits):
-    """Under ARBITRARY cross-batch disorder the three-longs state
+    """Under ARBITRARY cross-batch disorder the five-longs state
     deliberately does not re-anchor (the documented state-vs-disorder
-    trade, e.g. a click arriving one batch before a view that shares
-    its second): progress must still be monotone in stage, anchors
+    trade; the ONE disorder case it does repair — a same-second
+    candidate arriving a batch early — matches the order-free minima,
+    so the bound below still holds): progress must still be monotone in stage, anchors
     never rewrite, and the snapshot stage never exceeds what the
     order-free minima over survivors would grant."""
     fixed, survivors = _drive_funnel(events, splits, monotonic=False)

@@ -263,3 +263,79 @@ def test_funnel_same_second_straddle_repair():
     ) == (0, 0, 0, 3)
     # non-tying earlier click (es < later view) must NOT be absorbed
     assert drive([[(0, "click")], [(1, "view")]]) == (1, None, None, 1)
+
+
+def _round6(x: float) -> float:
+    """Spark/DuckDB round(x, 6) — HALF_UP on the decimal value, not
+    Python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _ref_kl(texts_by_source: dict[str, list[str]]):
+    """Independent reference of source_unigram_kl's exact recipe:
+    6-dp-rounded per-word log ratio, exact weighted sum."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    stf: dict[str, Counter] = {
+        s: Counter(w for t in ts for w in t.split())
+        for s, ts in texts_by_source.items()
+    }
+    ctf: Counter = Counter()
+    for c in stf.values():
+        ctf.update(c)
+    n = float(sum(ctf.values()))
+    out = {}
+    for s, c in stf.items():
+        ns = sum(c.values())
+        acc = Decimal(0)
+        for w, k in c.items():
+            lp = _round6(math.log((k / float(ns)) / (ctf[w] / n)))
+            acc += Decimal(repr(lp)).quantize(Decimal("0.000001")) * k
+        out[s] = {
+            "n_tokens": ns,
+            "n_words": len(c),
+            "kl_nats": _round6(float(acc) / ns),
+        }
+    return out
+
+
+def test_source_unigram_kl_matches_reference(spark):
+    from biometric_stream_processing_spark.plans.corpus_ops import (
+        source_unigram_kl,
+    )
+
+    corpus = {
+        "web": ["the cat sat", "the dog ran the end"],
+        "wiki": ["cat dog cat", "the the the"],
+        "spam": ["buy buy buy now", "buy now"],
+    }
+    import tempfile
+
+    rows, i = [], 0
+    for s, ts in corpus.items():
+        for t in ts:
+            rows.append((i, t, "en", s, len(t)))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["source"]: {
+                "n_tokens": r["n_tokens"],
+                "n_words": r["n_words"],
+                "kl_nats": r["kl_nats"],
+            }
+            for r in source_unigram_kl(spark, d).collect()
+        }
+    ref = _ref_kl(corpus)
+    assert got == ref
+    # identical distribution → zero divergence; skewed source → more
+    assert ref["spam"]["kl_nats"] > ref["web"]["kl_nats"] > 0

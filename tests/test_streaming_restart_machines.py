@@ -59,7 +59,7 @@ def _phase(spark, indir, ckpt, outdir, build, schema):
 
 def test_funnel_state_survives_restart(spark, tmpdir):  # noqa: F811
     """view+click land before the kill; the purchase after restart
-    must emit stage 3 with the PRE-restart v_es/c_es (three-longs
+    must emit stage 3 with the PRE-restart v_es/c_es (five-longs
     state recovered), and the pre-restart emissions appear once."""
     run = uuid.uuid4().hex[:10]
     indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
