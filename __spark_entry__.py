@@ -319,6 +319,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source unigram KL drift: doc-term-matrix consumer,
         # 6-dp ln + exact-DECIMAL weighted sum (plans/corpus_ops.py)
         "source_unigram_kl": _wrap(corpus_ops.source_unigram_kl),
+        # streaming EWMA twin: one smoothed double of keyed state,
+        # shares the batch recurrence oracle (streaming/pipeline.py)
+        "streaming_ewma": _wrap(streaming_pipeline.streaming_ewma),
     }
 
 
@@ -330,6 +333,9 @@ def oracle_sql() -> dict[str, str]:
     # (kernel sorts by (us, event_id); single-batch source ⇒ the
     # absorption order equals the batch window's total order)
     o["streaming_anomalies"] = timeseries_ops.ORACLE["running_zscore_flags"]
+    # streaming EWMA twin shares the batch recurrence oracle (same
+    # single-batch total-order argument as the z-score twin)
+    o["streaming_ewma"] = timeseries_ops.ORACLE["user_value_ewma"]
     # streaming funnel over a single-batch source emits the batch
     # funnel relation (cross-batch cadence golden-tested)
     o["streaming_funnel"] = events_ops.ORACLE["funnel_view_click_purchase"]

@@ -1084,6 +1084,37 @@ def streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA — the streaming twin of
+    ``plans/timeseries_ops.user_value_ewma``, whose DuckDB oracle it
+    shares: the s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁ recurrence over
+    (us, event_id) order, held in ONE DOUBLE of keyed state
+    (``state.ewma_stream``) — the smallest T1-family machine, and the
+    streaming complement of the batch kernel's partition-batched
+    ``mapInPandas`` carry dict. With the single-file source the whole
+    table is one micro-batch and the kernel's sort makes absorption
+    order equal the batch total order, so the emission equals the
+    batch relation exactly; cross-batch smoothing continuation and
+    the late-drop contract are golden-tested in
+    test_streaming_ewma.py. ROUND-9 QUEUE (registers round 10)."""
+    import os
+    import uuid
+
+    from ..plans.timeseries_ops import EWMA_ALPHA
+    from .state import ewma_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = ewma_stream(src, EWMA_ALPHA)
+        name = "ewma_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_ewma_"))
+    return out
+
+
 def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD-2 STATE HISTORY — the streaming twin of
     ``plans/timeseries_ops.user_state_history``, whose DuckDB oracle

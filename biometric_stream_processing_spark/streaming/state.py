@@ -538,6 +538,94 @@ def zscore_stream(
     )
 
 
+EWMA_OUTPUT_SCHEMA = "event_id long, user_id long, us long, ewma_raw double"
+# the chain's running smoothed value (seedless start = first reading)
+EWMA_STATE_SCHEMA = "ewma double"
+
+
+def ewma_fn(alpha: float):
+    """Per-key stateful function for ``ewma_stream``: the T1-family
+    streaming form of the batch EWMA recurrence
+    (``plans/timeseries_ops.ewma``) with ONE DOUBLE of state per user
+    — s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁ over (us, event_id) order.
+
+    Bit-parity: α = 0.25 is dyadic; IEEE addition is commutative, so
+    this plain recurrence, pandas' C-level ``ewm(adjust=False)`` in
+    the batch kernel, and the DuckDB recursive CTE all produce the
+    same double sequence. Exactness contract as the zscore machine:
+    watermark delay 0 drops cross-batch late arrivals (F6/W4), the
+    in-batch (us, event_id) sort makes absorption order equal the
+    batch total order. The smoothed value is emitted RAW; the wrapper
+    rounds engine-side (half-up, matching the batch plan and
+    oracle)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else None
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for us, eid, cents in zip(
+                pdf["tus"], pdf["event_id"], pdf["cents"]
+            ):
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid), int(cents)))
+        rows.sort()
+
+        out = []
+        for us, eid, cents in rows:
+            v = float(cents)
+            s = v if s is None else alpha * v + (1.0 - alpha) * s
+            out.append((eid, key[0], us, s))
+
+        if s is not None:
+            state.update((s,))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "us", "ewma_raw"]
+        )
+
+    return fn
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha: float,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-user EWMA — the streaming twin of
+    ``plans/timeseries_ops.user_value_ewma``, whose DuckDB oracle it
+    shares. O(1) state (one smoothed double), emission 1-to-1 with
+    admissible input rows."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    smoothed = keyed.groupBy("user_id").applyInPandasWithState(
+        ewma_fn(alpha),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return smoothed.select(
+        "user_id", "event_id", "us",
+        F.round(F.col("ewma_raw"), 6).alias("ewma_cents"),
+    )
+
+
 SCD2_OUTPUT_SCHEMA = (
     "user_id long, run_id long, state string, valid_from_us long, "
     "valid_to_us long, n_events long"
