@@ -1096,7 +1096,12 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     order equal the batch total order, so the emission equals the
     batch relation exactly; cross-batch smoothing continuation and
     the late-drop contract are golden-tested in
-    test_streaming_ewma.py. ROUND-9 QUEUE (registers round 10)."""
+    test_streaming_ewma.py. ROUND-9 QUEUE (registers round 10).
+
+    Wall (sf0.1, local[32]): 5.1 s cold-session first run in
+    QUEUED_BENCH_r09 (staged-source + checkpoint setup — the twin
+    floor, cf. streaming_attribution), ~2.2× the oracle's recursive
+    CTE; warm in-bench runs land ~2 s like the other twins."""
     import os
     import uuid
 

@@ -170,6 +170,24 @@ SHOWCASE = [
      "(type, user) count relation shuffles full data; the exact "
      "lower-rank percentile window and the final rollup run over "
      "the already-reduced per-user counts keyed by event_type."),
+    # --- round-9 queue ---
+    ("doc_duplicate_spans",
+     "ExactSubstr dedup, relationally: the positional gram index "
+     "(lazily localCheckpointed — both consumers read one "
+     "materialization) shuffles ONCE on its 16-byte hash; gram text "
+     "never rides an exchange; one doc_id exchange then feeds all "
+     "three windows and both rollups via subset-clustering reuse."),
+    ("embedding_int8_recall",
+     "Dual integer rankings over ONE pair scan: vectors quantize "
+     "once per row before the broadcast join, both row_number "
+     "windows share a single (query_id) exchange, and the recall is "
+     "a conditional sum — no set intersection, no Python, no ulp "
+     "surface anywhere."),
+    ("source_unigram_kl",
+     "The (source, word) rollup materializes once (lazy "
+     "localCheckpoint) for its three consumers; vocabulary and "
+     "totals re-join as broadcasts, so the only full-data exchange "
+     "is the partial-aggregated rollup itself."),
 ]
 
 
