@@ -339,3 +339,55 @@ def test_source_unigram_kl_matches_reference(spark):
     assert got == ref
     # identical distribution → zero divergence; skewed source → more
     assert ref["spam"]["kl_nats"] > ref["web"]["kl_nats"] > 0
+
+
+def test_ewma_kernel_matches_batch_reference_over_splits():
+    """Direct-kernel hypothesis check (the round-8 suite's pattern):
+    over event-time-monotonic batches of any split shape, the EWMA
+    machine's emission equals the batch recurrence over the same rows
+    bitwise — the one state double carries the chain across every
+    boundary."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from test_round8_properties import FakeGroupState, _batches
+
+    from biometric_stream_processing_spark.plans.timeseries_ops import (
+        EWMA_ALPHA,
+    )
+    from biometric_stream_processing_spark.streaming.state import ewma_fn
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 60),
+                           st.integers(-10**6, 10**6)), max_size=30),
+        st.lists(st.integers(1, 7), max_size=6),
+    )
+    def run(events, splits):
+        rows = sorted(
+            (sec * 1_000_000, eid, cents)
+            for eid, (sec, cents) in enumerate(events)
+        )
+        fn, state = ewma_fn(EWMA_ALPHA), FakeGroupState()
+        emitted = []
+        for batch in _batches(rows, splits):
+            state.wm_ms = 0  # monotonic arrival: nothing is late
+            pdf = pd.DataFrame(
+                batch, columns=["tus", "event_id", "cents"]
+            )
+            for out in fn((1,), iter([pdf]), state):
+                emitted += [tuple(r) for r in
+                            out.itertuples(index=False)]
+        # batch reference: the plain recurrence over the total order
+        s, ref = None, []
+        for us, eid, cents in rows:
+            v = float(cents)
+            s = v if s is None else (
+                EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * s
+            )
+            ref.append((eid, 1, us, s))
+        assert emitted == ref  # bitwise, no tolerance
+
+    run()
