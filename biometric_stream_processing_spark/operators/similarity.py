@@ -388,8 +388,12 @@ def quantized_recall(
     SIMD integer dot): per query, recall@k of the top-k under the
     coarse quantization (``scale``/``clamp`` — int8 at scale 64)
     against the top-k under a fine fixed-point reference
-    (``ref_scale`` — 2²⁰ resolves float32 embeddings well past their
-    own precision on [-1, 1] inputs). Both rankings rank by integer
+    (``ref_scale`` = 2²⁰ — 16384× finer absolute resolution than the
+    int8 grid; a deterministic STAND-IN for the float ranking, not
+    bit-equal to it — float32 still resolves ~2⁻²⁷ at typical
+    unit-vector component magnitudes, and a float-dot reference would
+    reopen the cross-engine ulp surface this report exists to
+    avoid). Both rankings rank by integer
     inner product with (dot DESC, neighbor_id) tiebreak, self
     excluded — a neighbor is a hit when its row carries both ranks
     ≤ k, so recall needs NO set intersection: one conditional sum

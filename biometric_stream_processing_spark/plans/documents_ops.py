@@ -2455,9 +2455,10 @@ ORACLE["label_centroid_report"] = """
 #: 4×-memory / SIMD-integer-dot scale path for the embedding corpus
 Q8_SCALE = 64
 Q8_CLAMP = 127
-#: fine fixed-point reference ranking: floor(x·2^20) — resolves
-#: float32 components past their own precision on [-1, 1] inputs,
-#: while keeping the whole recall report in exact integer arithmetic
+#: fine fixed-point reference ranking: floor(x·2^20) — 16384× finer
+#: than the int8 grid, a deterministic stand-in for the float ranking
+#: (not bit-equal: float32 resolves ~2^-27 at typical component
+#: magnitudes) that keeps the whole report in exact integer arithmetic
 Q8_REF_SCALE = 1 << 20
 Q8_K = 10
 
