@@ -324,13 +324,25 @@ def main() -> None:
         import glob
         import re
 
+        root = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
-            for p in glob.glob(os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "BENCH_r*.json"))
+            for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n = (max(rounds) + 1) if rounds else 1
+        # The driver can skip recording a round's artifacts entirely
+        # (round 8 did), which would make the artifact-derived N
+        # stamp THIS round's measurement over the PREVIOUS round's
+        # committed detail. PROGRESS.jsonl always carries the true
+        # current round — prefer it when it is ahead.
+        try:
+            with open(os.path.join(root, "PROGRESS.jsonl")) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            if lines:
+                n = max(n, int(json.loads(lines[-1]).get("round", n)))
+        except (OSError, ValueError):
+            pass
         detail = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             f"BENCH_DETAIL_r{n:02d}.json",
