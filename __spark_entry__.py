@@ -295,7 +295,10 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queue (streaming_attribution, streaming_transitions) registered
     in the round-9 front. Round-9 additions queue here for round-10
     registration — the round-10 prefix already owes the 41-entry
-    r6-green block, capping this queue at ~5 entries.
+    r6-green block, capping this queue at ~5 entries — it is now AT
+    that cap (41 + 5 = 46 prefix slots committed, leaving ~4 for
+    round-10 source-changed re-verifications): round 9 queues
+    nothing further.
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -322,6 +325,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming EWMA twin: one smoothed double of keyed state,
         # shares the batch recurrence oracle (streaming/pipeline.py)
         "streaming_ewma": _wrap(streaming_pipeline.streaming_ewma),
+        # temporal bot detection: per-user inter-arrival CV, exact
+        # integer moments → one IEEE double dag (plans/events_ops.py)
+        "user_cadence_profile": _wrap(events_ops.user_cadence_profile),
     }
 
 

@@ -475,6 +475,89 @@ def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(_events(spark, sf_dir))
 
 
+#: cadence profiling: users need this many inter-event gaps before a
+#: regularity verdict (below it, CV is numerically meaningless)
+CADENCE_MIN_GAPS = 5
+#: coefficient-of-variation floor: human traffic is bursty (CV ≈ 1 for
+#: a Poisson process); a near-constant cadence (CV < 0.1) is scripted
+CADENCE_BOT_CV = 0.1
+
+
+def cadence_profile(
+    ev: DataFrame,
+    min_gaps: int = CADENCE_MIN_GAPS,
+    bot_cv: float = CADENCE_BOT_CV,
+) -> DataFrame:
+    """TEMPORAL BOT DETECTION — per-user inter-arrival cadence
+    profile: mean gap and its coefficient of variation (CV =
+    stddev/mean), flagging metronome-regular actors. A Poisson
+    (human-bursty) process has CV ≈ 1; a cron-driven scraper or
+    engagement bot sits near 0 — the temporal-signature filter a
+    training-data pipeline runs over interaction logs before user
+    content enters a corpus, complementing the content-side filters
+    (lang/quality/dedup).
+
+    Determinism: gaps are exact integer milliseconds (µs difference,
+    integer div) over the (us, event_id) total order; the moment sums
+    n/Σ/Σ² aggregate exactly (Σ² in DECIMAL — a 30-day gap squares to
+    ~7e18, a BIGINT near-overflow the oracle dodges with HUGEINT);
+    everything after is a fixed dag of IEEE double ops from exact
+    integers (nearest-even casts agree in any engine, sqrt is
+    correctly rounded by IEEE-754), rounded at 6 dp only at the end;
+    the bot verdict compares the ROUNDED value. The float-cancellation
+    guard (greatest(·, 0) before sqrt) evaluates on bit-identical
+    doubles, so it trips identically everywhere.
+
+    Scale: one lag() window and one hash aggregate, both keyed
+    user_id — a single full-data exchange, constant output per user;
+    the same shape (and cost) as the transition miner above."""
+    keyed = ev.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = keyed.select(
+        "user_id",
+        (F.col("_us") - F.lag("_us").over(w)).alias("_dus"),
+    ).where(F.col("_dus").isNotNull()).select(
+        "user_id", F.expr("_dus div 1000").alias("_gap_ms")
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap_ms").alias("_s"),
+        F.sum(
+            F.col("_gap_ms").cast("decimal(18,0)")
+            * F.col("_gap_ms").cast("decimal(18,0)")
+        ).alias("_s2"),
+    ).where(F.col("n_gaps") >= min_gaps)
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("_s").cast("double")
+    s2d = F.col("_s2").cast("double")
+    mean_raw = sd / nd
+    std = F.sqrt(
+        F.greatest(s2d - sd * sd / nd, F.lit(0.0)) / (nd - 1)
+    )
+    cv = F.when(F.col("_s") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(std / mean_raw, 6)
+    )
+    return agg.select(
+        "user_id",
+        (F.col("n_gaps") + 1).alias("n_events"),
+        F.round(mean_raw, 6).alias("mean_gap_ms"),
+        cv.alias("cv_gap"),
+    ).withColumn(
+        # zero-mean (all events same millisecond) is the degenerate
+        # perfectly-regular case: robotic by definition
+        "is_robotic",
+        F.coalesce(F.col("cv_gap") < bot_cv, F.lit(True)),
+    )
+
+
+def user_cadence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-9 QUEUE (registers round 10)."""
+    return cadence_profile(_events(spark, sf_dir))
+
+
 def key_skew_profile(ev: DataFrame) -> DataFrame:
     """PER-KEY SKEW PROFILER — the diagnostic that decides when a join
     or aggregation needs the ``operators/skew.py`` salting treatment:
@@ -968,6 +1051,41 @@ ORACLE = {
         FROM r GROUP BY 1
     """,
 }
+
+# ROUND-9 QUEUE (registers round 10): integer-millisecond gaps over
+# the (us, event_id) order, exact moment sums (Σ² via HUGEINT — the
+# Spark plan's DECIMAL twin), the same IEEE double dag, 6-dp round
+# only at the end, verdict on the rounded value.
+ORACLE["user_cadence_profile"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id,
+             (us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)) // 1000
+               AS gap_ms
+      FROM e
+    ), a AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+             sum(gap_ms)::BIGINT AS s,
+             CAST(sum(CAST(gap_ms AS HUGEINT) * gap_ms) AS DOUBLE)
+               AS s2d
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id
+    ), c AS (
+      SELECT user_id, n_gaps, s,
+             CASE WHEN s = 0 THEN NULL ELSE
+               round(sqrt(greatest(
+                       s2d - s::DOUBLE * s::DOUBLE / n_gaps, 0)
+                     / (n_gaps - 1))
+                     / (s::DOUBLE / n_gaps), 6) END AS cv
+      FROM a WHERE n_gaps >= {CADENCE_MIN_GAPS}
+    )
+    SELECT user_id, (n_gaps + 1)::BIGINT AS n_events,
+           round(s::DOUBLE / n_gaps, 6) AS mean_gap_ms,
+           cv AS cv_gap,
+           coalesce(cv < {CADENCE_BOT_CV}, TRUE) AS is_robotic
+    FROM c
+"""
 
 QUERIES = {
     "parse_props_json": parse_props_json,

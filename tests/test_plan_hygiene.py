@@ -702,3 +702,18 @@ def test_source_kl_single_stf_materialization(spark):
     both = [s for s in sh if "source" in s and "word" in s]
     assert len(both) <= 1, sh
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_cadence_profile_single_user_exchange(spark):
+    """user_cadence_profile (round-9 queue): the lag() window and the
+    moment aggregate both ride ONE user_id exchange (subset-clustering
+    reuse) — no second full-data shuffle, no cartesian, no Python."""
+    from biometric_stream_processing_spark.plans import events_ops
+
+    p = _plan(events_ops.user_cadence_profile(spark, SF_DIR))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    sh = _shuffles(p)
+    assert len(sh) == 1, sh
+    assert "user_id" in sh[0]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "SinglePartition" not in p

@@ -391,3 +391,51 @@ def test_ewma_kernel_matches_batch_reference_over_splits():
         assert emitted == ref  # bitwise, no tolerance
 
     run()
+
+
+def test_cadence_profile_flags_metronomes_not_humans(spark):
+    from datetime import datetime, timedelta
+
+    from biometric_stream_processing_spark.plans.events_ops import (
+        cadence_profile,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a metronome — exactly 60 s apart, 7 events (cv = 0)
+    for i in range(7):
+        rows.append((t0 + timedelta(seconds=60 * i), eid, 1)); eid += 1
+    # user 2: bursty human — wildly varying gaps
+    off = 0
+    for gap in (0, 1, 100, 2, 500, 3, 250):
+        off += gap
+        rows.append((t0 + timedelta(seconds=off), eid, 2)); eid += 1
+    # user 3: only 3 events (2 gaps) — below CADENCE_MIN_GAPS
+    for i in range(3):
+        rows.append((t0 + timedelta(seconds=i), eid, 3)); eid += 1
+    # user 4: 6 events at the SAME instant — zero-mean degenerate
+    for i in range(6):
+        rows.append((t0, eid, 4)); eid += 1
+
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long"
+    )
+    out = {r["user_id"]: r.asDict()
+           for r in cadence_profile(df).collect()}
+
+    assert set(out) == {1, 2, 4}       # user 3 excluded
+    assert out[1]["n_events"] == 7
+    assert out[1]["mean_gap_ms"] == 60000.0
+    assert out[1]["cv_gap"] == 0.0 and out[1]["is_robotic"]
+    # hand reference for the bursty user
+    import math
+    gaps = [1000, 100000, 2000, 500000, 3000, 250000]
+    n, s = len(gaps), sum(gaps)
+    s2 = sum(g * g for g in gaps)
+    cv = math.sqrt(max(s2 - s * s / n, 0) / (n - 1)) / (s / n)
+    assert out[2]["cv_gap"] == _round6(cv)
+    assert out[2]["cv_gap"] > 0.1 and not out[2]["is_robotic"]
+    # zero-mean degenerate: cv undefined, robotic by definition
+    assert out[4]["mean_gap_ms"] == 0.0
+    assert out[4]["cv_gap"] is None and out[4]["is_robotic"]
