@@ -188,6 +188,11 @@ SHOWCASE = [
      "localCheckpoint) for its three consumers; vocabulary and "
      "totals re-join as broadcasts, so the only full-data exchange "
      "is the partial-aggregated rollup itself."),
+    ("user_cadence_profile",
+     "Temporal bot detection in one user_id exchange: the lag() "
+     "window and the moment aggregate share it via subset-clustering "
+     "reuse; exact integer moments feed a fixed IEEE double dag, no "
+     "Python anywhere."),
 ]
 
 
