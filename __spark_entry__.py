@@ -252,6 +252,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user_value_ewma: green r7 (kernel-rework re-verification),
         # rotates with the r7 block below
         "user_value_ewma",
+        # ROUND-10 FRONT, pre-planned (move, don't rethink): the 41
+        # r6-green entries above IN THIS ORDER, then the round-9
+        # queue in queue order (doc_duplicate_spans,
+        # embedding_int8_recall, source_unigram_kl, streaming_ewma,
+        # user_cadence_profile) = 46 slots; the remaining ~4 go to
+        # round-10 source-changed re-verifications, else to the
+        # oldest r7-greens below (biometric_union first) to shave the
+        # round-11 obligation. MEMO_OWNERS moves to expect: the
+        # doc-term-matrix bill leaves doc_perplexity_buckets (drops
+        # to tail) for the first round-10 doc_tf consumer —
+        # doc_repetition_stats at obligation position 4; the
+        # unigram-score bill goes to whichever of its only two
+        # consumers (doc_unigram_logprob / doc_perplexity_buckets,
+        # both tail in round 10) runs first; source_unigram_kl's stf
+        # rollup derives from the doc_tf memo (reads, never owns).
         # --- last green r7 (fresh through the next recorded round;
         # rotate in round 11 when r7 leaves the window). r7 front
         # order preserved ---
