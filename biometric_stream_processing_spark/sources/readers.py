@@ -126,3 +126,17 @@ def load_csv(
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")
         .csv(path)
     )
+
+
+def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC ingestion — the second columnar interchange format after
+    parquet (warehouses migrating off Hive hand these over). Same
+    engine treatment as parquet: vectorized scan, predicate pushdown
+    and column pruning all apply (asserted in tests/test_orc.py).
+    Pass ``schema`` to pin types on untrusted files; omit it to trust
+    the ORC footer (self-describing, no double scan — unlike CSV/JSON
+    inference, footer reads are O(files), not O(bytes))."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

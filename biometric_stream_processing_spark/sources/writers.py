@@ -65,3 +65,18 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` of the files would LOSE bucketing and
     reintroduce the join shuffle)."""
     return spark.table(table)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC output (zlib default; the reading side is
+    ``readers.load_orc``) — for handoff to Hive/Trino estates that
+    standardize on ORC. Optionally hive-partitioned like
+    ``write_partitioned``; the same low-cardinality-columns-only rule
+    applies."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

@@ -1,0 +1,80 @@
+"""ORC interchange: value-identical round trip against the parquet
+relations (timestamps, arrays, strings survive), engine pushdown
+reaching the ORC scan, and hive-partitioned layout pruning — the
+same contracts tests/test_writers.py pins for parquet."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from biometric_stream_processing_spark.sources.readers import (
+    load_orc,
+    load_table,
+)
+from biometric_stream_processing_spark.sources.writers import write_orc
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def orc_events(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("orc") / "events.orc")
+    write_orc(load_table(spark, SF_DIR, "events"), path)
+    return path
+
+
+def test_round_trip_is_value_identical(spark, orc_events):
+    """parquet → ORC → read back: same rows, same values, timestamp
+    microseconds intact (ORC stores nanos-capable timestamps; the
+    micros relation must survive exactly)."""
+    src = load_table(spark, SF_DIR, "events")
+    back = load_orc(spark, orc_events)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_embeddings_arrays_survive(spark, tmp_path):
+    """array<float> columns round-trip exactly (bit-level — the
+    similarity operators depend on it)."""
+    src = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "emb.orc")
+    write_orc(src, path)
+    back = load_orc(spark, path)
+    a = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert a == b
+
+
+def test_filter_pushdown_reaches_orc_scan(spark, orc_events):
+    df = load_orc(spark, orc_events).where("user_id = 7").select(
+        "event_id", "user_id"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "user_id" in p.split(
+        "PushedFilters"
+    )[1].splitlines()[0]
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in read  # column pruning
+
+
+def test_partitioned_orc_prunes_directories(spark, tmp_path):
+    src = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "by_type.orc")
+    write_orc(src, path, partition_cols=["event_type"])
+    df = load_orc(spark, path).where("event_type = 'purchase'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_type" in pf
+    n = df.count()
+    assert n == src.where("event_type = 'purchase'").count() and n > 0
