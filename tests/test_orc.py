@@ -78,3 +78,31 @@ def test_partitioned_orc_prunes_directories(spark, tmp_path):
     assert "event_type" in pf
     n = df.count()
     assert n == src.where("event_type = 'purchase'").count() and n > 0
+
+
+def test_orc_works_as_streaming_sink(spark, tmp_path):
+    """The format also serves as a Structured Streaming file sink
+    (append mode, exactly-once via the sink's _spark_metadata log) —
+    the ORC twin of the restart goldens' parquet sink."""
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    schema = "ts timestamp, event_id long, user_id long, value double"
+    from datetime import datetime
+
+    rows = [(datetime(2024, 1, 1, 0, 0, s), s, 1, float(s))
+            for s in range(5)]
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(indir)
+    src = read_events_stream(spark, indir, schema)
+    out = str(tmp_path / "out")
+    q = (
+        src.writeStream.outputMode("append").format("orc")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = load_orc(spark, out)
+    assert sorted(r["event_id"] for r in back.collect()) == [0, 1, 2, 3, 4]
