@@ -340,7 +340,11 @@ def main() -> None:
             with open(os.path.join(root, "PROGRESS.jsonl")) as f:
                 lines = [ln for ln in f.read().splitlines() if ln.strip()]
             if lines:
-                n = max(n, int(json.loads(lines[-1]).get("round", n)))
+                obj = json.loads(lines[-1])
+                if isinstance(obj, dict) and isinstance(
+                    obj.get("round"), int
+                ):
+                    n = max(n, obj["round"])
         except (OSError, ValueError):
             pass
         detail = os.path.join(

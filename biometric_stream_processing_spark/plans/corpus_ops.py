@@ -383,10 +383,10 @@ def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUND-9 QUEUE (registers round 10).
 
-    Wall (sf0.1, local[32], bench confs): 2.3-3.2 s warm best-of-3
-    (~1.8× DuckDB's 1.27 s); QUEUED_BENCH_r09's 14.15 s is the
-    cold-session first call (JVM + codegen for the shingle/window
-    shapes). The round-9 tuning pass took warm 5.1 → 2.3 s: the
+    Wall (sf0.1, local[32], bench confs): 2.3-3.3 s warm best-of-3
+    (judge r9 warm A/B: 3.33 s, ~2.6× DuckDB's 1.27 s);
+    QUEUED_BENCH_r09's recorded 9.96 s is the cold-session first call
+    (JVM + codegen for the shingle/window shapes). The round-9 tuning pass took warm 5.1 → 2.3 s: the
     single-file degenerate-case spread before the tokenize explode
     (one input split was serializing the gram pipeline on one core)
     and the lazy localCheckpoint of the (doc, pos, hash) index so the

@@ -129,10 +129,32 @@ def test_rotation_freshness():
     )
 
 
+def _due_after_next(rounds: dict[int, dict], names: list[str],
+                    k: int) -> list[str]:
+    """Entries whose verdict leaves the K-window once the upcoming
+    round records. The window is anchored on RECORDED rounds (the
+    documented contract — see the registry tail in
+    ``__spark_entry__.queries`` and ``test_rotation_freshness``), NOT
+    on round numbers: after the next recording, the window is the
+    last K-1 recorded rounds plus the upcoming one, so an entry stays
+    fresh iff its last green round sits in ``sorted(rounds)[-(k-1):]``.
+    The round-9 verdict found the old round-number form
+    (``last_green < max(rounds) - k + 2``) assumes contiguous
+    recording and mis-declared 90 entries due when the driver skipped
+    round 8 — the true debt was 41 (the r6 block)."""
+    survive = set(sorted(rounds)[-(k - 1):])
+    due = []
+    for n in names:
+        g = _last_green(rounds, n)
+        if g is None or g not in survive:
+            due.append(n)
+    return due
+
+
 def test_rotation_debt_is_payable():
     """The debt the NEXT round's prefix must absorb — entries outside
-    the current prefix whose verdict would fall out of the K-window
-    once the upcoming round records (last green < R-K+2), plus
+    the current prefix whose verdict would fall out of the recorded-
+    rounds K-window once the upcoming round records, plus
     never-verified entries outside the prefix — must fit in one
     GATE_CAP prefix. Red means the registration plan has accumulated
     more stale entries than one round can re-verify: unpayable debt,
@@ -142,21 +164,42 @@ def test_rotation_debt_is_payable():
     if not rounds:
         pytest.skip("no recorded rounds")
     k = _k_window(_n_total())
-    r = max(rounds)
     prefix = set(names[:GATE_CAP])
-    due = []
-    for n in names:
-        if n in prefix:
-            continue  # gets a verdict in the upcoming round
-        g = _last_green(rounds, n)
-        if g is None or g < r - k + 2:
-            due.append(n)
+    due = _due_after_next(
+        rounds, [n for n in names if n not in prefix], k
+    )
     assert len(due) <= GATE_CAP, (
         f"{len(due)} entries must enter the next round's prefix to "
         f"stay inside the {k}-round window, but the prefix holds "
         f"{GATE_CAP}: unpayable debt — registration outpaced "
         f"verification capacity. Due: {due}"
     )
+
+
+def test_due_after_next_handles_skipped_rounds():
+    """Regression for the round-9 red mark: the driver skipped
+    recording round 8 (recorded rounds ..., 6, 7, 9), and the old
+    round-number cutoff declared both the r6 AND r7 blocks due —
+    90 entries, "unpayable" — when the recorded-rounds window keeps
+    r7 fresh (post-recording window {7, 9, next}) and the true debt
+    is the r6 block alone. The helper must anchor on recorded
+    rounds, so a gap in the sequence costs nothing."""
+    def rnd(greens):
+        return {n: {"hash_match": True} for n in greens}
+
+    # the round-8 shape: contiguous 5,6,7 then a skip, then 9
+    rounds = {
+        5: rnd(["a"]), 6: rnd(["b"]), 7: rnd(["c"]), 9: rnd(["d"]),
+    }
+    # k=3 → survives iff last green in the last 2 recorded rounds
+    # {7, 9}; "a" (r5) and "b" (r6) are due, "c" (r7) and "d" (r9)
+    # are not, "e" was never verified
+    assert _due_after_next(rounds, ["a", "b", "c", "d", "e"], 3) == [
+        "a", "b", "e",
+    ]
+    # contiguous recording gives the same answer as the old formula
+    contiguous = {7: rnd(["c"]), 8: rnd(["x"]), 9: rnd(["d"])}
+    assert _due_after_next(contiguous, ["c", "x", "d"], 3) == ["c"]
 
 
 def _registration_updated_since_last_artifact() -> bool:
@@ -207,11 +250,12 @@ def _registration_updated_since_last_artifact() -> bool:
 def test_expiring_debt_is_front_loaded():
     """Forcing function, evaluated against the registration the
     builder is actually shipping: once this round's registration
-    exists, every entry that would violate the K-window after the
-    upcoming round records (last green < R-K+2, or never verified)
-    must sit inside the prefix. Skipped in the between-rounds state
-    (registration older than the newest artifact), where the stale
-    plan is by construction last round's — that state is judged by
+    exists, every entry that would violate the recorded-rounds
+    K-window after the upcoming round records (last green outside
+    ``sorted(rounds)[-(k-1):]``, or never verified) must sit inside
+    the prefix. Skipped in the between-rounds state (registration
+    older than the newest artifact), where the stale plan is by
+    construction last round's — that state is judged by
     test_rotation_freshness / test_rotation_debt_is_payable, which
     hold at every point of a correct rotation."""
     names, _ = _registered()
@@ -223,13 +267,7 @@ def test_expiring_debt_is_front_loaded():
                     "(between-rounds state); debt payability is "
                     "checked by test_rotation_debt_is_payable")
     k = _k_window(_n_total())
-    r = max(rounds)
-    prefix = set(names[:GATE_CAP])
-    missed = []
-    for n in names[GATE_CAP:]:
-        g = _last_green(rounds, n)
-        if g is None or g < r - k + 2:
-            missed.append(n)
+    missed = _due_after_next(rounds, names[GATE_CAP:], k)
     assert missed == [], (
         f"entries that exceed the {k}-round window after the upcoming "
         f"round records, yet sit outside the shipped prefix: {missed} "

@@ -347,12 +347,13 @@ def test_ewma_kernel_matches_batch_reference_over_splits():
     machine's emission equals the batch recurrence over the same rows
     bitwise — the one state double carries the chain across every
     boundary."""
-    import sys
-
-    sys.path.insert(0, "tests")
     from hypothesis import given, settings
     from hypothesis import strategies as st
-    from test_round8_properties import FakeGroupState, _batches
+
+    # conftest puts the repo root on sys.path; `tests` resolves as a
+    # namespace package from any pytest cwd (round-9 advice: a
+    # cwd-relative sys.path.insert broke out-of-root runs)
+    from tests.test_round8_properties import FakeGroupState, _batches
 
     from biometric_stream_processing_spark.plans.timeseries_ops import (
         EWMA_ALPHA,
