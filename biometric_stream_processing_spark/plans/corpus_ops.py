@@ -808,57 +808,70 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus distribution by construction, so the divergence is always
     finite.
 
-    Determinism: the per-word log ratio ln((stf/ns)/(ctf/n)) is
+    Determinism: the per-word log ratio decomposes as
+    ln((stf/ns)/(ctf/n)) = ln(stf/ctf) + ln(n/ns); each part is
     computed from bit-identical double divisions of exact integers
-    and rounded at 6 dp BEFORE the weighted sum (kills libm ln ulp
-    divergence — the PMI/tf-idf trick); the Σ stf·lp accumulation is
-    exact DECIMAL (12,6 × 18,0 → 31,6, under the 38 cap), so the
-    aggregate is order-independent.
+    and rounded at 6 dp BEFORE use (kills libm ln ulp divergence —
+    the PMI/tf-idf trick); the Σ stf·r₁ accumulation is exact
+    DECIMAL (12,6 × 18,0 → 31,6, under the 38 cap), so the aggregate
+    is order-independent, and since Σ_w stf = ns the per-source part
+    adds AFTER aggregation as a constant: kl = wsum/ns + r₂.
 
     Scale: derives from the memoized doc-term matrix
     (``shared_doc_tf``) joined to the narrow (doc_id, source)
     projection — co-partitioned on doc_id, no token-stream second
-    pass; the (source, word) rollup partial-aggregates map-side and
-    is lazily localCheckpointed (the bigram-model pattern) so its
-    THREE consumers — the scored relation, the vocabulary and the
-    per-source totals — read one materialization instead of
-    re-deriving the corpus pass each; the vocabulary and totals
-    re-join as broadcasts (hot words are single pre-aggregated rows,
-    |sources| is tiny). ROUND-9 QUEUE (registers round 10)."""
+    pass. The decomposition is what makes the plan scale-shaped: the
+    per-row term needs only ctf, a window over ``word`` (hot words
+    spread at most |sources| rows per key — no skew, and no
+    vocabulary broadcast, which a 10⁹-word corpus could never ship);
+    ns and n appear only AFTER the per-source roll-up, on a relation
+    whose cardinality is |sources| by construction, where an
+    unpartitioned window is a single trivial task. Round-10 rework
+    of the queued round-9 shape (lazy localCheckpoint + 3 broadcast
+    re-joins): 14 Spark jobs → 7, warm sf0.1 1.31 → 0.52 s
+    (isolated best-of-3; sf0.001 0.48 s — ~90% of the residue is
+    scheduling floor, the pinned sub-second price of a 5-stage dag).
+    ROUND-9 QUEUE (registers round 10)."""
+    from pyspark.sql import Window
+
     tf = shared_doc_tf(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     stf = (
         tf.join(docs, "doc_id")
         .groupBy("source", "word")
         .agg(F.sum("tf").alias("stf"))
-        .localCheckpoint(eager=False)
     )
-    vocab = stf.groupBy("word").agg(F.sum("stf").alias("ctf"))
-    src_tot = stf.groupBy("source").agg(F.sum("stf").alias("ns"))
-    tot = vocab.agg(F.sum("ctf").cast("double").alias("n"))
-    lp = (
-        stf.join(F.broadcast(vocab), "word")
-        .join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(tot))
-        .select(
-            "source", "stf",
-            F.round(
-                F.log(
-                    (F.col("stf").cast("double")
-                     / F.col("ns").cast("double"))
-                    / (F.col("ctf").cast("double") / F.col("n"))
-                ), 6,
-            ).alias("lp"),
-        )
+    scored = stf.select(
+        "source", "stf",
+        F.round(
+            F.log(
+                F.col("stf").cast("double")
+                / F.sum("stf").over(Window.partitionBy("word"))
+                    .cast("double")
+            ), 6,
+        ).alias("r1"),
     )
-    return lp.groupBy("source").agg(
+    per_src = scored.groupBy("source").agg(
         F.sum("stf").alias("n_tokens"),
         F.count("*").alias("n_words"),
+        F.sum(
+            F.col("r1").cast("decimal(12,6)")
+            * F.col("stf").cast("decimal(18,0)")
+        ).alias("wsum"),
+    )
+    n = F.sum("n_tokens").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("double")
+    return per_src.select(
+        "source", "n_tokens", "n_words",
         F.round(
-            F.sum(
-                F.col("lp").cast("decimal(12,6)")
-                * F.col("stf").cast("decimal(18,0)")
-            ).cast("double") / F.sum("stf").cast("double"),
+            F.col("wsum").cast("double")
+            / F.col("n_tokens").cast("double")
+            + F.round(
+                F.log(n / F.col("n_tokens").cast("double")), 6
+            ),
             6,
         ).alias("kl_nats"),
     )
@@ -1181,33 +1194,34 @@ ORACLE["doc_duplicate_spans"] = f"""
 """
 
 # ROUND-9 QUEUE (registers round 10): the same (source, word) counts
-# via direct explode (≡ Σ per-doc tf), the same double-ratio → 6-dp
-# ln → exact-DECIMAL weighted sum as the Spark plan.
+# via direct explode (≡ Σ per-doc tf), then the decomposed recipe the
+# Spark plan states — r₁ = round6(ln(stf/ctf)) weighted in exact
+# DECIMAL, plus the per-source constant r₂ = round6(ln(n/ns)) added
+# after aggregation (Σ_w stf = ns makes the split exact in reals; the
+# 6-dp rounds are the recipe's definition on both engines).
 ORACLE["source_unigram_kl"] = f"""
     WITH stf AS (
       SELECT source, word, count(*)::BIGINT AS stf FROM (
         SELECT source, unnest({_WS}) AS word FROM documents
       ) GROUP BY source, word
-    ), vocab AS (
-      SELECT word, sum(stf)::BIGINT AS ctf FROM stf GROUP BY word
-    ), srct AS (
-      SELECT source, sum(stf)::BIGINT AS ns FROM stf GROUP BY source
-    ), tot AS (SELECT sum(ctf)::DOUBLE AS n FROM vocab),
-    lp AS (
-      SELECT s.source, s.stf,
-             round(ln((s.stf::DOUBLE / t2.ns::DOUBLE)
-                      / (v.ctf::DOUBLE / tot.n)), 6) AS lp
-      FROM stf s
-      JOIN vocab v USING (word)
-      JOIN srct t2 USING (source)
-      CROSS JOIN tot
+    ), scored AS (
+      SELECT source, stf,
+             round(ln(stf::DOUBLE
+                      / (sum(stf) OVER (PARTITION BY word))::DOUBLE),
+                   6) AS r1
+      FROM stf
+    ), per_src AS (
+      SELECT source, sum(stf)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_words,
+             sum(CAST(r1 AS DECIMAL(12,6))
+                 * CAST(stf AS DECIMAL(18,0))) AS wsum
+      FROM scored GROUP BY source
     )
-    SELECT source, sum(stf)::BIGINT AS n_tokens,
-           count(*)::BIGINT AS n_words,
-           round(CAST(sum(CAST(lp AS DECIMAL(12,6))
-                          * CAST(stf AS DECIMAL(18,0))) AS DOUBLE)
-                 / sum(stf)::DOUBLE, 6) AS kl_nats
-    FROM lp GROUP BY source
+    SELECT source, n_tokens, n_words,
+           round(CAST(wsum AS DOUBLE) / n_tokens::DOUBLE
+                 + round(ln((sum(n_tokens) OVER ())::DOUBLE
+                            / n_tokens::DOUBLE), 6), 6) AS kl_nats
+    FROM per_src
 """
 
 QUERIES = {

@@ -275,8 +275,10 @@ def _round6(x: float) -> float:
 
 
 def _ref_kl(texts_by_source: dict[str, list[str]]):
-    """Independent reference of source_unigram_kl's exact recipe:
-    6-dp-rounded per-word log ratio, exact weighted sum."""
+    """Independent reference of source_unigram_kl's exact recipe
+    (the round-10 decomposed form): per-word r₁ = round6(ln(stf/ctf))
+    weighted in exact DECIMAL, plus the per-source constant
+    r₂ = round6(ln(n/ns)) added after the aggregation."""
     import math
     from collections import Counter
     from decimal import Decimal
@@ -294,12 +296,13 @@ def _ref_kl(texts_by_source: dict[str, list[str]]):
         ns = sum(c.values())
         acc = Decimal(0)
         for w, k in c.items():
-            lp = _round6(math.log((k / float(ns)) / (ctf[w] / n)))
-            acc += Decimal(repr(lp)).quantize(Decimal("0.000001")) * k
+            r1 = _round6(math.log(float(k) / float(ctf[w])))
+            acc += Decimal(repr(r1)).quantize(Decimal("0.000001")) * k
+        r2 = _round6(math.log(n / float(ns)))
         out[s] = {
             "n_tokens": ns,
             "n_words": len(c),
-            "kl_nats": _round6(float(acc) / ns),
+            "kl_nats": _round6(float(acc) / ns + r2),
         }
     return out
 
