@@ -747,17 +747,23 @@ def scd2_stream(
 
 
 ATTRIB_OUTPUT_SCHEMA = "channel string, value double"
-# the most recent qualifying touch: its event type and event-time µs
-# (-1 = no touch seen yet) — ONE pair per user, O(1) state
-ATTRIB_STATE_SCHEMA = "touch_type string, touch_us long"
+# the most recent qualifying touch: its event type, event-time µs and
+# event_id (-1 = no touch seen yet) — ONE triple per user, O(1)
+# state. The event_id (round-10, the funnel hc/hp pattern) is the tie
+# arbiter: it anchors the touch's position in the batch twin's
+# (us, event_id) total order, so a same-second row straddling a batch
+# boundary out of event_id order can neither clobber a globally-later
+# touch nor take credit from a touch that globally follows it.
+ATTRIB_STATE_SCHEMA = "touch_type string, touch_us long, touch_eid long"
 
 
 def attribution_fn(touch_types: tuple[str, ...], conversion_type: str,
                    window_s: int):
     """Per-key stateful function for ``attribution_stream``: streaming
-    LAST-TOUCH ATTRIBUTION with one (touch_type, touch_us) pair of
-    state per user — the keyed-state shape of the SCD-2 machine with
-    the run machinery replaced by a single remembered predecessor.
+    LAST-TOUCH ATTRIBUTION with one (touch_type, touch_us, touch_eid)
+    triple of state per user — the keyed-state shape of the SCD-2
+    machine with the run machinery replaced by a single remembered
+    predecessor.
 
     Each conversion is credited against the state BEFORE the row is
     absorbed (strictly-prior semantics — exactly the batch twin's
@@ -766,14 +772,29 @@ def attribution_fn(touch_types: tuple[str, ...], conversion_type: str,
     drops cross-batch late arrivals (F6/W4) and the processor sorts
     within a batch by (us, event_id), so the absorption order equals
     the batch window's total order. Emission is immediate (one row
-    per conversion) — no timers, no flush sentinel needed."""
+    per conversion) — no timers, no flush sentinel needed.
+
+    SAME-SECOND CROSS-BATCH TIES (round 10, the funnel kernel's
+    round-9 lesson applied here): a row at exactly the watermark
+    second is not late, so a tie can straddle a batch boundary with
+    its event_ids inverted. The state's touch_eid repairs both
+    repairable classes — (a) a globally-earlier tie touch arriving a
+    batch late cannot overwrite the remembered globally-later one
+    (absorb guard ``(us, eid) > (tus, teid)``), and (b) a conversion
+    cannot be credited to a touch that globally FOLLOWS it (credit
+    guard ``(tus, teid) < (us, eid)``). The one irreparable class —
+    a credit already emitted when a globally-intervening touch
+    arrives a batch late — would need emission retraction, which
+    append mode cannot express; property-bounded in
+    tests/test_round10_properties.py (emission soundness: every
+    credit names a surviving, globally-prior, in-window touch)."""
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        tt, tus = state.get if state.exists else (None, -1)
+        tt, tus, teid = state.get if state.exists else (None, -1, -1)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         rows: list[tuple[int, int, str, float]] = []
@@ -789,17 +810,18 @@ def attribution_fn(touch_types: tuple[str, ...], conversion_type: str,
 
         out = []
         horizon_us = window_s * 1_000_000
-        for us, _eid, et, val in rows:
+        for us, eid, et, val in rows:
             if et == conversion_type:
-                if tus >= 0 and us - tus <= horizon_us:
+                if (tus >= 0 and us - tus <= horizon_us
+                        and (tus, teid) < (us, eid)):
                     out.append((tt, val))
                 else:
                     out.append(("direct", val))
-            if et in touch_types:
-                tt, tus = et, us
+            if et in touch_types and (us, eid) > (tus, teid):
+                tt, tus, teid = et, us, eid
 
         if tus >= 0:
-            state.update((tt, tus))
+            state.update((tt, tus, teid))
         if out:
             yield pd.DataFrame(out, columns=["channel", "value"])
 
@@ -839,27 +861,52 @@ def attribution_stream(
 
 
 TRANSITION_OUTPUT_SCHEMA = "prev_type string, event_type string"
-# the chain's most recent event: type + event-time µs (-1 = none)
-TRANSITION_STATE_SCHEMA = "prev_type string, prev_us long"
+# the chain's two most recent events in (us, event_id) order: the
+# leader p and the runner-up q (types + event-time µs + event_ids;
+# -1 = none). q (round-10) is what lets a same-second row straddling
+# a batch boundary out of event_id order link to its TRUE predecessor
+# instead of emitting an order-inverted pair.
+TRANSITION_STATE_SCHEMA = (
+    "prev_type string, prev_us long, prev_eid long, "
+    "run_type string, run_us long, run_eid long"
+)
 
 
 def transition_fn(gap_s: int):
     """Per-key stateful function for ``transition_stream``: streaming
-    first-order journey-step mining. State is the single most recent
-    event per user; each admissible row whose distance to that
-    predecessor is within the session gap emits one (prev_type,
-    event_type) step — the streaming form of the batch twin's lag()
-    over (us, event_id) order (``plans/events_ops.transition_counts``).
-    Same exactness contract as the attribution machine: watermark
-    delay 0 + in-batch (us, event_id) sort ⇒ absorption order equals
-    the batch total order, so steps match row-for-row."""
+    first-order journey-step mining. State is the user's two most
+    recent events in the batch twin's (us, event_id) total order —
+    leader p and runner-up q; each admissible row within the session
+    gap of its predecessor emits one (prev_type, event_type) step —
+    the streaming form of the batch twin's lag() over (us, event_id)
+    order (``plans/events_ops.transition_counts``). Same exactness
+    contract as the attribution machine: watermark delay 0 + in-batch
+    (us, event_id) sort ⇒ absorption order equals the batch total
+    order, so steps match row-for-row.
+
+    SAME-SECOND CROSS-BATCH TIES (round 10): a row at the watermark
+    second is not late, so a tie can straddle a batch boundary with
+    event_ids inverted — the arriving row e then globally PRECEDES
+    the remembered leader p. Repaired: e links to its true
+    predecessor (q when ``q < e < p`` in the total order) instead of
+    emitting the order-inverted (p, e) pair, and e replaces q (p's
+    predecessor link for FUTURE rows stays exact). Irreparable,
+    documented: p's own already-emitted step cannot retro-point to e
+    (append mode cannot retract), and an inversion deeper than the
+    two remembered events (e below q) emits nothing rather than a
+    wrong pair. Property-bounded in tests/test_round10_properties.py;
+    on (us, event_id)-ordered arrival — every batch of the oracled
+    single-file source — behavior is byte-identical to the round-9
+    kernel."""
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pt, pus = state.get if state.exists else (None, -1)
+        pt, pus, peid, qt, qus, qeid = (
+            state.get if state.exists else (None, -1, -1, None, -1, -1)
+        )
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         rows: list[tuple[int, int, str]] = []
@@ -874,13 +921,23 @@ def transition_fn(gap_s: int):
 
         out = []
         gap_us = gap_s * 1_000_000
-        for us, _eid, et in rows:
-            if pus >= 0 and us - pus <= gap_us:
-                out.append((pt, et))
-            pt, pus = et, us
+        for us, eid, et in rows:
+            if (us, eid) > (pus, peid):
+                # in-order absorption: p is the true predecessor
+                if pus >= 0 and us - pus <= gap_us:
+                    out.append((pt, et))
+                pt, pus, peid, qt, qus, qeid = et, us, eid, pt, pus, peid
+            elif (us, eid) > (qus, qeid):
+                # tie-zone straddle: e slots between q and p — its
+                # true predecessor is q; e becomes the new runner-up
+                if qus >= 0 and us - qus <= gap_us:
+                    out.append((qt, et))
+                qt, qus, qeid = et, us, eid
+            # deeper inversion (e below q): predecessor unknown —
+            # emit nothing rather than an order-inverted pair
 
         if pus >= 0:
-            state.update((pt, pus))
+            state.update((pt, pus, peid, qt, qus, qeid))
         if out:
             yield pd.DataFrame(out, columns=["prev_type", "event_type"])
 

@@ -1,0 +1,232 @@
+"""Round-10 property tests: same-second cross-batch ties on the
+attribution and transition machines — the round-9 funnel lesson
+(hypothesis found a two-batch same-second counterexample; the kernel
+gained tie-arbiter state) applied to the other two (us, event_id)-
+ordered machines, as the r9 verdict's item 7 prescribed.
+
+Three layers, mirroring the funnel suite's structure:
+
+1. EXACTNESS on (us, event_id)-ordered arrival with heavy equal-
+   second ties straddling batch boundaries — the oracled contract;
+   must equal the batch twin's relation over the global total order.
+2. TARGETED regressions for the two repairable disorder classes the
+   round-10 event_id state fixes (a globally-earlier tie row arriving
+   a batch late): state clobber and order-inverted credit/pair.
+3. SOUNDNESS bounds under ARBITRARY disorder (the funnel's
+   monotone-under-disorder pattern): what the machines emit is always
+   justified by globally-prior surviving rows, even where exact batch
+   parity would need emission retraction (documented irreparable).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biometric_stream_processing_spark.streaming.state import (
+    attribution_fn,
+    transition_fn,
+)
+from tests.test_round8_properties import (
+    CONV,
+    GAP_S,
+    TOUCH,
+    TYPES,
+    WINDOW_S,
+    _batches,
+    _drive,
+    _ref_attribution,
+    _ref_transitions,
+)
+
+# a TINY second domain so most draws collide on the same second and
+# splits put tie runs across batch boundaries
+_TIE_US = st.integers(0, 3).map(lambda s: s * 1_000_000)
+_SPLITS = st.lists(st.integers(1, 4), min_size=0, max_size=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
+    _SPLITS,
+)
+def test_attribution_equal_second_ties_on_ordered_stream(events, splits):
+    """(us, event_id)-sorted arrival chunked at any boundary — equal-
+    second runs straddling batches included — must emit exactly the
+    batch frame's credits over the global total order."""
+    rows = sorted(
+        (us, eid, et, float(eid)) for eid, (us, et) in enumerate(events)
+    )
+    emitted, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert emitted == _ref_attribution(rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
+    _SPLITS,
+)
+def test_transition_equal_second_ties_on_ordered_stream(events, splits):
+    rows = sorted((us, eid, et) for eid, (us, et) in enumerate(events))
+    emitted, _ = _drive(
+        transition_fn(GAP_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type"],
+    )
+    assert emitted == _ref_transitions(rows)
+
+
+S = 1_000_000  # one second in µs
+
+
+def test_attribution_tie_touch_cannot_clobber_later_one():
+    """Repairable class (a): a globally-earlier tie touch arriving a
+    batch late must not overwrite the remembered globally-later touch
+    — the conversion still credits the (us, event_id)-max touch.
+    The round-9 kernel credited 'view' here."""
+    batches = [
+        [(10 * S, 7, "click", 1.0)],
+        [(10 * S, 2, "view", 1.0)],   # same second, smaller event_id
+        [(11 * S, 9, "purchase", 5.0)],
+    ]
+    emitted, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S), batches,
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert emitted == [("click", 5.0)]
+
+
+def test_attribution_conversion_ignores_globally_later_tie_touch():
+    """Repairable class (b): a conversion cannot be credited to a
+    touch that FOLLOWS it in the (us, event_id) total order, even
+    when that touch was absorbed a batch earlier. The round-9 kernel
+    credited 'click' here."""
+    batches = [
+        [(10 * S, 7, "click", 1.0)],
+        [(10 * S, 5, "purchase", 5.0)],  # same second, smaller eid
+    ]
+    emitted, _ = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S), batches,
+        ["tus", "event_id", "event_type", "value"],
+    )
+    assert emitted == [("direct", 5.0)]
+
+
+def test_transition_tie_straddler_links_to_true_predecessor():
+    """A same-second row straddling a batch boundary out of event_id
+    order links to the runner-up (its true predecessor), never
+    emitting the order-inverted pair; the leader's already-emitted
+    step is the documented irreparable residue. The round-9 kernel
+    emitted (click, error) and (error, purchase) here."""
+    batches = [
+        [(9 * S, 1, "view"), (10 * S, 7, "click")],
+        [(10 * S, 2, "error")],  # globally between view and click
+        [(11 * S, 9, "purchase")],
+    ]
+    emitted, _ = _drive(
+        transition_fn(GAP_S), batches,
+        ["tus", "event_id", "event_type"],
+    )
+    # global reference is (view,error),(error,click),(click,purchase);
+    # (view,click) was already out before the straddler arrived
+    assert emitted == [
+        ("view", "click"), ("view", "error"), ("click", "purchase"),
+    ]
+
+
+def test_transition_deep_inversion_emits_nothing():
+    """An inversion deeper than the two remembered events emits no
+    pair at all — soundness over completeness."""
+    batches = [
+        [(10 * S, 5, "view"), (10 * S, 7, "click")],
+        [(10 * S, 1, "error")],  # below the runner-up
+    ]
+    emitted, _ = _drive(
+        transition_fn(GAP_S), batches,
+        ["tus", "event_id", "event_type"],
+    )
+    assert emitted == [("view", "click")]
+
+
+def _permuted_eids(events, seed):
+    """Assign event_ids by a seed-derived permutation of the arrival
+    positions, so same-second rows can ARRIVE event_id-inverted —
+    the tie class the enumerate() harness can never generate (arrival
+    order there IS event_id order)."""
+    import random
+
+    eids = list(range(len(events)))
+    random.Random(seed).shuffle(eids)
+    return eids
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
+    _SPLITS,
+    st.integers(0, 2**32),
+)
+def test_attribution_sound_under_arbitrary_disorder(events, splits, seed):
+    """Under ARBITRARY arrival order — including same-second rows
+    arriving event_id-inverted: exactly one credit per surviving
+    conversion, and every non-direct credit names a surviving touch
+    that is globally prior to its conversion and inside the window
+    (value = event_id keys each credit to its conversion)."""
+    rows = [
+        (us, eid, et, float(eid))
+        for eid, (us, et) in zip(_permuted_eids(events, seed), events)
+    ]
+    emitted, survivors = _drive(
+        attribution_fn(TOUCH, CONV, WINDOW_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type", "value"],
+    )
+    convs = {eid: us for us, eid, et, _v in survivors if et == CONV}
+    touches = [
+        (us, eid, et) for us, eid, et, _v in survivors if et in TOUCH
+    ]
+    assert len(emitted) == len(convs)
+    for ch, val in emitted:
+        c_eid = int(val)
+        c_us = convs[c_eid]
+        if ch == "direct":
+            continue
+        assert any(
+            et == ch and (us, eid) < (c_us, c_eid)
+            and 0 <= c_us - us <= WINDOW_S * 1_000_000
+            for us, eid, et in touches
+        )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
+    _SPLITS,
+    st.integers(0, 2**32),
+)
+def test_transition_sound_under_arbitrary_disorder(events, splits, seed):
+    """Under ARBITRARY arrival order — including same-second rows
+    arriving event_id-inverted: at most one step per surviving row,
+    and every emitted (a, b) pair is witnessed by surviving rows
+    x < y in the global order with those types inside the gap."""
+    rows = [
+        (us, eid, et)
+        for eid, (us, et) in zip(_permuted_eids(events, seed), events)
+    ]
+    emitted, survivors = _drive(
+        transition_fn(GAP_S),
+        _batches(rows, splits),
+        ["tus", "event_id", "event_type"],
+    )
+    assert len(emitted) <= len(survivors)
+    for a, b in emitted:
+        assert any(
+            ea == a and eb == b and (ua, ia) < (ub, ib)
+            and 0 <= ub - ua <= GAP_S * 1_000_000
+            for ua, ia, ea in survivors
+            for ub, ib, eb in survivors
+        )
