@@ -107,125 +107,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_transitions"] = _wrap(
         streaming_pipeline.streaming_transitions
     )
+    all_q["streaming_ewma"] = _wrap(streaming_pipeline.streaming_ewma)
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
     # driver verdict. Rotation policy (CI-enforced by
-    # tests/test_gate_rotation.py): with N registered queries and a
-    # GATE_CAP≈50 verdict prefix, the minimal feasible freshness
-    # window is K = ceil(N / 50) recorded rounds — at N=138 every
-    # entry must be green within the last 3 recorded rounds, and each
-    # round's prefix drains the oldest debt first. ROUND 8 executes
-    # the round-7 obligation exactly as the r7 verdict scheduled it:
-    # the 34 r5-green entries (the oldest debt — r5 leaves the K=3
-    # window when round 8 records) take the front, then the 10-entry
-    # round-7 queue registers for first verdicts, then the 3 entries
-    # whose source/fingerprint changed this round (the corpus-LM
-    # floor pins from the verdict's consolidated measurement pass),
-    # then streaming_funnel (its kernel's tie sort changed this round
-    # — the helper edit doesn't move the GATE_SOURCES fingerprint, so
-    # it is front-loaded by hand per the rotation policy) and 2
-    # oldest-r6 fills that shrink the round-9 obligation.
-    # values_frame's conf set/restore rework (round-7 advice) is
-    # conf-only (result-identical, unit-tested) and does not force
-    # re-verification of its consumers — the same precedent as
-    # round 7's memo.py lock rework. Registration order is also bench
-    # order, so shared-subtree owners precede their composites (memo
-    # billing is annotated per round in BENCH_DETAIL via bench.py's
-    # memo_owner map; the round-8 moves: doc_perplexity_buckets picks
-    # up the doc-term-matrix + unigram-score bills, minhash_lsh_pairs
-    # the LSH pair chain, corpus_token_budget the clean-corpus chain,
-    # contamination_overlaps the winnow sketch,
-    # decontaminated_train_docs the decontamination index).
+    # tests/test_gate_rotation.py): with N registered+queued entries
+    # and a GATE_CAP≈50 verdict prefix, the minimal feasible
+    # freshness window is K = ceil(N / 50) RECORDED rounds (the
+    # window anchors on recorded rounds — the driver skipped
+    # recording round 8 entirely, and a gap in the sequence costs
+    # nothing); each round's prefix drains the oldest debt first,
+    # then first-verdicts for the queue, then source-changed
+    # re-verifications, then oldest-fresh fills. Registration order
+    # is also bench order, so shared-subtree owners precede their
+    # composites (billing annotated per round in BENCH_DETAIL via
+    # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 9 — the driver never recorded round 8's artifacts (no
-    # CORRECTNESS_r08.json / BENCH_r08.json exist; recorded rounds
-    # remain r1-r7), so the round-8 front above never received its
-    # verdicts and is STILL the outstanding debt: the 34 r5-green
-    # entries (now two rounds overdue — r5 leaves the K=3 window the
-    # moment the next round records, whatever number the driver
-    # stamps on it) and the 10 never-verified round-7 queue entries
-    # must keep the prefix. The r6-green block does NOT expire this
-    # round (the post-recording window is {r6, r7, next}), so the
-    # only change vs the shipped round-8 plan is the last two slots:
-    # the two r6-green fills (embedding_kmeans_quality,
-    # decontaminated_train_docs — fresh through the next window)
-    # return to the tail head, yielding their slots to first verdicts
-    # for the round-8 queue (streaming_attribution,
-    # streaming_transitions). Their memo ownership is unchanged by
-    # the move: both still precede every consumer of their memos in
-    # bench order (kmeans map before embedding_kmeans_cells; the
-    # decontamination index before training_corpus /
-    # dedup_pipeline_report).
+    # ROUND 10 (recorded rounds r1-r7, r9): r6 leaves the window when
+    # this round records (post-recording window {r7, r9, r10}), so
+    # the 41-entry r6-green block is the obligation; the 5-entry
+    # round-9 queue takes first verdicts; the two streaming machines
+    # whose kernel gained tie-arbiter state this round re-verify; and
+    # the 2 spare slots promote the oldest r7-greens to shave the
+    # round-11 obligation (the r7 block, ~47 entries, rotates then).
+    # MEMO_OWNERS moves are the pre-planned ones: the doc-term-matrix
+    # bill leaves doc_perplexity_buckets (now tail; it keeps the
+    # unigram-scores bill — still the first of that memo's two
+    # consumers) for doc_repetition_stats at front 4; the clean
+    # corpus, LSH pair chain and training-corpus capstone bill to
+    # training_corpus at front 3 (the r6-order precedent); the
+    # embedding closure to embedding_dup_clusters (front 9), the text
+    # closure to near_dup_representatives (front 10), the IVF cells
+    # to ivf_recall_report (front 36); the winnow sketch stays with
+    # contamination_overlaps (tail head).
     front = [
-        # --- ROUND-8 OBLIGATION: last green r5 — 34 entries,
-        # relative order preserved from the r7 tail ---
-        "contamination_overlaps",
-        "dedup_exact", "minhash_lsh_pairs",
-        "near_dup_clusters", "simhash_fingerprints",
-        "simhash_dup_pairs",
-        "embedding_topk", "embedding_ivf_topk",
-        "embedding_similar_pairs_bucketed",
-        "corpus_token_budget", "cross_modal_dup_agreement",
-        "asof_latest_reading", "cogrouped_purchase_values",
-        "event_type_stats", "funnel_view_click_purchase",
-        "approx_percentile_bounds", "doc_text_stats",
-        "doc_token_counts", "doc_lang_quality",
-        "streaming_alert_windows_update",
-        "streaming_alert_windows_complete",
-        "streaming_dedup_canonicals",
-        "multimodal_meta", "multimodal_frame_samples",
-        "multimodal_features",
-        "parse_props_json", "serialize_events_json",
-        "interval_join_pairs", "full_outer_daily",
-        "tumbling_hourly", "user_sessions",
-        "props_map_entries", "salted_distinct_users",
-        "native_session_stats",
-        # --- the round-7 queue registers (first driver verdicts;
-        # queue order preserved — doc_perplexity_buckets is the first
-        # doc-term-matrix consumer in the whole round-8 order) ---
-        "fuzzy_name_matches", "event_type_ohlc",
-        "purchase_attribution", "doc_perplexity_buckets",
-        "embedding_rrf_fusion", "session_transitions",
-        "event_skew_profile", "label_centroid_report",
-        "streaming_ohlc", "doc_passage_dedup",
-        # --- source changed round 8: the corpus-LM wall-time family
-        # re-measured per the r7 verdict (item 5) and closed with
-        # floor pins in their docstrings — the docstring edits move
-        # their GATE_SOURCES fingerprints, so they re-verify here ---
-        "doc_unigram_logprob", "doc_bigram_logprob",
-        "doc_tfidf_keywords",
-        # --- source-changed round 8 (late): funnel_fn's same-second
-        # tie sort became stage-ranked (view < click < purchase) to
-        # match the batch plan's inclusive conditional minima — a
-        # kernel/helper edit, front-loaded by hand ---
-        "streaming_funnel",
-        # --- round-8 queue: first driver verdicts (queue order
-        # preserved; no shared memos — both are staged-source
-        # streaming twins reading events.parquet directly) ---
-        "streaming_attribution",
-        "streaming_transitions",
-    ]
-    tail = [
-        # ROUND-10 OBLIGATION (the K=3 schedule, debt-oldest-first;
-        # recorded rounds are r1-r7 — round 8's artifacts were never
-        # written, so this round's recording is the first since r7):
-        # when the NEXT round records, r6 falls out of the window
-        # (last-3 = {r7, this round, next}) — the 41-entry r6-green
-        # block below (the 39 parked last round plus the two fills
-        # returned from the round-8 front) must fill the round-10
-        # prefix, alongside first verdicts for anything the round-9
-        # queue holds and any round-10 source-changed entries.
-        # user_value_ewma (green r7) stays fresh through that window
-        # and rotates in round 11 with the r7 block.
-        # Relative order preserved from r6 so tail memo billing stays
-        # comparable; the two returned fills lead the block (their
-        # memos — the kmeans training/assignment map and the
-        # decontamination index — must stay ahead of their consumers
-        # embedding_kmeans_cells / training_corpus /
-        # dedup_pipeline_report).
-        #
-        # --- last green r6 (oldest debt → round-10 front) ---
+        # ROUND 10 executes the round-9 plan verbatim (the pre-planned
+        # note that sat at the tail head last round): the 41-entry
+        # r6-green block — the oldest debt; r6 leaves the K=3 window
+        # when this round records (post-recording window
+        # {r7, r9, r10}) — takes the front IN ITS r6 RELATIVE ORDER,
+        # the two returned fills leading so their memos (the kmeans
+        # training/assignment map, the decontamination index) precede
+        # their consumers (embedding_kmeans_cells at 39;
+        # training_corpus at 3).
+        # --- last green r6 (oldest debt) — 41 entries ---
         "embedding_kmeans_quality", "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
         "nation_pair_volume", "embedding_srp_pairs",
@@ -249,28 +175,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_approx_users", "streaming_native_dedup",
         "embedding_kmeans_cells", "streaming_anomalies",
         "streaming_state_history",
-        # user_value_ewma: green r7 (kernel-rework re-verification),
-        # rotates with the r7 block below
+        # --- the round-9 queue registers (first driver verdicts;
+        # queue order preserved). source_unigram_kl reads the
+        # doc-term-matrix memo that doc_repetition_stats (front 4)
+        # owns this round; its round-10 log-decomposition rework
+        # (14 jobs → 7, warm 1.31 → 0.52 s) re-verified hash-green
+        # before registering. doc_duplicate_spans owns only its own
+        # island index (not shared). ---
+        "doc_duplicate_spans", "embedding_int8_recall",
+        "source_unigram_kl", "streaming_ewma",
+        "user_cadence_profile",
+        # --- source changed round 10: the attribution/transition
+        # kernels gained tie-arbiter state for same-second
+        # cross-batch ties (the round-9 funnel lesson;
+        # streaming/state.py is a helper file, so the GATE_SOURCES
+        # fingerprint does not move — front-loaded by hand per the
+        # documented limitation) ---
+        "streaming_attribution", "streaming_transitions",
+        # --- 2 spare slots → oldest-r7 greens, shaving the round-11
+        # obligation (the ~47-entry r7 block rotates then) ---
+        "biometric_union", "alert_windows",
+    ]
+    tail = [
+        # ROUND-11 OBLIGATION (the K=3 schedule, debt-oldest-first;
+        # recorded rounds r1-r7, r9, and — once this round records —
+        # r10; the window anchors on RECORDED rounds, the round-8 gap
+        # costs nothing): when round 11 records, r7 leaves the window
+        # (last-3 = {r9, r10, r11}) — user_value_ewma plus the
+        # 44-entry r7-green block at the bottom of this tail must
+        # fill the round-11 prefix (47 slots with user_value_ewma,
+        # after this round's two r7 promotions), alongside first
+        # verdicts for the round-10 queue and any round-11
+        # source-changed entries. The r9-green block directly below
+        # stays fresh through round 11 and rotates in round 12.
+        #
+        # --- last green r9 (r9 front order preserved so memo billing
+        # stays comparable; contamination_overlaps leads — it owns
+        # the winnow-fingerprint memo that doc_winnow_fingerprints at
+        # the very end reads) ---
+        "contamination_overlaps",
+        "dedup_exact", "minhash_lsh_pairs",
+        "near_dup_clusters", "simhash_fingerprints",
+        "simhash_dup_pairs",
+        "embedding_topk", "embedding_ivf_topk",
+        "embedding_similar_pairs_bucketed",
+        "corpus_token_budget", "cross_modal_dup_agreement",
+        "asof_latest_reading", "cogrouped_purchase_values",
+        "event_type_stats", "funnel_view_click_purchase",
+        "approx_percentile_bounds", "doc_text_stats",
+        "doc_token_counts", "doc_lang_quality",
+        "streaming_alert_windows_update",
+        "streaming_alert_windows_complete",
+        "streaming_dedup_canonicals",
+        "multimodal_meta", "multimodal_frame_samples",
+        "multimodal_features",
+        "parse_props_json", "serialize_events_json",
+        "interval_join_pairs", "full_outer_daily",
+        "tumbling_hourly", "user_sessions",
+        "props_map_entries", "salted_distinct_users",
+        "native_session_stats",
+        "fuzzy_name_matches", "event_type_ohlc",
+        "purchase_attribution", "doc_perplexity_buckets",
+        "embedding_rrf_fusion", "session_transitions",
+        "event_skew_profile", "label_centroid_report",
+        "streaming_ohlc", "doc_passage_dedup",
+        "doc_unigram_logprob", "doc_bigram_logprob",
+        "doc_tfidf_keywords",
+        "streaming_funnel",
+        # user_value_ewma: green r7, rotates with the r7 block below
         "user_value_ewma",
-        # ROUND-10 FRONT, pre-planned (move, don't rethink): the 41
-        # r6-green entries above IN THIS ORDER, then the round-9
-        # queue in queue order (doc_duplicate_spans,
-        # embedding_int8_recall, source_unigram_kl, streaming_ewma,
-        # user_cadence_profile) = 46 slots; the remaining ~4 go to
-        # round-10 source-changed re-verifications, else to the
-        # oldest r7-greens below (biometric_union first) to shave the
-        # round-11 obligation. MEMO_OWNERS moves to expect: the
-        # doc-term-matrix bill leaves doc_perplexity_buckets (drops
-        # to tail) for the first round-10 doc_tf consumer —
-        # doc_repetition_stats at obligation position 4; the
-        # unigram-score bill goes to whichever of its only two
-        # consumers (doc_unigram_logprob / doc_perplexity_buckets,
-        # both tail in round 10) runs first; source_unigram_kl's stf
-        # rollup derives from the doc_tf memo (reads, never owns).
-        # --- last green r7 (fresh through the next recorded round;
+        # --- last green r7 (fresh through this round's recording;
         # rotate in round 11 when r7 leaves the window). r7 front
-        # order preserved ---
-        "biometric_union", "alert_windows", "alerts_throttled",
+        # order preserved; biometric_union and alert_windows promoted
+        # to this round's spare front slots ---
+        "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
         "distinct_user_type_pairs", "top_orders",
@@ -306,14 +284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
-    in ``queries()`` when the verdict prefix is full. The round-8
-    queue (streaming_attribution, streaming_transitions) registered
-    in the round-9 front. Round-9 additions queue here for round-10
-    registration — the round-10 prefix already owes the 41-entry
-    r6-green block, capping this queue at ~5 entries — it is now AT
-    that cap (41 + 5 = 46 prefix slots committed, leaving ~4 for
-    round-10 source-changed re-verifications): round 9 queues
-    nothing further.
+    in ``queries()`` when the verdict prefix is full. The round-9
+    queue (doc_duplicate_spans, embedding_int8_recall,
+    source_unigram_kl, streaming_ewma, user_cadence_profile)
+    registered in the round-10 front. Round-10 additions queue here
+    for round-11 registration — the round-11 prefix owes the
+    47-entry r7-green block (user_value_ewma + the 44 parked
+    r7-greens + source-changed), capping this queue at ~2 entries.
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -324,26 +301,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__wrapped__ = fn
         return run
 
-    return {
-        # ExactSubstr-style duplicated-span extraction (Lee et al.
-        # 2022): cross-doc k-gram flags → islands → interval union
-        # (plans/corpus_ops.py)
-        "doc_duplicate_spans": _wrap(corpus_ops.doc_duplicate_spans),
-        # int8-quantization recall gate: dual integer rankings over
-        # one pair scan, zero ulp surface (plans/documents_ops.py)
-        "embedding_int8_recall": _wrap(
-            documents_ops.embedding_int8_recall
-        ),
-        # per-source unigram KL drift: doc-term-matrix consumer,
-        # 6-dp ln + exact-DECIMAL weighted sum (plans/corpus_ops.py)
-        "source_unigram_kl": _wrap(corpus_ops.source_unigram_kl),
-        # streaming EWMA twin: one smoothed double of keyed state,
-        # shares the batch recurrence oracle (streaming/pipeline.py)
-        "streaming_ewma": _wrap(streaming_pipeline.streaming_ewma),
-        # temporal bot detection: per-user inter-arrival CV, exact
-        # integer moments → one IEEE double dag (plans/events_ops.py)
-        "user_cadence_profile": _wrap(events_ops.user_cadence_profile),
-    }
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:

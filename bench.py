@@ -121,66 +121,63 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = the round-5 owner.
 MEMO_OWNERS = {
-    # Round-9 registration keeps the round-8 front (the driver never
-    # recorded round 8, so that prefix still owes its verdicts): the
-    # r5-green obligation block FIRST (positions 1-34), then the
-    # round-7 queue (35-44), the corpus-LM re-pins (45-47),
-    # streaming_funnel (48), and the round-8 queue's first verdicts
-    # (49-50: streaming_attribution, streaming_transitions — staged
-    # streaming twins, no shared memos). The two r6-green fills
-    # (embedding_kmeans_quality, decontaminated_train_docs) returned
-    # to the tail HEAD, still ahead of every consumer of their memos
-    # (embedding_kmeans_cells / training_corpus /
-    # dedup_pipeline_report), so every owner below is unchanged from
-    # the round-8 map. Each "prev" = the round-7 owner.
+    # Round-10 registration: the 41-entry r6-green obligation block
+    # leads IN ITS r6 RELATIVE ORDER (positions 1-41), then the
+    # round-9 queue (42-46), the two tie-repaired streaming kernels
+    # (47-48) and two promoted r7-greens (49-50). Because the front
+    # replicates the r6 order, the owner map below is the
+    # BENCH_DETAIL_r06 precedent almost verbatim; "prev" = the
+    # round-9 owner, so round-over-round per-query diffs separate
+    # billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # decontaminated_train_docs (front 50) precedes training_corpus /
-    # dedup_pipeline_report (both tail) — the decontamination index
-    # bills revert to their round-6 owner
     "decontam_gram_index": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
+        "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
-    # training_corpus (tail 51) is the first consumer of its own
-    # capstone rows again
+        "prev": "decontaminated_train_docs"},
+    # training_corpus (front 3) is the first consumer of its own
+    # capstone rows, the clean-corpus chain AND the LSH pair chain —
+    # expect its first bench reading to carry all three (the r6
+    # precedent: 5.9 s there) while corpus_token_budget,
+    # minhash_lsh_pairs and dedup_pipeline_report (all tail) drop to
+    # cached-read time
     "training_corpus_rows": {
-        "owner": "training_corpus", "prev": "dedup_pipeline_report"},
-    # corpus_token_budget (front 10) reads documents_clean_corpus —
-    # first clean-corpus-chain consumer in the round-8 order
+        "owner": "training_corpus", "prev": "training_corpus"},
     "clean_corpus": {
-        "owner": "corpus_token_budget", "prev": "dedup_pipeline_report"},
-    # minhash_lsh_pairs (front 3) precedes every other LSH consumer
+        "owner": "training_corpus", "prev": "corpus_token_budget"},
     "text_lsh_pairs": {
-        "owner": "minhash_lsh_pairs", "prev": "dedup_pipeline_report"},
-    # doc_perplexity_buckets (front 38, first registration) is the
-    # first doc-term-matrix AND first unigram-score consumer — expect
-    # its first bench reading to carry both materializations while
-    # doc_unigram_logprob (front 45) and corpus_vocab_topk (tail)
-    # drop to cached-read time (~0.17 s warm, pinned in the
-    # doc_unigram_logprob docstring)
+        "owner": "training_corpus", "prev": "minhash_lsh_pairs"},
+    # the doc-term-matrix bill moves to its first round-10 consumer
+    # (doc_repetition_stats, front 4 — the r6 owner); the
+    # unigram-scores memo stays with doc_perplexity_buckets, still
+    # the first of its two consumers in the tail (doc_unigram_logprob
+    # reads it later). source_unigram_kl (front 44) READS doc_tf,
+    # never owns it.
     "doc_term_matrix": {
-        "owner": "doc_perplexity_buckets", "prev": "corpus_vocab_topk"},
+        "owner": "doc_repetition_stats",
+        "prev": "doc_perplexity_buckets"},
     "unigram_scores": {
-        "owner": "doc_perplexity_buckets", "prev": "doc_unigram_logprob"},
-    # unchanged: the r5 block leads again, so the closure/IVF owners
-    # keep their round-7 (= round-5) assignments
+        "owner": "doc_perplexity_buckets",
+        "prev": "doc_perplexity_buckets"},
+    # closure/IVF owners follow the r6-order precedent: the first
+    # front consumer of each eager memo pays
     "embedding_cluster_closure": {
-        "owner": "cross_modal_dup_agreement",
+        "owner": "embedding_dup_clusters",
         "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
-        "owner": "near_dup_clusters", "prev": "near_dup_clusters"},
+        "owner": "near_dup_representatives",
+        "prev": "near_dup_clusters"},
     "ivf_cell_assignment": {
-        "owner": "embedding_ivf_topk", "prev": "embedding_ivf_topk"},
-    # contamination_overlaps (front 1) builds the winnow sketch that
-    # doc_winnow_fingerprints (tail) then reads from the bench's lazy
-    # persist
+        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
+    # contamination_overlaps leads the tail (its r9-front order) and
+    # still pays the winnow sketch that doc_winnow_fingerprints (the
+    # last tail entry) reads from the bench's lazy persist
     "winnow_fingerprints": {
         "owner": "contamination_overlaps",
-        "prev": "doc_winnow_fingerprints"},
+        "prev": "contamination_overlaps"},
 }
 
 BENCH_CONFS = {

@@ -1239,7 +1239,7 @@ QUERIES = {
     # round-7 queue, registered round 8
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_passage_dedup": doc_passage_dedup,
-    # doc_duplicate_spans is ROUND-9 QUEUED (__spark_entry__
-    # .queued_queries references it directly); it joins this dict
-    # when the round-10 registration promotes it into the prefix
+    # round-9 queue, registered round 10
+    "doc_duplicate_spans": doc_duplicate_spans,
+    "source_unigram_kl": source_unigram_kl,
 }

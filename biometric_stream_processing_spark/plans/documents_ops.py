@@ -2583,4 +2583,6 @@ QUERIES = {
     # round-7 queue, registered round 8
     "embedding_rrf_fusion": embedding_rrf_fusion,
     "label_centroid_report": label_centroid_report,
+    # round-9 queue, registered round 10
+    "embedding_int8_recall": embedding_int8_recall,
 }

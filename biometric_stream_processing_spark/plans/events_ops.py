@@ -1113,4 +1113,6 @@ QUERIES = {
     "purchase_attribution": purchase_attribution,
     "session_transitions": session_transitions,
     "event_skew_profile": event_skew_profile,
+    # round-9 queue, registered round 10
+    "user_cadence_profile": user_cadence_profile,
 }
