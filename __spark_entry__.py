@@ -301,7 +301,15 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__wrapped__ = fn
         return run
 
-    return {}
+    return {
+        # streaming cadence twin (the round-9 verdict's pre-identified
+        # candidate): n/Σ/Σ² keyed moment state, shares the batch
+        # cadence oracle and the cadence_finish dag
+        # (streaming/pipeline.py)
+        "streaming_user_cadence": _wrap(
+            streaming_pipeline.streaming_user_cadence
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -315,6 +323,11 @@ def oracle_sql() -> dict[str, str]:
     # streaming EWMA twin shares the batch recurrence oracle (same
     # single-batch total-order argument as the z-score twin)
     o["streaming_ewma"] = timeseries_ops.ORACLE["user_value_ewma"]
+    # streaming cadence twin (ROUND-10 QUEUE): single-batch source ⇒
+    # the moment accumulation order equals the batch (us, event_id)
+    # total order and the shared cadence_finish dag emits the batch
+    # profile relation verbatim
+    o["streaming_user_cadence"] = events_ops.ORACLE["user_cadence_profile"]
     # streaming funnel over a single-batch source emits the batch
     # funnel relation (cross-batch cadence golden-tested)
     o["streaming_funnel"] = events_ops.ORACLE["funnel_view_click_purchase"]

@@ -529,7 +529,22 @@ def cadence_profile(
             F.col("_gap_ms").cast("decimal(18,0)")
             * F.col("_gap_ms").cast("decimal(18,0)")
         ).alias("_s2"),
-    ).where(F.col("n_gaps") >= min_gaps)
+    )
+    return cadence_finish(agg, min_gaps, bot_cv)
+
+
+def cadence_finish(
+    agg: DataFrame,
+    min_gaps: int = CADENCE_MIN_GAPS,
+    bot_cv: float = CADENCE_BOT_CV,
+) -> DataFrame:
+    """The cadence profile's derivation dag over exact moment sums —
+    shared by the batch plan above and the streaming twin
+    (``streaming/pipeline.streaming_user_cadence``), so the two
+    surfaces cannot drift: ``agg`` carries (user_id, n_gaps BIGINT,
+    _s BIGINT, _s2 exact DECIMAL) and everything here is the fixed
+    IEEE double dag the batch docstring describes."""
+    agg = agg.where(F.col("n_gaps") >= min_gaps)
     nd = F.col("n_gaps").cast("double")
     sd = F.col("_s").cast("double")
     s2d = F.col("_s2").cast("double")

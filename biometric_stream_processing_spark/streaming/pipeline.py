@@ -1120,6 +1120,63 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_user_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TEMPORAL BOT-CADENCE PROFILING — the streaming twin
+    of ``plans/events_ops.user_cadence_profile``, whose DuckDB oracle
+    it shares: per-user inter-arrival moments (n, Σ, Σ² over exact
+    integer-ms gaps) held in six longs of keyed state
+    (``state.cadence_stream``; Σ² rides as hi/lo longs so the
+    near-BIGINT square sum stays exact). Each batch-with-data emits
+    the user's current moment snapshot; every moment is monotone, so
+    the LATEST snapshot per user — a max(struct) over the memory
+    sink — carries the full stream's sums, and the profile derives
+    through the SAME ``cadence_finish`` IEEE dag as the batch plan
+    (shared code: the two surfaces cannot drift). With the
+    single-file source the whole table is one micro-batch and the
+    kernel's (us, event_id) sort makes absorption order equal the
+    batch total order, so the finished relation equals the batch
+    profile exactly; cross-batch moment continuation and the
+    same-second tie guard are property-tested in
+    tests/test_round10_properties.py and golden-tested in
+    test_streaming_cadence.py. ROUND-10 QUEUE (registers round 11).
+
+    Wall (sf0.1, local[32]): QUEUED_BENCH_r10's 18.0 s is the
+    cold-session first run (staged-source + checkpoint setup — the
+    twin floor, cf. streaming_attribution's 15.4 s); warm
+    same-session best-of-3 is 3.1 s, in line with the other
+    Python-stateful twins on this host generation
+    (streaming_abandoned_clicks 4.0 s isolated this round)."""
+    import os
+    import uuid
+
+    from ..plans.events_ops import cadence_finish
+    from .state import cadence_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        out = cadence_stream(src)
+        name = "cadence_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_cad_"))
+    latest = out.groupBy("user_id").agg(
+        F.max(F.struct("n_gaps", "s2_hi", "s2_lo", "s")).alias("_m")
+    )
+    agg = latest.select(
+        "user_id",
+        F.col("_m.n_gaps").alias("n_gaps"),
+        F.col("_m.s").alias("_s"),
+        (
+            F.col("_m.s2_hi").cast("decimal(38,0)")
+            * F.lit(10**18).cast("decimal(19,0)")
+            + F.col("_m.s2_lo").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_s2"),
+    )
+    return cadence_finish(agg)
+
+
 def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD-2 STATE HISTORY — the streaming twin of
     ``plans/timeseries_ops.user_state_history``, whose DuckDB oracle

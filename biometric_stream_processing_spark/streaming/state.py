@@ -944,6 +944,114 @@ def transition_fn(gap_s: int):
     return fn
 
 
+CADENCE_OUTPUT_SCHEMA = (
+    "user_id long, n_gaps long, s long, s2_hi long, s2_lo long"
+)
+# the chain's last absorbed event (us + event_id tie arbiter, the
+# round-10 contract) and the exact gap moments: count, Σgap_ms, and
+# Σgap_ms² carried as hi·10¹⁸ + lo so the near-BIGINT-overflow square
+# sum (a 30-day gap squares to ~7e18) stays exact in two longs —
+# Python-side arithmetic is arbitrary-precision int throughout
+CADENCE_STATE_SCHEMA = (
+    "last_us long, last_eid long, n_gaps long, s long, "
+    "s2_hi long, s2_lo long"
+)
+_S2_SPLIT = 10**18
+
+
+def cadence_fn():
+    """Per-key stateful function for ``cadence_stream``: the
+    inter-arrival moment accumulator behind the temporal bot profile
+    (``plans/events_ops.cadence_profile``) — six longs of state per
+    user: the last absorbed (us, event_id) plus exact (n, Σ, Σ²) over
+    integer-ms gaps. Emission per batch-with-data is the CURRENT
+    moment snapshot; the pipeline wrapper keeps each user's latest
+    (every field is monotone) and runs the shared ``cadence_finish``
+    dag, so the full-stream emission equals the batch relation over
+    absorbed rows.
+
+    Exactness contract (the EWMA/z-score argument): watermark delay 0
+    drops cross-batch late arrivals, the in-batch (us, event_id) sort
+    makes absorption order equal the batch total order. Same-second
+    cross-batch ties (round 10): a row not STRICTLY after the
+    remembered (last_us, last_eid) in the total order is skipped —
+    its two adjacent gaps cannot be repaired once the neighbor's gap
+    is absorbed (the moment sums cannot retract) — so disorder
+    under-counts gaps rather than absorbing a negative one; on
+    ordered arrival the guard never fires."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        lus, leid, n, s, hi, lo = (
+            state.get if state.exists else (-1, -1, 0, 0, 0, 0)
+        )
+        s2 = hi * _S2_SPLIT + lo
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for us, eid in zip(pdf["tus"], pdf["event_id"]):
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                rows.append((int(us), int(eid)))
+        rows.sort()
+
+        emitted = False
+        for us, eid in rows:
+            if (us, eid) <= (lus, leid):
+                continue  # tie-zone disorder: see docstring
+            if lus >= 0:
+                gap = (us - lus) // 1000
+                n += 1
+                s += gap
+                s2 += gap * gap
+            lus, leid = us, eid
+            emitted = True
+
+        if lus >= 0:
+            state.update(
+                (lus, leid, n, s, s2 // _S2_SPLIT, s2 % _S2_SPLIT)
+            )
+        if emitted:
+            yield pd.DataFrame(
+                [(key[0], n, s, s2 // _S2_SPLIT, s2 % _S2_SPLIT)],
+                columns=["user_id", "n_gaps", "s", "s2_hi", "s2_lo"],
+            )
+
+    return fn
+
+
+def cadence_stream(
+    events: DataFrame,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-user cadence moments — the keyed-state stage of
+    the ``streaming_user_cadence`` twin; one snapshot row per
+    (user, batch-with-data), finished engine-side by the shared
+    ``cadence_finish`` dag."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        cadence_fn(),
+        CADENCE_OUTPUT_SCHEMA,
+        CADENCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def transition_stream(
     events: DataFrame,
     gap_s: int,

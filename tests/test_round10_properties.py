@@ -202,6 +202,73 @@ def test_attribution_sound_under_arbitrary_disorder(events, splits, seed):
         )
 
 
+def _ref_cadence_moments(rows):
+    """Batch-twin semantics: exact (n, Σ, Σ²) over integer-ms gaps in
+    the (us, event_id) total order."""
+    n = s = s2 = 0
+    srt = sorted(rows)
+    for (aus, _a), (bus, _b) in zip(srt, srt[1:]):
+        gap = (bus - aus) // 1000
+        n, s, s2 = n + 1, s + gap, s2 + gap * gap
+    return n, s, s2
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.integers(0, 0)), max_size=24),
+    _SPLITS,
+)
+def test_cadence_kernel_matches_batch_moments_over_splits(events, splits):
+    """Over (us, event_id)-ordered batches of any split shape —
+    equal-second ties straddling boundaries included — the cadence
+    machine's LAST snapshot carries exactly the batch moment sums
+    (the hi/lo split of Σ² reassembles losslessly)."""
+    import pandas as pd
+
+    from biometric_stream_processing_spark.streaming.state import (
+        _S2_SPLIT,
+        cadence_fn,
+    )
+    from tests.test_round8_properties import FakeGroupState
+
+    rows = sorted((us, eid) for eid, (us, _z) in enumerate(events))
+    fn, state = cadence_fn(), FakeGroupState()
+    snaps = []
+    for batch in _batches(rows, splits):
+        state.wm_ms = 0  # ordered arrival: nothing is late
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id"])
+        for out in fn((1,), iter([pdf]), state):
+            snaps += [tuple(r) for r in out.itertuples(index=False)]
+    got = (
+        (snaps[-1][1], snaps[-1][2],
+         snaps[-1][3] * _S2_SPLIT + snaps[-1][4])
+        if snaps else (0, 0, 0)
+    )
+    assert got == _ref_cadence_moments(rows)
+
+
+def test_cadence_tie_disorder_skips_rather_than_negative_gap():
+    """A same-second row arriving a batch late, below the remembered
+    (us, event_id), is skipped — no negative or double-counted gap
+    ever enters the moment sums."""
+    import pandas as pd
+
+    from biometric_stream_processing_spark.streaming.state import (
+        cadence_fn,
+    )
+    from tests.test_round8_properties import FakeGroupState
+
+    fn, state = cadence_fn(), FakeGroupState()
+    snaps = []
+    for batch in [[(10 * S, 7)], [(10 * S, 2), (12 * S, 9)]]:
+        state.wm_ms = 0
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id"])
+        for out in fn((1,), iter([pdf]), state):
+            snaps += [tuple(r) for r in out.itertuples(index=False)]
+    # only the (10s,7) -> (12s,9) gap of 2000 ms is counted
+    assert snaps[-1][1:] == (1, 2000, 0, 4_000_000)
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
