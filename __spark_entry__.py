@@ -309,6 +309,12 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_cadence": _wrap(
             streaming_pipeline.streaming_user_cadence
         ),
+        # ORC write→read round-trip parity vs a parquet-side oracle —
+        # the one I/O format without an oracled entry (r9 verdict
+        # item 8) (plans/analytics.py)
+        "orc_interchange_report": _wrap(
+            analytics.orc_interchange_report
+        ),
     }
 
 
@@ -328,6 +334,9 @@ def oracle_sql() -> dict[str, str]:
     # total order and the shared cadence_finish dag emits the batch
     # profile relation verbatim
     o["streaming_user_cadence"] = events_ops.ORACLE["user_cadence_profile"]
+    # ORC round-trip parity (ROUND-10 QUEUE): the oracle aggregates
+    # the parquet table; hash match ⇒ the ORC interchange is lossless
+    o["orc_interchange_report"] = analytics.ORC_INTERCHANGE_ORACLE
     # streaming funnel over a single-batch source emits the batch
     # funnel relation (cross-batch cadence golden-tested)
     o["streaming_funnel"] = events_ops.ORACLE["funnel_view_click_purchase"]

@@ -1140,9 +1140,9 @@ def streaming_user_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_properties.py and golden-tested in
     test_streaming_cadence.py. ROUND-10 QUEUE (registers round 11).
 
-    Wall (sf0.1, local[32]): QUEUED_BENCH_r10's 18.0 s is the
-    cold-session first run (staged-source + checkpoint setup — the
-    twin floor, cf. streaming_attribution's 15.4 s); warm
+    Wall (sf0.1, local[32]): QUEUED_BENCH_r10's recorded 15.9 s is
+    the cold-session first run (staged-source + checkpoint setup —
+    the twin floor, cf. streaming_attribution's 15.4 s); warm
     same-session best-of-3 is 3.1 s, in line with the other
     Python-stateful twins on this host generation
     (streaming_abandoned_clicks 4.0 s isolated this round)."""

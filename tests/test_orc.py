@@ -106,3 +106,40 @@ def test_orc_works_as_streaming_sink(spark, tmp_path):
     q.stop()
     back = load_orc(spark, out)
     assert sorted(r["event_id"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_orc_interchange_report_matches_parquet_side(spark):
+    """The queued oracle-gate entry (plans/analytics.
+    orc_interchange_report): the per-partition aggregate over the ORC
+    round trip equals the same aggregate computed directly from the
+    parquet table — the Spark-side statement of the DuckDB parity the
+    gate will check."""
+    from pyspark.sql import functions as F
+
+    from biometric_stream_processing_spark.plans.analytics import (
+        orc_interchange_report,
+    )
+    from biometric_stream_processing_spark.sources.readers import (
+        load_table,
+    )
+
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in orc_interchange_report(spark, SF_DIR).collect()
+    }
+    direct = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("cents").cast("decimal(28,0)"))
+            .cast("long").alias("sum_cents"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+        F.sum(F.col("event_id").cast("decimal(28,0)"))
+            .cast("long").alias("sum_event_id"),
+    )
+    want = {r["event_type"]: tuple(r)[1:] for r in direct.collect()}
+    assert got == want and len(got) > 0
