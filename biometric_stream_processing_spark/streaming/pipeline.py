@@ -1290,16 +1290,18 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``plans/events_ops.purchase_attribution``, whose DuckDB oracle it
     shares: each conversion credited to the user's most recent
     preceding touch within the lookback window, held in ONE
-    (touch_type, touch_us) pair of keyed state
+    (touch_type, touch_us, touch_eid) triple of keyed state
     (``state.attribution_stream`` — the same keyed-state shape as the
     SCD-2 machine with the run machinery replaced by a single
-    remembered predecessor, as the round-7 verdict sketched). With
-    the single-file source the whole table is one micro-batch and the
-    kernel's (us, event_id) sort makes absorption order equal the
-    batch window's total order, so the attributed per-conversion
-    emission equals the batch frame's row set exactly; cross-batch
-    carry of the remembered touch is golden-tested in
-    test_streaming_attribution.py.
+    remembered predecessor; the event_id tie arbiter is the round-10
+    same-second cross-batch repair). With the single-file source the
+    whole table is one micro-batch and the kernel's (us, event_id)
+    sort makes absorption order equal the batch window's total
+    order, so the attributed per-conversion emission equals the
+    batch frame's row set exactly; cross-batch carry of the
+    remembered touch is golden-tested in
+    test_streaming_attribution.py and the tie classes are
+    property-tested in tests/test_round10_properties.py.
 
     The per-channel rollup (3 rows) runs batch-side over the memory
     sink — Structured Streaming forbids an aggregation AFTER a Python
@@ -1344,11 +1346,14 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``plans/events_ops.session_transitions``, whose DuckDB oracle it
     shares: per user, each event within the session gap of its
     predecessor emits one (prev_type, event_type) journey step, held
-    in ONE (prev_type, prev_us) pair of keyed state
+    in the user's TWO most recent events of keyed state — leader +
+    runner-up, each (type, us, event_id)
     (``state.transition_stream`` — the streaming form of the batch
-    lag()). Single-batch source ⇒ the step emission equals the batch
-    lag relation exactly; cross-batch chain continuation is
-    golden-tested in test_streaming_attribution.py.
+    lag(); the runner-up is the round-10 same-second cross-batch
+    repair). Single-batch source ⇒ the step emission equals the
+    batch lag relation exactly; cross-batch chain continuation is
+    golden-tested in test_streaming_attribution.py and the tie
+    classes are property-tested in tests/test_round10_properties.py.
 
     The Markov-matrix rollup (counts + row-normalized p_next over the
     tiny |types|² relation) runs batch-side over the memory sink for

@@ -689,19 +689,27 @@ def test_int8_recall_rank_windows_share_one_exchange(spark):
 
 
 def test_source_kl_single_stf_materialization(spark):
-    """source_unigram_kl (round-9 queue): the (source, word) rollup
-    is lazily localCheckpointed, so its three consumers (scored
-    relation, vocabulary, per-source totals) must NOT re-derive the
-    corpus pass — at most one (source, word) exchange appears, the
-    derives re-join as broadcasts, and nothing goes cartesian."""
+    """source_unigram_kl (round-10 decomposed form): the (source,
+    word) rollup appears in exactly ONE exchange — the per-row term
+    needs only the ctf window over ``word`` and the per-source parts
+    join AFTER the roll-up, so no consumer re-derives the corpus
+    pass and no vocabulary-sized relation is broadcast (the only
+    broadcast is the narrow (doc_id, source) projection). The one
+    SinglePartition exchange is the final window over the
+    already-aggregated |sources|-row relation — intentional and
+    size-bounded by construction."""
     from biometric_stream_processing_spark.plans import corpus_ops
 
     p = _plan(corpus_ops.source_unigram_kl(spark, SF_DIR))
     assert "Cartesian" not in p
     sh = _shuffles(p)
     both = [s for s in sh if "source" in s and "word" in s]
-    assert len(both) <= 1, sh
-    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert len(both) == 1, sh
+    assert "SortMergeJoin" not in p
+    # the docs-projection join on doc_id is the plan's ONLY join
+    # (formatted explain names each node twice: tree + details)
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SinglePartition" in p  # the |sources|-row final window
 
 
 def test_cadence_profile_single_user_exchange(spark):

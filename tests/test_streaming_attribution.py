@@ -98,7 +98,7 @@ def test_later_touch_takes_credit(spark, tmpdir):  # noqa: F811
 
 def test_attribution_state_survives_restart(spark, tmpdir):  # noqa: F811
     """Mid-stream kill between the touch and the conversion: the
-    (touch_type, touch_us) pair must be recovered from the
+    (touch_type, touch_us, touch_eid) state must be recovered from the
     checkpoint, and the conversion after restart credits it."""
     run = uuid.uuid4().hex[:10]
     indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run

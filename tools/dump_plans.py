@@ -184,15 +184,22 @@ SHOWCASE = [
      "a conditional sum — no set intersection, no Python, no ulp "
      "surface anywhere."),
     ("source_unigram_kl",
-     "The (source, word) rollup materializes once (lazy "
-     "localCheckpoint) for its three consumers; vocabulary and "
-     "totals re-join as broadcasts, so the only full-data exchange "
-     "is the partial-aggregated rollup itself."),
+     "Round-10 decomposed form (ln(stf/ctf) + ln(n/ns)): exactly one "
+     "(source, word) exchange; the per-row term needs only the ctf "
+     "window over `word` (no vocabulary broadcast — a large corpus "
+     "could never ship one); the sole join is the narrow (doc_id, "
+     "source) projection; the one SinglePartition window runs over "
+     "the already-aggregated |sources|-row relation."),
     ("user_cadence_profile",
      "Temporal bot detection in one user_id exchange: the lag() "
      "window and the moment aggregate share it via subset-clustering "
      "reuse; exact integer moments feed a fixed IEEE double dag, no "
      "Python anywhere."),
+    ("orc_interchange_report",
+     "ORC round-trip parity (round-10 queue): the read-back side is "
+     "a partition-local two-phase aggregate over the hive-partitioned "
+     "ORC scan; the partition column arrives from directory "
+     "metadata, not data pages."),
 ]
 
 
