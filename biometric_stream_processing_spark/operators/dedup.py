@@ -458,6 +458,16 @@ def connected_components(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
+    # NOTE (round-10 measured dead end): pre-partitioning the edge
+    # list by src before the checkpoint does NOT help — the
+    # per-iteration join BROADCASTS the (node, label) relation at
+    # bench scale (the edge list is never shuffled in the loop), so
+    # the extra up-front exchange is pure cost (isolated A/B on the
+    # 16-iteration embedding graph: 9.8 s plain vs 11.4 s
+    # repartitioned). The loop's real per-iteration price is the
+    # labels broadcast + the convergence-probe job; at cluster scale
+    # labels outgrow the broadcast threshold and the join becomes a
+    # co-partitioned SMJ on its own.
     edges_sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()

@@ -23,6 +23,26 @@ State per user is (last alert time, bounded recent-event history);
 history is GC'd to the engine watermark minus the window length, so
 state is O(events per window horizon), not O(stream). Arrow batches
 in/out; keys are independent → scales with shuffle partitions.
+
+SAME-SECOND CROSS-BATCH TIE LEDGER (rounds 9-10). A row at exactly
+the watermark second is not late, so equal-second ties can straddle
+a micro-batch boundary out of (us, event_id) order. Where each
+machine stands on that disorder class:
+
+- REPAIRED (state carries a tie arbiter; ordered arrival is exact
+  and the repairable inversion classes match the batch total order):
+  funnel (hc/hp longs, round 9), attribution (touch_eid, round 10),
+  transition (runner-up slot, round 10), cadence (skip guard on the
+  remembered (us, event_id), round 10).
+- ORDER-FREE SEMANTICS (ties cannot matter): absence — the anti-join
+  relation is a set predicate; dedup registries — content-keyed.
+- DOCUMENTED TRADE (sequential recurrences whose already-emitted
+  rows cannot retract; a tie straddler absorbs in arrival order —
+  exact on ordered arrival, the oracled single-batch case, and
+  golden-tested for cross-batch cadence): ewma, zscore, scd2. A
+  retraction-free repair does not exist for these — the emitted
+  value/run at the straddle second is already out — so the honest
+  contract is absorption order, stated in each kernel's docstring.
 """
 
 from __future__ import annotations
