@@ -129,17 +129,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 41-entry r6-green block is the obligation; the 5-entry
     # round-9 queue takes first verdicts; the two streaming machines
     # whose kernel gained tie-arbiter state this round re-verify; and
-    # the 2 spare slots promote the oldest r7-greens to shave the
-    # round-11 obligation (the r7 block, ~47 entries, rotates then).
-    # MEMO_OWNERS moves are the pre-planned ones: the doc-term-matrix
-    # bill leaves doc_perplexity_buckets (now tail; it keeps the
-    # unigram-scores bill — still the first of that memo's two
-    # consumers) for doc_repetition_stats at front 4; the clean
-    # corpus, LSH pair chain and training-corpus capstone bill to
-    # training_corpus at front 3 (the r6-order precedent); the
-    # embedding closure to embedding_dup_clusters (front 9), the text
-    # closure to near_dup_representatives (front 10), the IVF cells
-    # to ivf_recall_report (front 36); the winnow sketch stays with
+    # the 2 remaining slots go to this round's other source-change —
+    # the unigram-LM scorer's log-decomposition rework
+    # (doc_unigram_logprob + doc_perplexity_buckets re-verify; the
+    # r7 block, ~47 entries, rotates intact in round 11).
+    # MEMO_OWNERS moves: the doc-term-matrix bill leaves
+    # doc_perplexity_buckets for doc_repetition_stats at front 4;
+    # the unigram-scores bill moves to doc_unigram_logprob (front
+    # 49, now ahead of the decile report); the clean corpus, LSH
+    # pair chain and training-corpus capstone bill to training_corpus
+    # at front 3 (the r6-order precedent); the embedding closure to
+    # embedding_dup_clusters (front 9), the text closure to
+    # near_dup_representatives (front 10), the IVF cells to
+    # ivf_recall_report (front 36); the winnow sketch stays with
     # contamination_overlaps (tail head).
     front = [
         # ROUND 10 executes the round-9 plan verbatim (the pre-planned
@@ -192,9 +194,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint does not move — front-loaded by hand per the
         # documented limitation) ---
         "streaming_attribution", "streaming_transitions",
-        # --- 2 spare slots → oldest-r7 greens, shaving the round-11
-        # obligation (the ~47-entry r7 block rotates then) ---
-        "biometric_union", "alert_windows",
+        # --- source changed round 10 (late): the unigram-LM scorer
+        # took the KL log-decomposition (window over word replaces
+        # the vocabulary broadcast — the round-7 "MB-scale at any
+        # corpus size" claim was wrong at 100 TB); the score recipe
+        # is restated identically in both oracles, so the relation
+        # and its decile report re-verify here. doc_unigram_logprob
+        # runs first and owns the unigram-scores memo bill; these
+        # two source-changes take the spare slots the plan had
+        # penciled for oldest-r7 promotions (biometric_union /
+        # alert_windows return to the tail — they stay fresh through
+        # this round's recording and rotate with the r7 block) ---
+        "doc_unigram_logprob", "doc_perplexity_buckets",
     ]
     tail = [
         # ROUND-11 OBLIGATION (the K=3 schedule, debt-oldest-first;
@@ -235,19 +246,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_map_entries", "salted_distinct_users",
         "native_session_stats",
         "fuzzy_name_matches", "event_type_ohlc",
-        "purchase_attribution", "doc_perplexity_buckets",
+        "purchase_attribution",
         "embedding_rrf_fusion", "session_transitions",
         "event_skew_profile", "label_centroid_report",
         "streaming_ohlc", "doc_passage_dedup",
-        "doc_unigram_logprob", "doc_bigram_logprob",
+        "doc_bigram_logprob",
         "doc_tfidf_keywords",
         "streaming_funnel",
         # user_value_ewma: green r7, rotates with the r7 block below
         "user_value_ewma",
         # --- last green r7 (fresh through this round's recording;
         # rotate in round 11 when r7 leaves the window). r7 front
-        # order preserved; biometric_union and alert_windows promoted
-        # to this round's spare front slots ---
+        # order preserved ---
+        "biometric_union", "alert_windows",
         "alerts_throttled",
         "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",

@@ -163,15 +163,16 @@ MEMO_OWNERS = {
         "owner": "training_corpus", "prev": "minhash_lsh_pairs"},
     # the doc-term-matrix bill moves to its first round-10 consumer
     # (doc_repetition_stats, front 4 — the r6 owner); the
-    # unigram-scores memo stays with doc_perplexity_buckets, still
-    # the first of its two consumers in the tail (doc_unigram_logprob
-    # reads it later). source_unigram_kl (front 44) READS doc_tf,
-    # never owns it.
+    # unigram-scores memo moves to doc_unigram_logprob (front 49 —
+    # the scorer's round-10 log-decomposition rework re-verifies
+    # both it and the decile report in the prefix, scorer first),
+    # so doc_perplexity_buckets pays only its deciles.
+    # source_unigram_kl (front 44) READS doc_tf, never owns it.
     "doc_term_matrix": {
         "owner": "doc_repetition_stats",
         "prev": "doc_perplexity_buckets"},
     "unigram_scores": {
-        "owner": "doc_perplexity_buckets",
+        "owner": "doc_unigram_logprob",
         "prev": "doc_perplexity_buckets"},
     # closure/IVF owners follow the r6-order precedent: the first
     # front consumer of each eager memo pays

@@ -233,20 +233,23 @@ def test_vocab_topk_partial_agg_and_take_ordered(spark):
     assert "Sort " not in p
 
 
-def test_unigram_logprob_vocab_broadcasts(spark):
-    """The token⋈vocabulary re-join must broadcast the aggregated
-    vocabulary side (tfidf contract); the 1-row corpus total rides as
-    the scalar-subquery-shaped BNLJ, and nothing is a cartesian
-    product."""
+def test_unigram_logprob_no_vocabulary_broadcast(spark):
+    """Round-10 decomposed form: the per-row term takes the corpus
+    word count from a window over ``word`` — NO vocabulary-sized
+    relation is ever broadcast (a large corpus could not ship one);
+    the only broadcast is the 1-row corpus total, riding as the
+    scalar-subquery-shaped BNLJ AFTER the per-doc roll-up, and
+    nothing is a cartesian product."""
     import re
 
     from biometric_stream_processing_spark.plans import corpus_ops
 
     p = _plan(corpus_ops.doc_unigram_logprob(spark, SF_DIR))
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastHashJoin" not in p  # the vocab re-join is gone
     assert "CartesianProduct" not in p
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
     assert len(bnlj) <= 1, p
+    assert re.search(r"Window .*\bword\b", p) or "windowspecdefinition(word" in p
 
 
 def test_training_corpus_reuses_memoized_decontam(spark):
@@ -296,14 +299,16 @@ def test_perplexity_rank_offset_is_range_partitioned(spark):
     prefix sum as the token budget: the distinct-score window runs
     partitioned by the range partition id; the only unpartitioned
     window is the offsets prefix over the partition-count-sized
-    totals relation (its input carries _pt)."""
+    totals relation (its input carries _pt). The upstream scorer's
+    corpus-count window (round-10 decomposition) is partitioned by
+    ``word`` — keyed, never SinglePartition — and is whitelisted."""
     from biometric_stream_processing_spark.plans import corpus_ops
 
     p = _plan(corpus_ops.doc_perplexity_buckets(spark, SF_DIR))
     assert "rangepartitioning" in p.lower(), p
     for seg in p.split("\n\n"):
         if "Window" in seg.split("\n")[0] and "_pid" not in seg:
-            assert "_pt" in seg, seg
+            assert "_pt" in seg or "windowspecdefinition(word" in seg, seg
 
 
 def test_absence_antijoin_shuffles_on_user_id_only(spark):

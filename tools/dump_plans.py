@@ -135,6 +135,9 @@ SHOWCASE = [
      "(`RangePartitioning` exchange, per-`_pid` windows, the only "
      "unpartitioned window over the partition-count `_pt` totals — "
      "the token-budget shape), the total rides as a 1-row broadcast, "
+     "the upstream scorer (round-10 decomposition) takes corpus word "
+     "counts from a window over `word` instead of a vocabulary "
+     "broadcast, "
      "and bucket assignment + rollup are pure integer expressions — "
      "no ntile over the corpus, no single-partition window over "
      "documents or distinct scores."),
