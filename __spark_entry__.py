@@ -213,12 +213,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10; the window anchors on RECORDED rounds, the round-8 gap
         # costs nothing): when round 11 records, r7 leaves the window
         # (last-3 = {r9, r10, r11}) — user_value_ewma plus the
-        # 44-entry r7-green block at the bottom of this tail must
-        # fill the round-11 prefix (47 slots with user_value_ewma,
-        # after this round's two r7 promotions), alongside first
-        # verdicts for the round-10 queue and any round-11
-        # source-changed entries. The r9-green block directly below
-        # stays fresh through round 11 and rotates in round 12.
+        # 46-entry r7-green block at the bottom of this tail must
+        # fill the round-11 prefix (47 slots), alongside first
+        # verdicts for the 2-entry round-10 queue
+        # (streaming_user_cadence, orc_interchange_report) = 49. The
+        # ONE spare slot is pre-assigned: doc_tfidf_keywords takes
+        # the round-10 log-decomposition treatment (its idf re-join
+        # still broadcasts the vocabulary-sized relation — the same
+        # "MB-scale at any corpus size" claim the scorer/KL reworks
+        # retired; df-per-word comes from a window over word, the
+        # 1-row N broadcast stays) and re-verifies front. The
+        # bigram-LM family's unigram-model broadcasts
+        # (doc_bigram_logprob, corpus_pmi_collocations) carry the
+        # same flaw and queue for round-12 spares. The r9-green
+        # block directly below stays fresh through round 11 and
+        # rotates in round 12.
         #
         # --- last green r9 (r9 front order preserved so memo billing
         # stays comparable; contamination_overlaps leads — it owns
