@@ -202,6 +202,150 @@ def test_attribution_sound_under_arbitrary_disorder(events, splits, seed):
         )
 
 
+# ---------------------------------------------------------------
+# Absorption-order contracts for the DOCUMENTED-TRADE machines
+# (ewma / zscore / scd2 — the streaming/state.py module-head
+# ledger): a retraction-free tie repair cannot exist for an
+# already-emitted sequential recurrence, so their contract is
+# "exact over the kernel's absorption order" (per-batch (us,
+# event_id) sort + watermark late-drop). These properties pin that
+# contract under permuted-eid disorder: the reference reconstructs
+# absorption order INDEPENDENTLY from the batch spec and the
+# emissions must match it bitwise.
+
+def _absorption_order(batches):
+    """The ledger's absorption-order spec, reconstructed without the
+    kernels: per batch, drop rows below the running watermark (max
+    earlier-batch event time, ms-truncated), sort the rest by
+    (us, event_id), concatenate."""
+    out, seen_max = [], -1
+    for batch in batches:
+        wm_us = 0 if seen_max < 0 else (seen_max // 1000) * 1000
+        out += sorted(r for r in batch if wm_us == 0 or r[0] >= wm_us)
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.integers(-10**6, 10**6)),
+             max_size=24),
+    _SPLITS,
+    st.integers(0, 2**32),
+)
+def test_ewma_absorption_order_contract_under_disorder(
+    events, splits, seed
+):
+    import pandas as pd
+
+    from biometric_stream_processing_spark.streaming.state import ewma_fn
+    from tests.test_round8_properties import FakeGroupState
+
+    ALPHA = 0.25
+    rows = [
+        (us, eid, cents)
+        for eid, (us, cents) in zip(_permuted_eids(events, seed), events)
+    ]
+    batches = _batches(rows, splits)
+    fn, state = ewma_fn(ALPHA), FakeGroupState()
+    emitted, seen_max = [], -1
+    for batch in batches:
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id", "cents"])
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    s, ref = None, []
+    for us, eid, cents in _absorption_order(batches):
+        v = float(cents)
+        s = v if s is None else ALPHA * v + (1.0 - ALPHA) * s
+        ref.append((eid, 1, us, s))
+    assert emitted == ref  # bitwise: the chain is the absorbed order
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.integers(-500, 500)), max_size=24),
+    _SPLITS,
+    st.integers(0, 2**32),
+)
+def test_zscore_absorption_order_contract_under_disorder(
+    readings, splits, seed
+):
+    import pandas as pd
+
+    from biometric_stream_processing_spark.streaming.state import zscore_fn
+    from tests.test_round8_properties import (
+        FakeGroupState,
+        _ref_zscore,
+    )
+
+    rows = [
+        (us, eid, cents)
+        for eid, (us, cents) in zip(
+            _permuted_eids(readings, seed), readings
+        )
+    ]
+    batches = _batches(rows, splits)
+    fn, state = zscore_fn(3), FakeGroupState()
+    emitted, seen_max = [], -1
+    for batch in batches:
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id", "cents"])
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    import pandas as _pd
+
+    fixed = [
+        (int(e), int(u), int(us), int(n),
+         None if _pd.isna(z) else float(z))
+        for e, u, us, n, z in emitted
+    ]
+    assert fixed == _ref_zscore(_absorption_order(batches), 3)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_TIE_US, st.sampled_from(TYPES)), max_size=24),
+    _SPLITS,
+    st.integers(0, 2**32),
+)
+def test_scd2_absorption_order_contract_under_disorder(
+    events, splits, seed
+):
+    import pandas as pd
+
+    from biometric_stream_processing_spark.streaming.state import scd2_fn
+    from tests.test_round8_properties import (
+        FakeGroupState,
+        _ref_scd2,
+    )
+
+    rows = [
+        (us, eid, et)
+        for eid, (us, et) in zip(_permuted_eids(events, seed), events)
+    ]
+    batches = _batches(rows, splits)
+    fn, state = scd2_fn(), FakeGroupState()
+    emitted, seen_max = [], -1
+    for batch in batches:
+        state.wm_ms = 0 if seen_max < 0 else seen_max // 1000
+        pdf = pd.DataFrame(batch, columns=["tus", "event_id", "event_type"])
+        for out in fn((1,), iter([pdf]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        seen_max = max(seen_max, max(r[0] for r in batch))
+    if state.exists:
+        state.hasTimedOut = True
+        for out in fn((1,), iter([]), state):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+    fixed = [
+        (u, r, s, f, None if pd.isna(t) else int(t), n)
+        for u, r, s, f, t, n in emitted
+    ]
+    assert fixed == _ref_scd2(_absorption_order(batches))
+
+
 def _ref_cadence_moments(rows):
     """Batch-twin semantics: exact (n, Σ, Σ²) over integer-ms gaps in
     the (us, event_id) total order."""
