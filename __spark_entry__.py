@@ -222,12 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still broadcasts the vocabulary-sized relation — the same
         # "MB-scale at any corpus size" claim the scorer/KL reworks
         # retired; df-per-word comes from a window over word, the
-        # 1-row N broadcast stays) and re-verifies front. The
-        # bigram-LM family's unigram-model broadcasts
-        # (doc_bigram_logprob, corpus_pmi_collocations) carry the
-        # same flaw and queue for round-12 spares. The r9-green
-        # block directly below stays fresh through round 11 and
-        # rotates in round 12.
+        # 1-row N broadcast stays) and re-verifies front — its body
+        # lives inside the registered function, so the rework NEEDS
+        # the slot. The bigram-LM family's same flaw was already
+        # retired in round 10 without slots (helper-side hint
+        # removal, value-identical, hash-reverified — the optimizer
+        # now sizes those joins). The r9-green block directly below
+        # stays fresh through round 11 and rotates in round 12.
         #
         # --- last green r9 (r9 front order preserved so memo billing
         # stays comparable; contamination_overlaps leads — it owns

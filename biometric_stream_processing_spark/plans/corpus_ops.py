@@ -623,10 +623,15 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
     exact-DECIMAL per-doc sum (the ``unigram_logprob`` recipe).
 
     Scale: the (prev, cur) explode is localCheckpointed once and
-    feeds BOTH the bigram-count aggregation and the per-doc probe;
-    the model re-joins as broadcasts (bigram vocab ≪ corpus; hot
-    bigrams are single pre-aggregated rows). Documents with fewer
-    than 2 words emit no row. Registered round 6 (from the round-5 gate queue)."""
+    feeds BOTH the bigram-count aggregation and the per-doc probe.
+    The model/vocabulary equi-joins carry NO broadcast hint (round
+    10): the optimizer broadcasts them at bench scale on its own
+    stats and falls back to a shuffle join once the model outgrows
+    the threshold — a forced broadcast of a corpus-growing relation
+    is the scale flaw the scorer/KL reworks retired; only the 1-row
+    corpus total keeps its scalar-subquery hint. Documents with
+    fewer than 2 words emit no row. Registered round 6 (from the
+    round-5 gate queue)."""
     ws = words(F.col("text"))
     bigrams = (
         df.where(F.size(ws) >= 2)
@@ -643,10 +648,10 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
     bi = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("_cvw"))
     lam = BIGRAM_LAMBDA
     model = (
-        bi.join(F.broadcast(uni.select(F.col("word").alias("prev"),
-                                       F.col("_cw").alias("_cv"))), "prev")
-        .join(F.broadcast(uni.select(F.col("word").alias("cur"),
-                                     F.col("_cw").alias("_cc"))), "cur")
+        bi.join(uni.select(F.col("word").alias("prev"),
+                           F.col("_cw").alias("_cv")), "prev")
+        .join(uni.select(F.col("word").alias("cur"),
+                         F.col("_cw").alias("_cc")), "cur")
         .join(F.broadcast(total))
         .select(
             "prev", "cur",
@@ -659,7 +664,7 @@ def bigram_logprob(df: DataFrame) -> DataFrame:
         )
     )
     return (
-        bigrams.join(F.broadcast(model), ["prev", "cur"])
+        bigrams.join(model, ["prev", "cur"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -743,18 +748,21 @@ def pmi_collocations(df: DataFrame, min_count: int = PMI_MIN_COUNT,
     Determinism: pmi is a single ln() over a ratio of exact BIGINT
     counts, rounded to 6 dp (the idf recipe). Plan: the bigram and
     unigram aggregations are the ``bigram_logprob`` shapes (explode →
-    partial-agged shuffle); count joins broadcast; the top-k is
-    TakeOrderedAndProject. Registered round 6 (from the round-5 gate queue)."""
+    partial-agged shuffle); the vocabulary equi-joins carry no
+    broadcast hint (round 10 — optimizer-sized, shuffle join once
+    the vocabulary outgrows the threshold; only the two 1-row
+    scalars keep hints); the top-k is TakeOrderedAndProject.
+    Registered round 6 (from the round-5 gate queue)."""
     uni = unigram_counts(df)
     n_tok = uni.agg(F.sum("_cw").cast("double").alias("_nt"))
     bi = bigram_pair_counts(df)
     n_bi = bi.agg(F.sum("c_vw").cast("double").alias("_nb"))
     scored = (
         bi.where(F.col("c_vw") >= min_count)
-        .join(F.broadcast(uni.select(F.col("word").alias("prev"),
-                                     F.col("_cw").alias("_cv"))), "prev")
-        .join(F.broadcast(uni.select(F.col("word").alias("cur"),
-                                     F.col("_cw").alias("_cc"))), "cur")
+        .join(uni.select(F.col("word").alias("prev"),
+                         F.col("_cw").alias("_cv")), "prev")
+        .join(uni.select(F.col("word").alias("cur"),
+                         F.col("_cw").alias("_cc")), "cur")
         .join(F.broadcast(n_bi))
         .join(F.broadcast(n_tok))
         .select(

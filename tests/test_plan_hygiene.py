@@ -382,16 +382,23 @@ def test_posting_lists_two_shuffles_dedup_before_term_key(spark):
     assert "HashAggregate" in p  # partial dedup exists
 
 
-def test_bigram_model_joins_broadcast(spark):
-    """The bigram-LM model must re-join the probe as broadcasts (the
-    vocabulary is MB-scale at any corpus size); the only nested-loop
-    is the 1-row corpus-total scalar join."""
+def test_bigram_model_joins_are_optimizer_sized(spark):
+    """Round 10: the model/vocabulary equi-joins carry NO broadcast
+    hint — at bench scale the optimizer still broadcasts them from
+    its own stats (asserted below), and at corpus scale it is free
+    to pick a shuffle join, which a forced hint would forbid (the
+    retired "MB-scale at any corpus size" claim). The only
+    nested-loop is the 1-row corpus-total scalar join; no cartesian
+    anywhere."""
     from biometric_stream_processing_spark.plans import corpus_ops
 
     p = _plan(corpus_ops.doc_bigram_logprob(spark, SF_DIR))
-    assert p.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3  # optimizer's choice here
     assert "Cartesian" not in p
+    import re
+
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj) <= 1, p
 
 
 def test_orders_profile_hash_expand_no_sorted_distinct(spark):
