@@ -362,10 +362,14 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — one fact feeding TWO independent dimension
     paths: lineitem revenue rolled up by (customer nation, supplier
     nation) pairs, customers via orders, suppliers directly. Both
-    nation lookups broadcast under different aliases; the fact side
-    shuffles only for the final pair aggregation (at sf0.1 even
-    orders broadcasts — Spark's threshold decides; at 100 TB that
-    edge becomes the one shuffle join, as it should).
+    nation lookups broadcast under different aliases (25 fixed rows
+    — size-invariant, the hint is safe); customer and supplier carry
+    NO hint (round 10): they GROW with scale factor, so the
+    optimizer sizes those joins — it still broadcasts them at bench
+    scale from its own stats, and at 100 TB they become shuffle
+    joins, as they must. The fact side shuffles only for the final
+    pair aggregation (at sf0.1 even orders broadcasts — Spark's
+    threshold decides).
 
     Round-6 floor audit (the 7.2x round-5 verdict entry): the
     physical plan is already the one to want — ONE lineitem scan
@@ -391,8 +395,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(cust_n), c["c_nationkey"] == F.col("_cnk"))
         .join(F.broadcast(supp_n), s["s_nationkey"] == F.col("_snk"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
