@@ -227,8 +227,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the slot. The bigram-LM family's same flaw was already
         # retired in round 10 without slots (helper-side hint
         # removal, value-identical, hash-reverified — the optimizer
-        # now sizes those joins). The r9-green block directly below
-        # stays fresh through round 11 and rotates in round 12.
+        # now sizes those joins). FREE while the r7 block holds the
+        # round-11 front anyway: retire the remaining SF-growing
+        # broadcast hints in its TPC-H members — customer/part hints
+        # in top_customers_per_segment, regional_revenue_rollup,
+        # q5_asia_revenue, disjunctive_revenue, order_price_deciles
+        # (the nation_pair_volume round-10 treatment: nation hints
+        # stay, growing dims go optimizer-sized; value-identical,
+        # verify the optimizer still broadcasts at bench scale).
+        # The r9-green block directly below stays fresh through
+        # round 11 and rotates in round 12.
         #
         # --- last green r9 (r9 front order preserved so memo billing
         # stays comparable; contamination_overlaps leads — it owns
