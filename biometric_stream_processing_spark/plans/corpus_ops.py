@@ -406,9 +406,17 @@ def unigram_logprob(df: DataFrame | None = None,
     Cross-engine determinism: the per-word log-probability
     decomposes as ln(cw/n) = ln(cw) − ln(n); each part is rounded to
     6 dp BEFORE use (kills 1-ulp libm ln() divergence — the tfidf
-    idf trick), the per-doc Σ tf·r₁ runs in exact DECIMAL, and since
-    Σ_w tf = n_words the corpus part subtracts AFTER aggregation as
-    a constant: avg = wsum/n_words − round6(ln n).
+    idf trick) and then carried as EXACT INTEGER MICROS, so the
+    whole ending — Σ tf·r₁, the n_words division, the final 6-dp
+    round — is integer arithmetic: avg = half-away(N₆/n_words)/10⁶
+    with N₆ = Σ tf·r₁µ − r₂µ·n_words. The integer ending is not
+    pedantry: sf0.1's doc 3325 lands on a TRUE 6-dp tie (exactly
+    −3.4025915), where a double ending diverges across engines —
+    Spark's round() rounds the shortest-decimal rendering of the
+    1-ulp-low double while DuckDB's ×10⁶ path re-rounds the binary
+    — caught by the round-10 full-registry sweep at sf0.1. Exact
+    integers make the tie deterministic (half away from zero) on
+    both engines.
 
     Scale (round-10 rework, the source_unigram_kl decomposition
     applied to its parent): everything derives from the doc-term
@@ -437,32 +445,47 @@ def unigram_logprob(df: DataFrame | None = None,
         tf = doc_tf(df)
     scored = tf.select(
         "doc_id", "tf",
-        F.round(
-            F.log(
-                F.sum("tf").over(Window.partitionBy("word"))
-                    .cast("double")
-            ), 6,
-        ).alias("_r1"),
+        # round6(ln cw) lifted to exact integer micros: the 6-dp
+        # decimal × 10⁶ is integral by construction, so the BIGINT
+        # cast is exact (a double ×1e6 could land at x.999... and
+        # truncate off-by-one)
+        (
+            F.round(
+                F.log(
+                    F.sum("tf").over(Window.partitionBy("word"))
+                        .cast("double")
+                ), 6,
+            ).cast("decimal(20,6)")
+            * F.lit(1_000_000).cast("decimal(7,0)")
+        ).cast("long").alias("_r1m"),
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("tf").alias("n_words"),
-        # r1 is exact at 6 dp and tf is a small integer, so the
-        # decimal(20,6) × decimal(12,0) product is exact (scale 6,
-        # precision 33 — no 38-cap scale loss) and equals adding the
-        # rounded per-token r1 tf times
-        F.sum(
-            F.col("_r1").cast("decimal(20,6)")
-            * F.col("tf").cast("decimal(12,0)")
-        ).cast("double").alias("_wsum"),
+        F.sum(F.col("_r1m") * F.col("tf")).alias("_wm"),
     )
     total = tf.agg(F.sum("tf").cast("double").alias("_total"))
-    return per_doc.join(F.broadcast(total)).select(
+    n6 = (
+        F.col("_wm")
+        - (
+            F.round(F.log(F.col("_total")), 6).cast("decimal(20,6)")
+            * F.lit(1_000_000).cast("decimal(7,0)")
+        ).cast("long") * F.col("n_words")
+    )
+    # round6(N₆ / (10⁶·n_words)) via half-away-from-zero integer
+    # division on the absolute value (floor ≡ trunc on positives, so
+    # Spark's `div` and DuckDB's `//` agree)
+    a6 = F.abs(n6)
+    m = F.expr(
+        "(2 * _a6 + n_words) div (2 * n_words)"
+    )
+    return per_doc.join(F.broadcast(total)).withColumn(
+        "_a6", a6
+    ).withColumn(
+        "_sgn", F.when(n6 < 0, F.lit(-1)).otherwise(F.lit(1))
+    ).select(
         "doc_id", "n_words",
-        F.round(
-            F.col("_wsum") / F.col("n_words").cast("double")
-            - F.round(F.log(F.col("_total")), 6),
-            6,
-        ).alias("avg_logprob"),
+        ((F.col("_sgn") * m).cast("double") / F.lit(1_000_000.0))
+            .alias("avg_logprob"),
     )
 
 
@@ -832,12 +855,16 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the per-word log ratio decomposes as
     ln((stf/ns)/(ctf/n)) = ln(stf/ctf) + ln(n/ns); each part is
-    computed from bit-identical double divisions of exact integers
-    and rounded at 6 dp BEFORE use (kills libm ln ulp divergence —
-    the PMI/tf-idf trick); the Σ stf·r₁ accumulation is exact
-    DECIMAL (12,6 × 18,0 → 31,6, under the 38 cap), so the aggregate
-    is order-independent, and since Σ_w stf = ns the per-source part
-    adds AFTER aggregation as a constant: kl = wsum/ns + r₂.
+    computed from bit-identical double divisions of exact integers,
+    rounded at 6 dp BEFORE use (kills libm ln ulp divergence — the
+    PMI/tf-idf trick) and then carried as EXACT INTEGER MICROS, so
+    the whole ending — Σ stf·r₁, the ns division, the final 6-dp
+    round — is integer arithmetic with a deterministic
+    half-away-from-zero tie rule: kl = half-away(N₆/ns)/10⁶ with
+    N₆ = Σ stf·r₁µ + r₂µ·ns (Σ_w stf = ns folds the per-source
+    constant in exactly). The integer ending closes the
+    engine-round()-on-a-near-tie-double divergence the unigram
+    scorer hit at sf0.1 (see ``unigram_logprob``).
 
     Scale: derives from the memoized doc-term matrix
     (``shared_doc_tf``) joined to the narrow (doc_id, source)
@@ -865,37 +892,43 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = stf.select(
         "source", "stf",
-        F.round(
-            F.log(
-                F.col("stf").cast("double")
-                / F.sum("stf").over(Window.partitionBy("word"))
-                    .cast("double")
-            ), 6,
-        ).alias("r1"),
+        (
+            F.round(
+                F.log(
+                    F.col("stf").cast("double")
+                    / F.sum("stf").over(Window.partitionBy("word"))
+                        .cast("double")
+                ), 6,
+            ).cast("decimal(12,6)")
+            * F.lit(1_000_000).cast("decimal(7,0)")
+        ).cast("long").alias("_r1m"),
     )
     per_src = scored.groupBy("source").agg(
         F.sum("stf").alias("n_tokens"),
         F.count("*").alias("n_words"),
-        F.sum(
-            F.col("r1").cast("decimal(12,6)")
-            * F.col("stf").cast("decimal(18,0)")
-        ).alias("wsum"),
+        F.sum(F.col("_r1m") * F.col("stf")).alias("_wm"),
     )
     n = F.sum("n_tokens").over(
         Window.partitionBy().rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     ).cast("double")
-    return per_src.select(
-        "source", "n_tokens", "n_words",
-        F.round(
-            F.col("wsum").cast("double")
-            / F.col("n_tokens").cast("double")
-            + F.round(
+    n6 = (
+        F.col("_wm")
+        + (
+            F.round(
                 F.log(n / F.col("n_tokens").cast("double")), 6
-            ),
-            6,
-        ).alias("kl_nats"),
+            ).cast("decimal(12,6)")
+            * F.lit(1_000_000).cast("decimal(7,0)")
+        ).cast("long") * F.col("n_tokens")
+    )
+    m = F.expr("(2 * _a6 + n_tokens) div (2 * n_tokens)")
+    return per_src.withColumn("_a6", F.abs(n6)).withColumn(
+        "_sgn", F.when(n6 < 0, F.lit(-1)).otherwise(F.lit(1))
+    ).select(
+        "source", "n_tokens", "n_words",
+        ((F.col("_sgn") * m).cast("double") / F.lit(1_000_000.0))
+            .alias("kl_nats"),
     )
 
 
@@ -1087,21 +1120,29 @@ ORACLE = {
           FROM tok GROUP BY doc_id, word
         ), scored AS (
           SELECT doc_id, tf,
-                 round(ln((sum(tf) OVER (PARTITION BY word))::DOUBLE),
-                       6) AS r1
+                 CAST(CAST(round(
+                     ln((sum(tf) OVER (PARTITION BY word))::DOUBLE),
+                     6) AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS r1m
           FROM tf
-        ), t AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
-        per_doc AS (
+        ), t AS (
+          SELECT CAST(CAST(round(ln(sum(tf)::DOUBLE), 6)
+                      AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS r2m
+          FROM tf
+        ), per_doc AS (
           SELECT doc_id, sum(tf)::BIGINT AS n_words,
-                 CAST(sum(CAST(r1 AS DECIMAL(20,6))
-                          * CAST(tf AS DECIMAL(12,0))) AS DOUBLE)
-                   AS wsum
+                 sum(r1m * tf)::BIGINT AS wm
           FROM scored GROUP BY doc_id
+        ), fin AS (
+          SELECT doc_id, n_words,
+                 wm - r2m * n_words AS n6
+          FROM per_doc, t
         )
         SELECT doc_id, n_words,
-               round(wsum / n_words::DOUBLE
-                     - round(ln(total), 6), 6) AS avg_logprob
-        FROM per_doc, t
+               (CASE WHEN n6 < 0 THEN
+                  -((2 * (-n6) + n_words) // (2 * n_words))
+                ELSE (2 * n6 + n_words) // (2 * n_words) END)
+               / 1000000.0 AS avg_logprob
+        FROM fin
     """,
     "source_dedup_report": """
         WITH per AS (
@@ -1225,10 +1266,11 @@ ORACLE["doc_duplicate_spans"] = f"""
 
 # ROUND-9 QUEUE (registers round 10): the same (source, word) counts
 # via direct explode (≡ Σ per-doc tf), then the decomposed recipe the
-# Spark plan states — r₁ = round6(ln(stf/ctf)) weighted in exact
-# DECIMAL, plus the per-source constant r₂ = round6(ln(n/ns)) added
-# after aggregation (Σ_w stf = ns makes the split exact in reals; the
-# 6-dp rounds are the recipe's definition on both engines).
+# Spark plan states — r₁ = round6(ln(stf/ctf)) and the per-source
+# constant r₂ = round6(ln(n/ns)) lifted to exact integer micros,
+# finished by the half-away-from-zero integer division (the 6-dp
+# rounds and the integer tie rule are the recipe's definition on
+# both engines).
 ORACLE["source_unigram_kl"] = f"""
     WITH stf AS (
       SELECT source, word, count(*)::BIGINT AS stf FROM (
@@ -1236,22 +1278,29 @@ ORACLE["source_unigram_kl"] = f"""
       ) GROUP BY source, word
     ), scored AS (
       SELECT source, stf,
-             round(ln(stf::DOUBLE
-                      / (sum(stf) OVER (PARTITION BY word))::DOUBLE),
-                   6) AS r1
+             CAST(CAST(round(ln(stf::DOUBLE
+                 / (sum(stf) OVER (PARTITION BY word))::DOUBLE),
+                 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS r1m
       FROM stf
     ), per_src AS (
       SELECT source, sum(stf)::BIGINT AS n_tokens,
              count(*)::BIGINT AS n_words,
-             sum(CAST(r1 AS DECIMAL(12,6))
-                 * CAST(stf AS DECIMAL(18,0))) AS wsum
+             sum(r1m * stf)::BIGINT AS wm
       FROM scored GROUP BY source
+    ), fin AS (
+      SELECT source, n_tokens, n_words,
+             wm + CAST(CAST(round(ln(
+                     (sum(n_tokens) OVER ())::DOUBLE
+                     / n_tokens::DOUBLE), 6) AS DECIMAL(12,6))
+                  * 1000000 AS BIGINT) * n_tokens AS n6
+      FROM per_src
     )
     SELECT source, n_tokens, n_words,
-           round(CAST(wsum AS DOUBLE) / n_tokens::DOUBLE
-                 + round(ln((sum(n_tokens) OVER ())::DOUBLE
-                            / n_tokens::DOUBLE), 6), 6) AS kl_nats
-    FROM per_src
+           (CASE WHEN n6 < 0 THEN
+              -((2 * (-n6) + n_tokens) // (2 * n_tokens))
+            ELSE (2 * n6 + n_tokens) // (2 * n_tokens) END)
+           / 1000000.0 AS kl_nats
+    FROM fin
 """
 
 QUERIES = {

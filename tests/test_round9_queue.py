@@ -276,12 +276,16 @@ def _round6(x: float) -> float:
 
 def _ref_kl(texts_by_source: dict[str, list[str]]):
     """Independent reference of source_unigram_kl's exact recipe
-    (the round-10 decomposed form): per-word r₁ = round6(ln(stf/ctf))
-    weighted in exact DECIMAL, plus the per-source constant
-    r₂ = round6(ln(n/ns)) added after the aggregation."""
+    (the round-10 integer-micros form): per-word
+    r₁µ = round6(ln(stf/ctf))·10⁶ and the per-source constant
+    r₂µ = round6(ln(n/ns))·10⁶ as exact integers, finished by the
+    half-away-from-zero integer division — no double ever touches a
+    rounding boundary."""
     import math
     from collections import Counter
-    from decimal import Decimal
+
+    def micros(x: float) -> int:
+        return int(round(_round6(x) * 1_000_000))
 
     stf: dict[str, Counter] = {
         s: Counter(w for t in ts for w in t.split())
@@ -294,15 +298,19 @@ def _ref_kl(texts_by_source: dict[str, list[str]]):
     out = {}
     for s, c in stf.items():
         ns = sum(c.values())
-        acc = Decimal(0)
-        for w, k in c.items():
-            r1 = _round6(math.log(float(k) / float(ctf[w])))
-            acc += Decimal(repr(r1)).quantize(Decimal("0.000001")) * k
-        r2 = _round6(math.log(n / float(ns)))
+        wm = sum(
+            micros(math.log(float(k) / float(ctf[w]))) * k
+            for w, k in c.items()
+        )
+        n6 = wm + micros(math.log(n / float(ns))) * ns
+        m = (
+            -((2 * -n6 + ns) // (2 * ns)) if n6 < 0
+            else (2 * n6 + ns) // (2 * ns)
+        )
         out[s] = {
             "n_tokens": ns,
             "n_words": len(c),
-            "kl_nats": _round6(float(acc) / ns + r2),
+            "kl_nats": m / 1_000_000.0,
         }
     return out
 
