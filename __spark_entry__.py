@@ -108,6 +108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming_pipeline.streaming_transitions
     )
     all_q["streaming_ewma"] = _wrap(streaming_pipeline.streaming_ewma)
+    # round-10 queue head, registered round 11: n/Σ/Σ² keyed moment
+    # state sharing the batch cadence oracle + cadence_finish dag
+    all_q["streaming_user_cadence"] = _wrap(
+        streaming_pipeline.streaming_user_cadence
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -124,36 +129,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 10 (recorded rounds r1-r7, r9): r6 leaves the window when
-    # this round records (post-recording window {r7, r9, r10}), so
-    # the 41-entry r6-green block is the obligation; the 5-entry
-    # round-9 queue takes first verdicts; the two streaming machines
-    # whose kernel gained tie-arbiter state this round re-verify; and
-    # the 2 remaining slots go to this round's other source-change —
-    # the unigram-LM scorer's log-decomposition rework
-    # (doc_unigram_logprob + doc_perplexity_buckets re-verify; the
-    # r7 block, ~47 entries, rotates intact in round 11).
-    # MEMO_OWNERS moves: the doc-term-matrix bill leaves
-    # doc_perplexity_buckets for doc_repetition_stats at front 4;
-    # the unigram-scores bill moves to doc_unigram_logprob (front
-    # 49, now ahead of the decile report); the clean corpus, LSH
-    # pair chain and training-corpus capstone bill to training_corpus
-    # at front 3 (the r6-order precedent); the embedding closure to
-    # embedding_dup_clusters (front 9), the text closure to
-    # near_dup_representatives (front 10), the IVF cells to
-    # ivf_recall_report (front 36); the winnow sketch stays with
-    # contamination_overlaps (tail head).
+    # ROUND 11 (recorded rounds r1-r7, r9, r10): r7 leaves the window
+    # when this round records (post-recording window {r9, r10, r11}),
+    # so every entry whose last green verdict is r7 fills the front.
+    # ARITHMETIC CORRECTION to the round-10 pre-plan: that note said
+    # "47 slots + 2 queue + 1 tfidf spare" — but round 10 itself sent
+    # biometric_union and alert_windows BACK to the tail (the late
+    # scorer rework took their penciled slots) and recorded the
+    # return without re-summing the top line. The true last-green-r7
+    # set is 49 entries (checked against CORRECTNESS_r{07,09,10}
+    # greens), so the round-11 front has ZERO spare slots:
+    #   49 r7-due + streaming_user_cadence (queue head, first
+    #   verdict) = 50 exactly.
+    # Consequences, each deliberate:
+    #   - orc_interchange_report STAYS QUEUED one more round (it is
+    #     unregistered, so no rotation test binds it; it remains
+    #     judge-verified green and QUEUED_BENCH-tracked, and takes a
+    #     round-12 slot — see the round-12 note at the tail head).
+    #   - the doc_tfidf_keywords idf rework DEFERS to round 12,
+    #     where the entry rotates into the front anyway as part of
+    #     the 46-entry r9 block — the rework then costs no extra
+    #     slot. The decomposed recipe is pre-built and value-pinned
+    #     THIS round as a module-level twin
+    #     (corpus_ops._tfidf_keywords_decomposed +
+    #     tests/test_round11_tfidf_twin.py) so round 12's edit is a
+    #     one-line swap inside the registered fn.
+    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r07 is the
+    # precedent for this exact front order): dedup_pipeline_report
+    # (front 37) is again the first consumer of the clean corpus,
+    # decontam index/survivors, LSH pair chain and training-corpus
+    # capstone; corpus_vocab_topk (front 34) owns the
+    # doc-term-matrix; doc_winnow_fingerprints (front 48) owns the
+    # winnow sketch. The closure/IVF/kmeans/unigram bills stay with
+    # their round-10 owners because the r10 block leads the tail.
     front = [
-        # ROUND 10 executes the round-9 plan verbatim (the pre-planned
-        # note that sat at the tail head last round): the 41-entry
-        # r6-green block — the oldest debt; r6 leaves the K=3 window
-        # when this round records (post-recording window
-        # {r7, r9, r10}) — takes the front IN ITS r6 RELATIVE ORDER,
-        # the two returned fills leading so their memos (the kmeans
-        # training/assignment map, the decontamination index) precede
-        # their consumers (embedding_kmeans_cells at 39;
-        # training_corpus at 3).
-        # --- last green r6 (oldest debt) — 41 entries ---
+        # --- last green r7 (oldest debt) IN ITS r7 GATE ORDER — 49
+        # entries; order preserved so BENCH_DETAIL_r07 per-query
+        # numbers stay comparable ---
+        "biometric_union", "alert_windows",
+        "alerts_throttled", "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "customer_running_totals",
+        "dormant_customers_by_segment", "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
+        "corpus_vocab_topk", "embedding_pca_quality",
+        "orders_profile", "dedup_pipeline_report",
+        "streaming_alerts", "streaming_dedup_merge",
+        "streaming_interval_pairs",
+        "streaming_enriched_segment_counts",
+        "streaming_session_stats", "streaming_vocab_topk",
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        # --- the round-10 queue head registers (first driver
+        # verdict). Placed inside the stateful-streaming run so the
+        # staged events+sentinel source is warm when it executes —
+        # the r10 verdict's open question is whether its 15.9 s
+        # QUEUED_BENCH reading was cold staged-source setup (3.1 s
+        # claimed warm); this position answers it in-bench. ---
+        "streaming_user_cadence",
+        # --- r7 block continues ---
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints",
+        "user_value_ewma",
+    ]
+    tail = [
+        # ROUND-12 OBLIGATION (K=3 on recorded rounds; once round 11
+        # records, the window is {r9, r10, r11} and r9 leaves when
+        # round 12 records): the 46-entry r9-green block at the
+        # BOTTOM of this tail (contamination_overlaps ..
+        # streaming_funnel, r9 front order preserved) fills the
+        # round-12 front, alongside first verdicts for the queue —
+        # orc_interchange_report (carried from round 10; the round-11
+        # front had zero spare slots, see the front note) and the
+        # round-11 net-new (streaming gap-fill twin, if queued).
+        # 46 + 2 = 48, leaving TWO spare slots for source-changed
+        # re-verifications. ONE is pre-assigned: doc_tfidf_keywords
+        # (inside the 46) takes the round-10 log-decomposition
+        # treatment — df-per-word from a window over word, the 1-row
+        # N broadcast stays, idf = ln(N) − ln(df) finished in exact
+        # integer micros — the decomposed twin and its value-identity
+        # pin already exist (corpus_ops._tfidf_keywords_decomposed,
+        # tests/test_round11_tfidf_twin.py); round 12 swaps the
+        # registered fn body to call it, re-verifies hash-green at
+        # BOTH SFs, and flips the plan-hygiene broadcast pin to
+        # assert absence. The r10-green block directly below stays
+        # fresh through round 12 and rotates in round 13.
+        #
+        # --- last green r10 (r10 gate order preserved so memo
+        # billing stays comparable; the closure/IVF/kmeans/unigram
+        # memo owners all live here and precede their r9-block
+        # consumers below) ---
         "embedding_kmeans_quality", "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
         "nation_pair_volume", "embedding_srp_pairs",
@@ -177,71 +253,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_approx_users", "streaming_native_dedup",
         "embedding_kmeans_cells", "streaming_anomalies",
         "streaming_state_history",
-        # --- the round-9 queue registers (first driver verdicts;
-        # queue order preserved). source_unigram_kl reads the
-        # doc-term-matrix memo that doc_repetition_stats (front 4)
-        # owns this round; its round-10 log-decomposition rework
-        # (14 jobs → 7, warm 1.31 → 0.52 s) re-verified hash-green
-        # before registering. doc_duplicate_spans owns only its own
-        # island index (not shared). ---
         "doc_duplicate_spans", "embedding_int8_recall",
         "source_unigram_kl", "streaming_ewma",
         "user_cadence_profile",
-        # --- source changed round 10: the attribution/transition
-        # kernels gained tie-arbiter state for same-second
-        # cross-batch ties (the round-9 funnel lesson;
-        # streaming/state.py is a helper file, so the GATE_SOURCES
-        # fingerprint does not move — front-loaded by hand per the
-        # documented limitation) ---
         "streaming_attribution", "streaming_transitions",
-        # --- source changed round 10 (late): the unigram-LM scorer
-        # took the KL log-decomposition (window over word replaces
-        # the vocabulary broadcast — the round-7 "MB-scale at any
-        # corpus size" claim was wrong at 100 TB); the score recipe
-        # is restated identically in both oracles, so the relation
-        # and its decile report re-verify here. doc_unigram_logprob
-        # runs first and owns the unigram-scores memo bill; these
-        # two source-changes take the spare slots the plan had
-        # penciled for oldest-r7 promotions (biometric_union /
-        # alert_windows return to the tail — they stay fresh through
-        # this round's recording and rotate with the r7 block) ---
         "doc_unigram_logprob", "doc_perplexity_buckets",
-    ]
-    tail = [
-        # ROUND-11 OBLIGATION (the K=3 schedule, debt-oldest-first;
-        # recorded rounds r1-r7, r9, and — once this round records —
-        # r10; the window anchors on RECORDED rounds, the round-8 gap
-        # costs nothing): when round 11 records, r7 leaves the window
-        # (last-3 = {r9, r10, r11}) — user_value_ewma plus the
-        # 46-entry r7-green block at the bottom of this tail must
-        # fill the round-11 prefix (47 slots), alongside first
-        # verdicts for the 2-entry round-10 queue
-        # (streaming_user_cadence, orc_interchange_report) = 49. The
-        # ONE spare slot is pre-assigned: doc_tfidf_keywords takes
-        # the round-10 log-decomposition treatment (its idf re-join
-        # still broadcasts the vocabulary-sized relation — the same
-        # "MB-scale at any corpus size" claim the scorer/KL reworks
-        # retired; df-per-word comes from a window over word, the
-        # 1-row N broadcast stays) and re-verifies front — its body
-        # lives inside the registered function, so the rework NEEDS
-        # the slot. The bigram-LM family's same flaw was already
-        # retired in round 10 without slots (helper-side hint
-        # removal, value-identical, hash-reverified — the optimizer
-        # now sizes those joins). FREE while the r7 block holds the
-        # round-11 front anyway: retire the remaining SF-growing
-        # broadcast hints in its TPC-H members — customer/part hints
-        # in top_customers_per_segment, regional_revenue_rollup,
-        # q5_asia_revenue, disjunctive_revenue, order_price_deciles
-        # (the nation_pair_volume round-10 treatment: nation hints
-        # stay, growing dims go optimizer-sized; value-identical,
-        # verify the optimizer still broadcasts at bench scale).
-        # The r9-green block directly below stays fresh through
-        # round 11 and rotates in round 12.
-        #
-        # --- last green r9 (r9 front order preserved so memo billing
-        # stays comparable; contamination_overlaps leads — it owns
-        # the winnow-fingerprint memo that doc_winnow_fingerprints at
-        # the very end reads) ---
+        # --- last green r9 (r9 front order preserved;
+        # contamination_overlaps leads its block but READS the winnow
+        # sketch this round — doc_winnow_fingerprints at front 48
+        # owns the bill, the r7-order precedent) ---
         "contamination_overlaps",
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
@@ -271,40 +291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob",
         "doc_tfidf_keywords",
         "streaming_funnel",
-        # user_value_ewma: green r7, rotates with the r7 block below
-        "user_value_ewma",
-        # --- last green r7 (fresh through this round's recording;
-        # rotate in round 11 when r7 leaves the window). r7 front
-        # order preserved ---
-        "biometric_union", "alert_windows",
-        "alerts_throttled",
-        "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders",
-        "customer_running_totals", "dormant_customers_by_segment",
-        "users_with_both_streams",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "doc_passages",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks", "source_dedup_report",
-        "source_quality_report",
-        "corpus_vocab_topk",
-        "embedding_pca_quality", "orders_profile",
-        "dedup_pipeline_report",
-        "streaming_alerts", "streaming_dedup_merge",
-        "streaming_interval_pairs", "streaming_enriched_segment_counts",
-        "streaming_session_stats", "streaming_vocab_topk",
-        "streaming_abandoned_clicks", "streaming_outer_pairs",
-        "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -313,13 +299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
-    in ``queries()`` when the verdict prefix is full. The round-9
-    queue (doc_duplicate_spans, embedding_int8_recall,
-    source_unigram_kl, streaming_ewma, user_cadence_profile)
-    registered in the round-10 front. Round-10 additions queue here
-    for round-11 registration — the round-11 prefix owes the
-    47-entry r7-green block (user_value_ewma + the 44 parked
-    r7-greens + source-changed), capping this queue at ~2 entries.
+    in ``queries()`` when the verdict prefix is full. The round-10
+    queue head (streaming_user_cadence) registered in the round-11
+    front; orc_interchange_report carries over — the round-11 prefix
+    had ZERO spare slots (the 49-entry r7-green obligation + the
+    cadence twin fill it exactly; see the front note's arithmetic
+    correction). Round-12 owes the 46-entry r9 block + this queue
+    (46 + 2 = 48, two spares) — the cap here stays ≤2.
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
@@ -331,16 +317,11 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     return {
-        # streaming cadence twin (the round-9 verdict's pre-identified
-        # candidate): n/Σ/Σ² keyed moment state, shares the batch
-        # cadence oracle and the cadence_finish dag
-        # (streaming/pipeline.py)
-        "streaming_user_cadence": _wrap(
-            streaming_pipeline.streaming_user_cadence
-        ),
         # ORC write→read round-trip parity vs a parquet-side oracle —
         # the one I/O format without an oracled entry (r9 verdict
-        # item 8) (plans/analytics.py)
+        # item 8); judge-verified hash-green at sf0.01 in round 10,
+        # carried queued because the round-11 front had no slot
+        # (plans/analytics.py)
         "orc_interchange_report": _wrap(
             analytics.orc_interchange_report
         ),
@@ -358,12 +339,13 @@ def oracle_sql() -> dict[str, str]:
     # streaming EWMA twin shares the batch recurrence oracle (same
     # single-batch total-order argument as the z-score twin)
     o["streaming_ewma"] = timeseries_ops.ORACLE["user_value_ewma"]
-    # streaming cadence twin (ROUND-10 QUEUE): single-batch source ⇒
-    # the moment accumulation order equals the batch (us, event_id)
-    # total order and the shared cadence_finish dag emits the batch
-    # profile relation verbatim
+    # streaming cadence twin (registered round 11): single-batch
+    # source ⇒ the moment accumulation order equals the batch
+    # (us, event_id) total order and the shared cadence_finish dag
+    # emits the batch profile relation verbatim
     o["streaming_user_cadence"] = events_ops.ORACLE["user_cadence_profile"]
-    # ORC round-trip parity (ROUND-10 QUEUE): the oracle aggregates
+    # ORC round-trip parity (ROUND-10 QUEUE, carried to round 12 —
+    # the round-11 prefix had zero spare slots): the oracle aggregates
     # the parquet table; hash match ⇒ the ORC interchange is lossless
     o["orc_interchange_report"] = analytics.ORC_INTERCHANGE_ORACLE
     # streaming funnel over a single-batch source emits the batch

@@ -130,65 +130,69 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # it (the lazy persist list in main(), or a plans/-module memo);
 # every later consumer reads cached blocks. Recorded into
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
-# real regressions from billing shifts. "prev" = the round-5 owner.
+# real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-10 registration: the 41-entry r6-green obligation block
-    # leads IN ITS r6 RELATIVE ORDER (positions 1-41), then the
-    # round-9 queue (42-46), the two tie-repaired streaming kernels
-    # (47-48) and two promoted r7-greens (49-50). Because the front
-    # replicates the r6 order, the owner map below is the
-    # BENCH_DETAIL_r06 precedent almost verbatim; "prev" = the
-    # round-9 owner, so round-over-round per-query diffs separate
+    # Round-11 registration: the 49-entry r7-green obligation block
+    # leads IN ITS r7 GATE ORDER (the round-10 pre-plan's "47" was an
+    # un-resummed count — biometric_union/alert_windows rejoined the
+    # r7 rotation in round 10), with streaming_user_cadence (queue
+    # head, first verdict) slotted into the stateful-streaming run at
+    # front 46. Because the front replicates the r7 order, the owner
+    # map below is the BENCH_DETAIL_r07 precedent nearly verbatim for
+    # the front-owned memos; the closure/IVF/kmeans/unigram bills
+    # KEEP their round-10 owners because the r10-green block leads
+    # the tail (ahead of their r9-block co-consumers). "prev" = the
+    # round-10 owner, so round-over-round per-query diffs separate
     # billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
+    # dedup_pipeline_report (front 37) is the first consumer of the
+    # decontam index/survivors, the clean-corpus chain, the LSH pair
+    # chain AND the training-corpus capstone — the r7 precedent
+    # (~13.9 s there); decontaminated_train_docs / training_corpus /
+    # corpus_token_budget / minhash_lsh_pairs (all tail) drop to
+    # cached-read time
     "decontam_gram_index": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
-    # training_corpus (front 3) is the first consumer of its own
-    # capstone rows, the clean-corpus chain AND the LSH pair chain —
-    # expect its first bench reading to carry all three (the r6
-    # precedent: 5.9 s there) while corpus_token_budget,
-    # minhash_lsh_pairs and dedup_pipeline_report (all tail) drop to
-    # cached-read time
     "training_corpus_rows": {
-        "owner": "training_corpus", "prev": "training_corpus"},
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
     "clean_corpus": {
-        "owner": "training_corpus", "prev": "corpus_token_budget"},
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
     "text_lsh_pairs": {
-        "owner": "training_corpus", "prev": "minhash_lsh_pairs"},
-    # the doc-term-matrix bill moves to its first round-10 consumer
-    # (doc_repetition_stats, front 4 — the r6 owner); the
-    # unigram-scores memo moves to doc_unigram_logprob (front 49 —
-    # the scorer's round-10 log-decomposition rework re-verifies
-    # both it and the decile report in the prefix, scorer first),
-    # so doc_perplexity_buckets pays only its deciles.
-    # source_unigram_kl (front 44) READS doc_tf, never owns it.
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+    # corpus_vocab_topk (front 34) is the first doc-term-matrix
+    # consumer (the r7 precedent); doc_repetition_stats (tail, r10
+    # block) reads cached blocks this round
     "doc_term_matrix": {
-        "owner": "doc_repetition_stats",
-        "prev": "doc_perplexity_buckets"},
+        "owner": "corpus_vocab_topk",
+        "prev": "doc_repetition_stats"},
+    # unigram scorer memo: both consumers (doc_unigram_logprob at
+    # r10-block 49, doc_perplexity_buckets at 50) sit in the tail;
+    # the scorer entry still runs first, so the bill does not move
     "unigram_scores": {
         "owner": "doc_unigram_logprob",
-        "prev": "doc_perplexity_buckets"},
-    # closure/IVF owners follow the r6-order precedent: the first
-    # front consumer of each eager memo pays
+        "prev": "doc_unigram_logprob"},
+    # closure/IVF owners: unchanged from round 10 — the r10 block
+    # precedes the r9 block in the tail, so the round-10 first
+    # consumers stay first
     "embedding_cluster_closure": {
         "owner": "embedding_dup_clusters",
-        "prev": "cross_modal_dup_agreement"},
+        "prev": "embedding_dup_clusters"},
     "text_cluster_closure": {
         "owner": "near_dup_representatives",
-        "prev": "near_dup_clusters"},
+        "prev": "near_dup_representatives"},
     "ivf_cell_assignment": {
-        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
-    # contamination_overlaps leads the tail (its r9-front order) and
-    # still pays the winnow sketch that doc_winnow_fingerprints (the
-    # last tail entry) reads from the bench's lazy persist
+        "owner": "ivf_recall_report", "prev": "ivf_recall_report"},
+    # doc_winnow_fingerprints (front 48) pays the winnow sketch this
+    # round (the r7 precedent); contamination_overlaps (r9-block
+    # head, tail) reads the persisted blocks
     "winnow_fingerprints": {
-        "owner": "contamination_overlaps",
+        "owner": "doc_winnow_fingerprints",
         "prev": "contamination_overlaps"},
 }
 
