@@ -46,14 +46,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + window-rank: top-3 customers by exact revenue per market
-    segment (deterministic tiebreak on c_custkey). Customer side is
-    broadcast; orders aggregates map-side before the join."""
+    segment (deterministic tiebreak on c_custkey). Orders aggregates
+    map-side before the join; customer carries NO broadcast hint
+    (round 11, the nation_pair_volume treatment) — it GROWS with
+    scale factor, so the optimizer sizes the join: it still
+    broadcasts at bench scale from its own stats, and at 100 TB it
+    becomes a shuffle join on c_custkey, as it must."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "revenue"))
-    joined = rev.join(
-        F.broadcast(c), rev["o_custkey"] == c["c_custkey"], "inner"
-    )
+    joined = rev.join(c, rev["o_custkey"] == c["c_custkey"], "inner")
     w = W.partitionBy("c_mktsegment").orderBy(
         F.col("revenue").desc(), F.col("c_custkey")
     )
@@ -67,13 +69,17 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star query + ROLLUP(region, nation) with grouping
-    flags — grouping-sets surface (§2.5 'not present' list)."""
+    flags — grouping-sets surface (§2.5 'not present' list).
+    Region/nation broadcast hints stay (fixed 5/25 rows,
+    size-invariant); customer is optimizer-sized (round 11 — it
+    grows with SF; Catalyst still broadcasts it at bench scale,
+    pinned by test_plan_hygiene.test_dim_joins_broadcast)."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     star = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -92,8 +98,10 @@ def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_asia_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: region-filtered star join + per-nation revenue
-    over a date range. Region/nation broadcast; the date filter pushes
-    to the orders scan; revenue is exact-decimal."""
+    over a date range. Region/nation broadcast (size-invariant dims);
+    the date filter pushes to the orders scan; revenue is
+    exact-decimal. Customer is optimizer-sized (round 11 — SF-growing
+    relations carry no broadcast hint)."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -102,7 +110,7 @@ def q5_asia_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < "1998-01-01")
     )
     star = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -336,13 +344,15 @@ def dormant_customers_by_segment(
 def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape — disjunctive OR-of-ANDs predicate spanning a
     join: revenue from lineitems matching any of three (brand, size,
-    quantity) condition triples. The brand/size legs prune the
-    broadcast part side; the OR evaluates post-join in one codegen
-    stage — the query pattern that punishes engines lacking good
-    boolean-expression handling."""
+    quantity) condition triples. The OR evaluates post-join in one
+    codegen stage — the query pattern that punishes engines lacking
+    good boolean-expression handling. Part carries NO broadcast hint
+    (round 11 — it grows with SF; the optimizer broadcasts it at
+    bench scale from its own stats and shuffles on l_partkey at
+    100 TB, as it must)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
@@ -413,10 +423,12 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile/percent_rank/cume_dist per market segment over order price,
     unique tiebreak on o_orderkey so every rank is deterministic.
     percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
-    small-integer ratios — identical doubles in any engine."""
+    small-integer ratios — identical doubles in any engine. Customer
+    is optimizer-sized (round 11 — no broadcast hint on SF-growing
+    relations)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
     w = W.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
