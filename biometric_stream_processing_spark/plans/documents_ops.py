@@ -543,6 +543,74 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_keywords_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-12 SWAP TARGET for ``doc_tfidf_keywords`` — the same
+    relation with the VOCABULARY-SIZED BROADCAST RETIRED (the round-10
+    log-decomposition treatment that fixed source_unigram_kl and the
+    unigram scorer; the round-10 verdict pre-assigned this rework, and
+    round 11's zero-spare front pushed the registered-fn swap to
+    round 12, when the entry rotates into the prefix anyway).
+
+    Shape change ONLY, values identical by construction: df-per-word
+    comes from a count window OVER ``word`` on the shared doc-term
+    matrix instead of a groupBy('word') aggregate broadcast-joined
+    back (idf was a |vocabulary|-row build+probe — the "MB-scale at
+    any corpus size" claim round 10 proved wrong for corpus-growing
+    relations); N stays the 1-row size-invariant broadcast, joined
+    per-row because the score — not an aggregate — needs it. The
+    per-row float dag is byte-identical to the registered fn
+    (round6(ln(N/df)) on the same N and df doubles, then the same
+    product/round/top-k), so the relation — and its oracle hash —
+    cannot move; tests/test_round11_tfidf_twin.py pins frame
+    equality against the registered fn and asserts this plan carries
+    no vocabulary-sized broadcast build. Skew note: the window is a
+    count over partitionBy(word) — a hot word's partition holds one
+    PRE-AGGREGATED row per containing doc (bounded by |docs|), the
+    exact profile the KL rework ships at scale.
+
+    Round 12: replace ``doc_tfidf_keywords``'s body with this body
+    (one-line delegation also works), flip the hygiene pin to assert
+    the broadcast's ABSENCE, and re-verify hash-green at BOTH SFs."""
+    from .corpus_ops import shared_doc_tf
+
+    ndf = _docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    tf = shared_doc_tf(spark, sf_dir)
+    scored = (
+        tf.withColumn("_df", F.count("*").over(W.partitionBy("word")))
+        .join(F.broadcast(ndf))
+        .select(
+            "doc_id", "word", "tf",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("_n") / F.col("_df")), 6),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(
+                    (-F.col("score")).alias("_ns"),
+                    F.col("word"), F.col("tf"), F.col("score"),
+                ))),
+                1, TFIDF_TOP_K,
+            ).alias("_top")
+        )
+        .select("doc_id", F.posexplode("_top").alias("_pos", "_t"))
+        .select(
+            "doc_id",
+            F.col("_t.word").alias("word"),
+            F.col("_t.tf").alias("tf"),
+            F.col("_t.score").alias("score"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
+    )
+
+
 def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing per source shard
     (operators/sampling.pack_greedy): documents fold into

@@ -1,0 +1,53 @@
+"""Round-11 pre-work for the round-12 tfidf swap: the decomposed
+twin (``documents_ops._tfidf_keywords_decomposed``) must be
+row-identical to the registered ``doc_tfidf_keywords`` — same float
+dag per row, only the vocabulary-sized broadcast retired — and its
+plan must not build a vocabulary-sized broadcast relation.
+
+The registered fn is byte-stable this round (round 11's verdict
+prefix had zero spare slots — see the registry front note), so the
+twin lives module-level; round 12 swaps the registered body and
+flips test_plan_hygiene's broadcast pin to assert absence."""
+
+from __future__ import annotations
+
+from biometric_stream_processing_spark.plans import documents_ops
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_decomposed_twin_is_row_identical(spark):
+    """Bitwise frame equality (scores are rounded doubles compared
+    exactly — the twin's per-row dag is the registered fn's dag on
+    identical inputs, so not even a ulp may move)."""
+    reg = _rows(documents_ops.doc_tfidf_keywords(spark, SF_DIR))
+    twin = _rows(documents_ops._tfidf_keywords_decomposed(spark, SF_DIR))
+    assert len(reg) > 0
+    assert twin == reg
+
+
+def test_decomposed_twin_has_no_vocabulary_broadcast(spark):
+    """The only broadcast in the twin's plan is the 1-row corpus-size
+    scalar (size-invariant); df-per-word must come from a window over
+    ``word`` — no |vocabulary|-row BroadcastHashJoin build. The
+    registered fn still carries one this round (the swap is round
+    12's), which this test pins as the CONTRAST so the swap's hygiene
+    flip is observable."""
+    twin_plan = documents_ops._tfidf_keywords_decomposed(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    # the vocab-sized build in the registered plan is a keyed
+    # BroadcastHashJoin on word; the twin must have none
+    assert "BroadcastHashJoin" not in twin_plan
+    # the window over word is present
+    assert "windowspecdefinition(word" in twin_plan.lower() or (
+        "Window" in twin_plan and "word" in twin_plan
+    )
+    reg_plan = documents_ops.doc_tfidf_keywords(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in reg_plan
