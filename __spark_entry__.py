@@ -325,6 +325,14 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_interchange_report": _wrap(
             analytics.orc_interchange_report
         ),
+        # streaming hourly gap-fill twin (round-10 verdict item 6's
+        # pre-identified candidate — the one timeseries op with no
+        # streaming twin): three longs of keyed state, all-integer
+        # output, order-free per the state.py ledger; shares the
+        # batch gap-fill oracle (streaming/pipeline.py)
+        "streaming_user_gapfill": _wrap(
+            streaming_pipeline.streaming_user_gapfill
+        ),
     }
 
 
@@ -360,6 +368,11 @@ def oracle_sql() -> dict[str, str]:
     # streaming SCD-2: closed runs emit on state change, open runs on
     # sentinel timer flush — the union equals the batch relation
     o["streaming_state_history"] = timeseries_ops.ORACLE["user_state_history"]
+    # streaming gap-fill twin (ROUND-11 QUEUE): closed hours + gap
+    # runs emit on hour advance, the open hour on sentinel timer
+    # flush — the union equals the batch hourly spine exactly
+    # (hour-bucket sums are commutative, so no order caveat at all)
+    o["streaming_user_gapfill"] = timeseries_ops.ORACLE["user_hourly_gapfill"]
     # streaming approx-distinct: bounded oracle (sketches differ per
     # engine) — the guarantee per (hourly window, type) as literal truth
     o["streaming_approx_users"] = """

@@ -1177,6 +1177,52 @@ def streaming_user_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cadence_finish(agg)
 
 
+def streaming_user_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOURLY GAP-FILL — the streaming twin of
+    ``plans/timeseries_ops.user_hourly_gapfill``, whose DuckDB oracle
+    it shares: per user, one row per hour of the active span, closed
+    hours and their trailing gap runs emitted INCREMENTALLY on hour
+    advance (observed: exact count + cents sum; gaps: n=0, NULL
+    observed sum, forward-filled sum, is_gap) and the final open hour
+    flushed via event-time timer when the watermark-flush sentinel
+    passes ``state.SCD2_FLUSH_AT_MS`` (the SCD-2 cadence — an
+    ordinary watermark advance must not flush, the key may still get
+    data). Three longs of keyed state (open hour's index/count/sum);
+    the spine needs no carry because a gap run's fill value is the
+    closing hour's own sum. ORDER-FREE per the state.py ledger:
+    hour-bucket sums are commutative, the output is all-integer, so
+    same-second cross-batch ties cannot move any field. With the
+    single-file staged source the whole table is one micro-batch and
+    the emission equals the batch relation exactly — the shared
+    oracle. Gap-fill was the one timeseries op with no streaming twin
+    (round-10 verdict item 6). ROUND-11 QUEUE (registers round 12).
+
+    Wall (sf0.1, local[32]): 10.5 s cold (QUEUED_BENCH_r11), 8.0 s
+    warm best-of-3 — above the 2-4 s Python-stateful class because
+    the RELATION is big, not the machine: the hourly spine is
+    ~1.05 M rows at sf0.1 (×700 the cadence twin's output), so the
+    Arrow emission + memory-sink collect dominates; the keyed state
+    itself is three longs and the kernel is one dict pass per batch.
+    DuckDB replays the same relation in 1.7 s (no state machinery —
+    the ratio_report streaming caveat applies)."""
+    import os
+    import uuid
+
+    from .state import gapfill_stream
+
+    # Python-stateful: 8 partitions, see streaming_abandoned_clicks
+    with pinned_shuffle_partitions(spark, 8):
+        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        src = _events_stream_source(
+            spark, _staged_events_dir_with_sentinel(sf_dir, ts_unit),
+            "*.parquet", ts_unit,
+        )
+        out = gapfill_stream(src)
+        name = "gapfill_stream_" + uuid.uuid4().hex[:8]
+        out = run_stream_to_memory(out, name, scratch_dir("bspe_gap_"))
+    return out.where(F.col("user_id") != SENTINEL_USER_ID)
+
+
 def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD-2 STATE HISTORY — the streaming twin of
     ``plans/timeseries_ops.user_state_history``, whose DuckDB oracle

@@ -35,7 +35,12 @@ machine stands on that disorder class:
   transition (runner-up slot, round 10), cadence (skip guard on the
   remembered (us, event_id), round 10).
 - ORDER-FREE SEMANTICS (ties cannot matter): absence — the anti-join
-  relation is a set predicate; dedup registries — content-keyed.
+  relation is a set predicate; dedup registries — content-keyed;
+  gapfill (round 11) — hour-bucket count/sum are commutative and
+  every output field depends only on the hour-index ordering (which
+  the watermark enforces), with an all-integer output so no rounding
+  tie surface exists; property-tested under permuted arrival and
+  arbitrary batch splits in tests/test_round11_properties.py.
 - DOCUMENTED TRADE (sequential recurrences whose already-emitted
   rows cannot retract; a tie straddler absorbs in arrival order —
   exact on ordered arrival, the oracled single-batch case, and
@@ -1069,6 +1074,152 @@ def cadence_stream(
         CADENCE_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+GAPFILL_OUTPUT_SCHEMA = (
+    "user_id long, hour_es long, n long, sum_cents long, "
+    "filled_sum_cents long, is_gap boolean"
+)
+# the OPEN hour's bucket: hour index (us // 3.6e9), its event count
+# and exact cents sum — three longs per user, O(1) state (closed
+# hours and the gaps between them emit immediately; the fill value
+# for a gap run is the closing hour's own sum, so no carry is needed)
+GAPFILL_STATE_SCHEMA = "cur_hour long, n long, sum_cents long"
+_HOUR_US = 3_600_000_000
+
+
+def gapfill_fn():
+    """Per-key stateful function for ``gapfill_stream``: the hourly
+    RESAMPLE + GAP-FILL + FORWARD-FILL collapse
+    (``plans/timeseries_ops.hourly_gapfill``) as a streaming machine
+    with THREE LONGS of state per user — the open hour's (index,
+    count, cents sum). When an admissible row lands in a LATER hour,
+    the open hour closes (emits its observed row, filled = its own
+    sum), the intervening empty hours emit as gap rows (n=0, NULL
+    observed sum, the closed hour's sum carried forward, is_gap
+    true), and the new hour opens; the final open hour emits via the
+    event-time timer when the watermark-flush sentinel passes
+    ``SCD2_FLUSH_AT_MS`` (the shared between-data-and-sentinel mark —
+    an ordinary watermark advance must not flush, the key may still
+    get data). The spine therefore starts at the user's first
+    observed hour and ends at the last — exactly the batch relation's
+    per-user min..max hour span.
+
+    TIE/DISORDER CLASS (module-head ledger): ORDER-FREE. Hour-bucket
+    count/sum are commutative, and every output field depends only on
+    the hour INDEX ordering — intra-hour arrival order, including
+    same-second cross-batch ties, cannot move any value; the output
+    is all-integer (no float dag at all), so there is no rounding
+    tie surface either. The one order sensitivity is the universal
+    F6 late-drop contract: a row in an hour at or before an
+    already-CLOSED hour (impossible on ordered arrival — closure
+    implies a strictly later row was seen, so such a straggler is
+    below the engine watermark under delay 0) is dropped against the
+    emission frontier rather than corrupting emitted history."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = [
+            "user_id", "hour_es", "n", "sum_cents",
+            "filled_sum_cents", "is_gap",
+        ]
+        if state.hasTimedOut:
+            if state.exists:
+                cur, n, s = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(key[0], cur * 3600, n, s, s, False)],
+                    columns=cols,
+                )
+            return
+
+        cur, n, s = state.get if state.exists else (-1, 0, 0)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buckets: dict[int, list[int]] = {}
+        for pdf in pdfs:
+            for us, et, cents in zip(
+                pdf["tus"], pdf["event_type"], pdf["cents"]
+            ):
+                if str(et) == "__sentinel__":
+                    continue  # clock-only row (watermark carrier)
+                if wm_us > 0 and int(us) < wm_us:
+                    continue  # late (F6/W4)
+                b = buckets.setdefault(int(us) // _HOUR_US, [0, 0])
+                b[0] += 1
+                b[1] += int(cents)
+
+        out: list[tuple] = []
+        uid = key[0]
+        for h in sorted(buckets):
+            bn, bs = buckets[h]
+            if cur < 0:
+                cur, n, s = h, bn, bs
+            elif h == cur:
+                n += bn
+                s += bs
+            elif h > cur:
+                out.append((uid, cur * 3600, n, s, s, False))
+                out.extend(
+                    (uid, g * 3600, 0, None, s, True)
+                    for g in range(cur + 1, h)
+                )
+                cur, n, s = h, bn, bs
+            # h < cur: frontier straggler — see docstring (dropped;
+            # unreachable on ordered arrival under watermark 0)
+
+        if cur >= 0:
+            state.update((cur, n, s))
+            state.setTimeoutTimestamp(
+                max(SCD2_FLUSH_AT_MS,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            df = pd.DataFrame(out, columns=cols)
+            # gap rows carry NULL sum_cents; pandas would infer the
+            # mixed int/None column as float64 (exact only to 2^53) —
+            # force nullable Int64 so the sums stay exact end-to-end
+            df["sum_cents"] = pd.array(
+                [r[3] for r in out], dtype="Int64"
+            )
+            yield df
+
+    return fn
+
+
+def gapfill_stream(
+    events: DataFrame,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming hourly gap-fill — the streaming twin of
+    ``plans/timeseries_ops.user_hourly_gapfill``, whose DuckDB oracle
+    it shares. Closed hours and their trailing gap runs emit on hour
+    advance; the open hour emits on sentinel-driven timer flush (the
+    SCD-2 cadence). The sentinel row must survive any input filter
+    (it carries the flushing watermark), so no pre-op event-type
+    filter is applied here."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        events.withWatermark("ts", watermark_delay)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        gapfill_fn(),
+        GAPFILL_OUTPUT_SCHEMA,
+        GAPFILL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

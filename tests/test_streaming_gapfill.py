@@ -1,0 +1,122 @@
+"""Streaming gap-fill twin goldens (round-11 queue): cross-batch
+hour continuation, gap emission, sentinel-driven open-hour flush, and
+restart recovery — the kernel-level disorder properties live in
+tests/test_round11_properties.py, the full-table oracle parity in the
+driver gate (shared ``user_hourly_gapfill`` oracle)."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timedelta, timezone
+
+from biometric_stream_processing_spark.streaming.pipeline import (
+    SENTINEL_TS_MICROS,
+    SENTINEL_USER_ID,
+    read_events_stream,
+)
+from biometric_stream_processing_spark.streaming.state import (
+    gapfill_stream,
+)
+from tests.test_streaming import tmpdir  # noqa: F401
+
+T0 = datetime(2024, 1, 1)
+SCHEMA = (
+    "ts timestamp, user_id long, event_id long, event_type string, "
+    "value double"
+)
+SENTINEL_TS = datetime.fromtimestamp(
+    SENTINEL_TS_MICROS / 1_000_000, tz=timezone.utc
+).replace(tzinfo=None)
+
+
+def _hour_es(h: int) -> int:
+    return (int(T0.timestamp()) // 3600 + h) * 3600
+
+
+def _writer(spark, indir):
+    eid = iter(range(1, 10_000))
+
+    def write(rows):
+        data = [
+            (T0 + timedelta(seconds=off), uid, next(eid), et, val)
+            for off, uid, et, val in rows
+        ]
+        spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(indir))
+
+    return write
+
+
+def _phase(spark, indir, ckpt, outdir):
+    src = read_events_stream(
+        spark, str(indir), SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        gapfill_stream(src)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt)).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _rows(spark, outdir):
+    return sorted(
+        (r.user_id, r.hour_es, r.n, r.sum_cents,
+         r.filled_sum_cents, r.is_gap)
+        for r in spark.read.parquet(str(outdir))
+        .where(f"user_id != {SENTINEL_USER_ID}").collect()
+    )
+
+
+def test_gapfill_state_survives_restart(spark, tmpdir):  # noqa: F811
+    """Hour 0 accumulates across two pre-kill micro-batches; after
+    the restart an hour-3 event must close hour 0 with the FULL
+    pre-restart sum (three-longs state recovered), emit gap hours 1-2
+    forward-filled from it, and the sentinel must flush hour 3 —
+    with no pre-restart emission duplicated (exactly-once sink)."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    write = _writer(spark, indir)
+
+    write([(0, 1, "view", 0.10)])
+    write([(60, 1, "click", 0.05)])
+    _phase(spark, indir, ckpt, outdir)
+
+    write([(3 * 3600 + 30, 1, "view", 0.07)])
+    write([(
+        (SENTINEL_TS - T0).total_seconds(), SENTINEL_USER_ID,
+        "__sentinel__", 0.0,
+    )])
+    _phase(spark, indir, ckpt, outdir)
+
+    assert _rows(spark, outdir) == [
+        (1, _hour_es(0), 2, 15, 15, False),
+        (1, _hour_es(1), 0, None, 15, True),
+        (1, _hour_es(2), 0, None, 15, True),
+        (1, _hour_es(3), 1, 7, 7, False),
+    ]
+
+
+def test_gapfill_sentinel_only_carries_clock(spark, tmpdir):  # noqa: F811
+    """A sentinel with no prior data for its own key emits nothing
+    for the sentinel user, and a single observed hour flushes as one
+    observed row (min == max spine)."""
+    run = uuid.uuid4().hex[:10]
+    indir, ckpt = tmpdir / "in" / run, tmpdir / "ckpt" / run
+    outdir = tmpdir / "out" / run
+    write = _writer(spark, indir)
+
+    write([(30, 5, "view", 1.00)])
+    write([(
+        (SENTINEL_TS - T0).total_seconds(), SENTINEL_USER_ID,
+        "__sentinel__", 0.0,
+    )])
+    _phase(spark, indir, ckpt, outdir)
+
+    assert _rows(spark, outdir) == [
+        (5, _hour_es(0), 1, 100, 100, False),
+    ]
