@@ -562,12 +562,16 @@ def streaming_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Test harness: the merge target is a driver-side dict (bounded by
     distinct content, same bound complete mode already accepts — see
-    ``run_stream_update_log`` precedent); a production target is a
-    keyed table (MERGE INTO / RocksDB-backed upsert sink) with the
-    IDENTICAL streaming plan. Single-batch source ⇒ final registry
-    equals the batch ``dedup_exact`` relation (the DuckDB oracle);
-    multi-batch incremental folding is golden-tested in
-    test_streaming_dedup.py."""
+    ``run_stream_update_log`` precedent). The PRODUCTION target is
+    code, not prose (round 11):
+    ``sinks.idempotent_keyed_upsert_writer`` runs the IDENTICAL
+    streaming plan against a versioned keyed store — last-write-wins
+    upsert per key, exactly-once under forced batch replay
+    (tests/test_exactly_once_sink.py drives the real crash window) —
+    and maps 1:1 to a transactional MERGE INTO at deployment scale.
+    Single-batch source ⇒ final registry equals the batch
+    ``dedup_exact`` relation (the DuckDB oracle); multi-batch
+    incremental folding is golden-tested in test_streaming_dedup.py."""
     with pinned_shuffle_partitions(spark):
         schema = ("doc_id long, text string, lang string, source string, "
                   "n_chars long")
