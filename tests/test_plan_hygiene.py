@@ -665,20 +665,24 @@ def test_passage_dedup_hash_then_doc_exchanges_only(spark):
 
 
 def test_duplicate_spans_gram_then_doc_exchanges_only(spark):
-    """doc_duplicate_spans (round-9 queue): the gram relation
-    shuffles on its 16-byte hash (the count-distinct pre-shuffle adds
-    doc_id to the key; gram TEXT never rides an exchange), then ONE
-    doc_id exchange feeds all three windows and both rollups
+    """doc_duplicate_spans (round-9 queue; round-11 window rework):
+    the single-file spread round-robin, then the gram relation
+    shuffles EXACTLY ONCE on its 16-byte hash — the min/max
+    duplicated-doc window rides that one exchange (the round-9 shape
+    paid a second _gh pass for the count-distinct + flag-back semi
+    join, hidden behind a localCheckpoint that double-billed) — then
+    ONE doc_id exchange feeds all three windows and both rollups
     (subset-clustering reuse: hash(doc_id) satisfies every later
-    (doc_id, …) requirement). Never a cartesian/NLJ pair
-    enumeration, never a single-partition stage."""
+    (doc_id, …) requirement). Never a cartesian/NLJ pair enumeration,
+    never a single-partition stage."""
     from biometric_stream_processing_spark.plans import corpus_ops
 
     p = _plan(corpus_ops.doc_duplicate_spans(spark, SF_DIR))
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
     sh = _shuffles(p)
     assert len(sh) == 3, sh
-    assert "_gh" in sh[0] and "_gh" in sh[1]
+    assert "RoundRobin" in sh[0]
+    assert "_gh" in sh[1]
     assert "doc_id" in sh[2] and "_gh" not in sh[2]
     assert "SinglePartition" not in p
 
