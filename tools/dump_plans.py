@@ -32,10 +32,15 @@ SHOWCASE = [
     ("regional_revenue_rollup",
      "Star join + ROLLUP: every dimension join is a "
      "`BroadcastHashJoin` (no `SortMergeJoin` anywhere); the fact "
-     "table shuffles once, for the rollup aggregation."),
+     "table shuffles once, for the rollup aggregation. The customer "
+     "join carries NO hint since round 11 (it grows with SF) — the "
+     "broadcast shown is the OPTIMIZER's stats-based choice, which "
+     "becomes a shuffle join at 100 TB, as it must."),
     ("top_customers_per_segment",
-     "Join + window rank: broadcast join into a single shuffle on the "
-     "window partition key; rank filter applied before projection."),
+     "Join + window rank: broadcast join (optimizer-sized since "
+     "round 11 — no hint on the SF-growing customer side) into a "
+     "single shuffle on the window partition key; rank filter "
+     "applied before projection."),
     ("top_orders",
      "Global sort + limit compiles to `TakeOrderedAndProject` — no "
      "full sort of the orders table."),
@@ -175,11 +180,14 @@ SHOWCASE = [
      "the already-reduced per-user counts keyed by event_type."),
     # --- round-9 queue ---
     ("doc_duplicate_spans",
-     "ExactSubstr dedup, relationally: the positional gram index "
-     "(lazily localCheckpointed — both consumers read one "
-     "materialization) shuffles ONCE on its 16-byte hash; gram text "
-     "never rides an exchange; one doc_id exchange then feeds all "
-     "three windows and both rollups via subset-clustering reuse."),
+     "ExactSubstr dedup, relationally (round-11 window rework): the "
+     "positional gram index is built in ONE tokenize pass and "
+     "shuffles ONCE on its 16-byte hash — the duplicated flag is a "
+     "min/max-doc window on that exchange (min!=max <=> >=2 distinct "
+     "docs), no key aggregate, no flag-back join, no checkpoint "
+     "materialization; gram text never rides an exchange; one doc_id "
+     "exchange then feeds all three windows and both rollups via "
+     "subset-clustering reuse."),
     ("embedding_int8_recall",
      "Dual integer rankings over ONE pair scan: vectors quantize "
      "once per row before the broadcast join, both row_number "
