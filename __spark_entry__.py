@@ -213,17 +213,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orc_interchange_report (carried from round 10; the round-11
         # front had zero spare slots, see the front note) and the
         # round-11 net-new (streaming gap-fill twin, if queued).
-        # 46 + 2 = 48, leaving TWO spare slots for source-changed
-        # re-verifications. ONE is pre-assigned: doc_tfidf_keywords
-        # (inside the 46) takes the round-10 log-decomposition
-        # treatment — df-per-word from a window over word, the 1-row
-        # N broadcast stays, idf = ln(N) − ln(df) finished in exact
-        # integer micros — the decomposed twin and its value-identity
-        # pin already exist (corpus_ops._tfidf_keywords_decomposed,
-        # tests/test_round11_tfidf_twin.py); round 12 swaps the
-        # registered fn body to call it, re-verifies hash-green at
-        # BOTH SFs, and flips the plan-hygiene broadcast pin to
-        # assert absence. The r10-green block directly below stays
+        # 46 + 2 = 48, leaving TWO spare slots. ROUND-13 FEASIBILITY
+        # (the arithmetic class round 11 caught — re-derive from the
+        # CORRECTNESS files, do not trust this count either): the
+        # r10-green block is 50 entries and none re-verified in
+        # round 11, so round 13 owes 50 − (r10-block entries round
+        # 12's spares re-verify). Spend BOTH round-12 spares on the
+        # first two r10-block entries in gate order
+        # (embedding_kmeans_quality, decontaminated_train_docs —
+        # memo owners, cheapest to re-run) so round 13 owes 48 and
+        # keeps its own spares; queue NOTHING net-new in round 12
+        # (the two first-verdicts above already fill the queue debt,
+        # and a round-12 queue entry would re-tighten round 13 to
+        # capacity). One in-block obligation rides along (no extra
+        # slot — the entry is inside the 46): doc_tfidf_keywords
+        # takes the vocabulary-broadcast retirement — df-per-word
+        # from a count window over word, the 1-row N broadcast stays,
+        # and the per-row float dag stays BYTE-IDENTICAL
+        # (round6(ln(N/df)) on the same N/df doubles, NOT the
+        # re-associated ln(N)−ln(df), so the hash cannot move) — the
+        # decomposed twin and its value-identity pin already exist
+        # (documents_ops._tfidf_keywords_decomposed,
+        # tests/test_round11_tfidf_twin.py, row-identical at all
+        # three SFs); round 12 swaps the registered fn body to call
+        # it, re-verifies hash-green at BOTH SFs, and flips the
+        # plan-hygiene broadcast pin to assert absence. The r10-green block directly below stays
         # fresh through round 12 and rotates in round 13.
         #
         # --- last green r10 (r10 gate order preserved so memo
