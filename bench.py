@@ -313,6 +313,26 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+    # WARM SECOND PASS (round 11): three consecutive verdicts spent
+    # effort adjudicating "in-bench drift" that fresh isolated A/Bs
+    # then attributed to first-call/position effects (the round-10
+    # flags on nation_pair_volume / late_shipment /
+    # top_customers_per_segment all reproduced their ORIGINAL pins).
+    # Record a same-session second reading per query — memos hot,
+    # codegen warm, the exact protocol of the docstring floor pins —
+    # into BENCH_DETAIL so drift adjudication reads warm-vs-pin
+    # directly instead of re-running isolated A/Bs a round later. The
+    # headline metric and the first-pass dict are UNCHANGED (the
+    # baseline comparison stays first-run honest). Opt out with
+    # SPARK_GRAFT_BENCH_WARM=0; skipped when the first pass blew past
+    # its normal envelope (a stalled host would double the damage).
+    warm: dict[str, float] = {}
+    if (os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+            and total <= 240.0):
+        for name, fn in qs.items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            warm[name] = round(time.time() - t0, 3)
     pairs.unpersist()
     cells.unpersist()
     fps.unpersist()
@@ -365,12 +385,13 @@ def main() -> None:
             f"BENCH_DETAIL_r{n:02d}.json",
         )
         with open(detail, "w") as f:
-            json.dump(
-                {"queries": timings, "sf": sf_val,
-                 "total": round(total, 3),
-                 "memo_owner": MEMO_OWNERS},
-                f, indent=1, sort_keys=True,
-            )
+            payload = {"queries": timings, "sf": sf_val,
+                       "total": round(total, 3),
+                       "memo_owner": MEMO_OWNERS}
+            if warm:
+                payload["queries_warm"] = warm
+                payload["total_warm"] = round(sum(warm.values()), 3)
+            json.dump(payload, f, indent=1, sort_keys=True)
             f.write("\n")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     print(json.dumps({
