@@ -51,7 +51,32 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark_times: dict[str, float] = {}
-    if len(args) > 1 and args[1] != "--run":
+    if "--warm" in args:
+        # Spark side = the warm second-pass readings from the newest
+        # BENCH_DETAIL (round-11 instrumentation): memos hot, codegen
+        # warm — the docstring-pin protocol, free of the first-call/
+        # position noise that dominated three rounds of drift
+        # adjudication. Usage: python tools/ratio_report.py [sf_dir]
+        # --warm
+        import glob
+        import os
+        import re
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        details = sorted(
+            glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        for p in reversed(details):
+            d = json.load(open(p))
+            if d.get("queries_warm"):
+                print(f"warm readings from {os.path.basename(p)}")
+                spark_times = d["queries_warm"]
+                break
+        else:
+            print("no BENCH_DETAIL with queries_warm found")
+            return 1
+    elif len(args) > 1 and args[1] != "--run":
         lines = open(args[1]).read().strip().splitlines()
         spark_times = json.loads(lines[-2])["queries"]
     elif "--run" in args:
