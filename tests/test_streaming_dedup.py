@@ -128,3 +128,63 @@ def test_update_merge_registry_folds_across_batches(spark, tmpdir):
         h("bbb"): (2, 1),   # untouched by batch 2, survived the merge
         h("ccc"): (4, 1),
     }
+
+
+def test_keyed_upsert_sink_carries_the_dedup_registry(spark, tmpdir):
+    """The PRODUCTION form of the two registry tests above (round-11
+    `sinks.idempotent_keyed_upsert_writer`): the same content-hash
+    aggregation in update mode, upserted into the versioned keyed
+    store instead of a driver dict. Duplicate content arriving in a
+    later micro-batch folds (count grows, canonical stays the min
+    id), untouched keys survive the merge, and the committed registry
+    equals the batch dedup over the union — the MERGE INTO shape,
+    checkable with plain files."""
+    import hashlib
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from biometric_stream_processing_spark.streaming.sinks import (
+        idempotent_keyed_upsert_writer,
+        read_keyed_registry,
+        start_with_foreach_batch,
+    )
+
+    name = "ups" + _uuid.uuid4().hex[:8]
+    indir = str(tmpdir / "in" / name)
+    out = str(tmpdir / "reg" / name)
+    schema = "doc_id long, text string"
+    b1 = [(1, "aaa"), (2, "bbb"), (3, "aaa")]
+    b2 = [(9, "aaa"), (4, "ccc")]          # dup of batch-1 content + new
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    agg = src.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+    q = start_with_foreach_batch(
+        agg,
+        idempotent_keyed_upsert_writer(out, ["content_hash"]),
+        str(tmpdir / "ckpt" / name),
+        output_mode="update",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    reg = {
+        r.content_hash: (r.canonical_doc_id, r.n_docs)
+        for r in read_keyed_registry(spark, out).collect()
+    }
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert reg == {
+        h("aaa"): (1, 3),   # folded across batches, min id kept
+        h("bbb"): (2, 1),   # untouched by batch 2, survived the merge
+        h("ccc"): (4, 1),
+    }
