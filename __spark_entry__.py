@@ -113,6 +113,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["streaming_user_cadence"] = _wrap(
         streaming_pipeline.streaming_user_cadence
     )
+    # registered round 12 (queued since round 10 / round 11): ORC
+    # write→read round-trip parity vs a parquet-side oracle — the one
+    # I/O format previously without an oracled entry
+    all_q["orc_interchange_report"] = _wrap(
+        analytics.orc_interchange_report
+    )
+    # registered round 12 (round-11 queue): streaming hourly gap-fill
+    # twin — three longs of keyed state, all-integer output,
+    # order-free per the state.py ledger; shares the batch gap-fill
+    # oracle
+    all_q["streaming_user_gapfill"] = _wrap(
+        streaming_pipeline.streaming_user_gapfill
+    )
 
     # The driver's correctness gate records only the first ~50 entries
     # in dict order, so registration order decides which queries get a
@@ -129,153 +142,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 11 (recorded rounds r1-r7, r9, r10): r7 leaves the window
-    # when this round records (post-recording window {r9, r10, r11}),
-    # so every entry whose last green verdict is r7 fills the front.
-    # ARITHMETIC CORRECTION to the round-10 pre-plan: that note said
-    # "47 slots + 2 queue + 1 tfidf spare" — but round 10 itself sent
-    # biometric_union and alert_windows BACK to the tail (the late
-    # scorer rework took their penciled slots) and recorded the
-    # return without re-summing the top line. The true last-green-r7
-    # set is 49 entries (checked against CORRECTNESS_r{07,09,10}
-    # greens), so the round-11 front has ZERO spare slots:
-    #   49 r7-due + streaming_user_cadence (queue head, first
-    #   verdict) = 50 exactly.
-    # Consequences, each deliberate:
-    #   - orc_interchange_report STAYS QUEUED one more round (it is
-    #     unregistered, so no rotation test binds it; it remains
-    #     judge-verified green and QUEUED_BENCH-tracked, and takes a
-    #     round-12 slot — see the round-12 note at the tail head).
-    #   - the doc_tfidf_keywords idf rework DEFERS to round 12,
-    #     where the entry rotates into the front anyway as part of
-    #     the 46-entry r9 block — the rework then costs no extra
-    #     slot. The decomposed recipe is pre-built and value-pinned
-    #     THIS round as a module-level twin
-    #     (corpus_ops._tfidf_keywords_decomposed +
-    #     tests/test_round11_tfidf_twin.py) so round 12's edit is a
-    #     one-line swap inside the registered fn.
-    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r07 is the
-    # precedent for this exact front order): dedup_pipeline_report
-    # (front 37) is again the first consumer of the clean corpus,
-    # decontam index/survivors, LSH pair chain and training-corpus
-    # capstone; corpus_vocab_topk (front 34) owns the
-    # doc-term-matrix; doc_winnow_fingerprints (front 48) owns the
-    # winnow sketch. The closure/IVF/kmeans/unigram bills stay with
-    # their round-10 owners because the r10 block leads the tail.
+    # ROUND 12 (recorded rounds r1-r7, r9, r10, r11): r9 leaves the
+    # window when this round records (post-recording window
+    # {r10, r11, r12}), so the 46-entry r9-green block fills the
+    # front (derived fresh from CORRECTNESS_r{09,10,11}: exactly 46
+    # entries have last-green r9; the r10/r11 blocks are 50 each —
+    # 46+50+50 = 146 registered, set-check clean). Front = 46 r9-due
+    # + 2 queue first-verdicts (orc_interchange_report, carried from
+    # round 10 through round 11's zero-spare prefix, and
+    # streaming_user_gapfill, the round-11 net-new) + 2 spares = 50:
+    #   - spare 1 (REASSIGNED per the round-11 verdict, What's wrong
+    #     #2): doc_duplicate_spans — its round-11 helper rework
+    #     (corpus_ops.duplicate_spans min/max-window form, commit
+    #     956e5bb) didn't move the registered-wrapper fingerprint,
+    #     so the r10 verdict covers different physical code; a
+    #     changed-source re-verification outranks a cheap freshness
+    #     re-run.
+    #   - spare 2: embedding_kmeans_quality (r10-block head, memo
+    #     owner, cheapest to re-run) — softens round 13.
+    #   Both spares are r10-block entries, so round 13's debt drops
+    #   to 48 (see the round-13 note at the tail head). NOTHING is
+    #   queued net-new this round (round-13 capacity).
+    # In-block obligation LANDED with this rotation: the registered
+    # doc_tfidf_keywords (front 45) now delegates to the decomposed
+    # form (documents_ops._tfidf_keywords_decomposed — vocabulary
+    # broadcast retired, per-row dag byte-identical, hash re-verified
+    # green at sf0.001/sf0.01/sf0.1 this round); the plan-hygiene pin
+    # flipped to assert the broadcast's ABSENCE and
+    # tests/test_round11_tfidf_twin.py now pins row-identity against
+    # an inline rebuild of the retired broadcast form.
+    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r09 is the
+    # precedent for this front order): contamination_overlaps
+    # (front 1) pays the winnow sketch; minhash_lsh_pairs (front 3)
+    # the LSH pair chain; near_dup_clusters (front 4) the text
+    # closure; embedding_ivf_topk (front 8) the IVF cells;
+    # corpus_token_budget (front 10) the clean corpus;
+    # cross_modal_dup_agreement (front 11) the embedding closure;
+    # doc_tfidf_keywords (front 45) the doc-term matrix (the
+    # decomposed body is the first registration-order consumer);
+    # embedding_kmeans_quality (front 50) keeps the kmeans bill;
+    # decontam/training-corpus/unigram bills return to their tail
+    # owners (decontaminated_train_docs, training_corpus,
+    # doc_unigram_logprob).
     front = [
-        # --- last green r7 (oldest debt) IN ITS r7 GATE ORDER — 49
-        # entries; order preserved so BENCH_DETAIL_r07 per-query
+        # --- last green r9 (oldest debt) IN ITS r9 GATE ORDER — 46
+        # entries; order preserved so BENCH_DETAIL_r09 per-query
         # numbers stay comparable ---
-        "biometric_union", "alert_windows",
-        "alerts_throttled", "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "customer_running_totals",
-        "dormant_customers_by_segment", "users_with_both_streams",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "doc_passages",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks", "source_dedup_report",
-        "source_quality_report",
-        "corpus_vocab_topk", "embedding_pca_quality",
-        "orders_profile", "dedup_pipeline_report",
-        "streaming_alerts", "streaming_dedup_merge",
-        "streaming_interval_pairs",
-        "streaming_enriched_segment_counts",
-        "streaming_session_stats", "streaming_vocab_topk",
-        "streaming_abandoned_clicks", "streaming_outer_pairs",
-        # --- the round-10 queue head registers (first driver
-        # verdict). Placed inside the stateful-streaming run so the
-        # staged events+sentinel source is warm when it executes —
-        # the r10 verdict's open question is whether its 15.9 s
-        # QUEUED_BENCH reading was cold staged-source setup (3.1 s
-        # claimed warm); this position answers it in-bench. ---
-        "streaming_user_cadence",
-        # --- r7 block continues ---
-        "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints",
-        "user_value_ewma",
-    ]
-    tail = [
-        # ROUND-12 OBLIGATION (K=3 on recorded rounds; once round 11
-        # records, the window is {r9, r10, r11} and r9 leaves when
-        # round 12 records): the 46-entry r9-green block at the
-        # BOTTOM of this tail (contamination_overlaps ..
-        # streaming_funnel, r9 front order preserved) fills the
-        # round-12 front, alongside first verdicts for the queue —
-        # orc_interchange_report (carried from round 10; the round-11
-        # front had zero spare slots, see the front note) and the
-        # round-11 net-new (streaming gap-fill twin, if queued).
-        # 46 + 2 = 48, leaving TWO spare slots. ROUND-13 FEASIBILITY
-        # (the arithmetic class round 11 caught — re-derive from the
-        # CORRECTNESS files, do not trust this count either): the
-        # r10-green block is 50 entries and none re-verified in
-        # round 11, so round 13 owes 50 − (r10-block entries round
-        # 12's spares re-verify). Spend BOTH round-12 spares on the
-        # first two r10-block entries in gate order
-        # (embedding_kmeans_quality, decontaminated_train_docs —
-        # memo owners, cheapest to re-run) so round 13 owes 48 and
-        # keeps its own spares; queue NOTHING net-new in round 12
-        # (the two first-verdicts above already fill the queue debt,
-        # and a round-12 queue entry would re-tighten round 13 to
-        # capacity). One in-block obligation rides along (no extra
-        # slot — the entry is inside the 46): doc_tfidf_keywords
-        # takes the vocabulary-broadcast retirement — df-per-word
-        # from a count window over word, the 1-row N broadcast stays,
-        # and the per-row float dag stays BYTE-IDENTICAL
-        # (round6(ln(N/df)) on the same N/df doubles, NOT the
-        # re-associated ln(N)−ln(df), so the hash cannot move) — the
-        # decomposed twin and its value-identity pin already exist
-        # (documents_ops._tfidf_keywords_decomposed,
-        # tests/test_round11_tfidf_twin.py, row-identical at all
-        # three SFs); round 12 swaps the registered fn body to call
-        # it, re-verifies hash-green at BOTH SFs, and flips the
-        # plan-hygiene broadcast pin to assert absence. The r10-green block directly below stays
-        # fresh through round 12 and rotates in round 13.
-        #
-        # --- last green r10 (r10 gate order preserved so memo
-        # billing stays comparable; the closure/IVF/kmeans/unigram
-        # memo owners all live here and precede their r9-block
-        # consumers below) ---
-        "embedding_kmeans_quality", "decontaminated_train_docs",
-        "training_corpus", "doc_repetition_stats",
-        "nation_pair_volume", "embedding_srp_pairs",
-        "ngram_jaccard_dups", "documents_clean_corpus",
-        "embedding_dup_clusters", "near_dup_representatives",
-        "embedding_similar_pairs",
-        "user_state_history", "user_hourly_gapfill",
-        "running_zscore_flags",
-        "value_histogram", "user_retention_cohorts",
-        "user_rolling_median",
-        "doc_weighted_sample", "corpus_mixture_sample",
-        "above_median_length_docs", "split_overlap_matrix",
-        "corpus_heavy_hitters",
-        "term_posting_lists", "corpus_pmi_collocations",
-        "hll_user_rollup", "source_quality_ols",
-        "orders_constraint_report", "multimodal_decode_png",
-        "sql_nation_revenue", "parse_props_variant",
-        "dynamic_session_stats", "salted_segment_revenue",
-        "dup_graph_stats", "dup_graph_pagerank",
-        "dup_graph_bfs_depths", "ivf_recall_report",
-        "streaming_approx_users", "streaming_native_dedup",
-        "embedding_kmeans_cells", "streaming_anomalies",
-        "streaming_state_history",
-        "doc_duplicate_spans", "embedding_int8_recall",
-        "source_unigram_kl", "streaming_ewma",
-        "user_cadence_profile",
-        "streaming_attribution", "streaming_transitions",
-        "doc_unigram_logprob", "doc_perplexity_buckets",
-        # --- last green r9 (r9 front order preserved;
-        # contamination_overlaps leads its block but READS the winnow
-        # sketch this round — doc_winnow_fingerprints at front 48
-        # owns the bill, the r7-order precedent) ---
         "contamination_overlaps",
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
@@ -305,6 +217,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob",
         "doc_tfidf_keywords",
         "streaming_funnel",
+        # --- queue first-verdicts. streaming_user_gapfill sits
+        # directly after streaming_funnel so the staged
+        # events+sentinel source is warm when it executes (the
+        # round-11 cadence-twin placement precedent). ---
+        "orc_interchange_report",
+        "streaming_user_gapfill",
+        # --- spares (both r10-block entries; see the front note) ---
+        "doc_duplicate_spans",
+        "embedding_kmeans_quality",
+    ]
+    tail = [
+        # ROUND-13 OBLIGATION (K=3 on recorded rounds; once round 12
+        # records, the window is {r10, r11, r12} and r10 leaves when
+        # round 13 records): the 48-entry r10-green remainder below
+        # (decontaminated_train_docs .. doc_perplexity_buckets, r10
+        # gate order, minus the two entries round 12's spares
+        # re-verified) fills the round-13 front. 48 + 0 queue = 48,
+        # leaving TWO spare slots. ROUND-14 FEASIBILITY (re-derive
+        # from the CORRECTNESS files, do not trust this count — the
+        # round-11 arithmetic catch is the precedent): the r11-green
+        # block is 50 entries (CORRECTNESS_r11 is 50/50 green and
+        # none re-verify in round 12), so round 14 would owe exactly
+        # 50 — capacity, zero spares. Spend BOTH round-13 spares on
+        # the first two r11-block entries in gate order
+        # (biometric_union, alert_windows — cheap sub-second
+        # queries) so round 14 owes 48 and keeps its own spares;
+        # queue NOTHING net-new in round 13 either.
+        #
+        # --- last green r10 (r10 gate order preserved so memo
+        # billing stays comparable; the decontam/training-corpus/
+        # closure/unigram memo owners live here and precede their
+        # r11-block consumers below) ---
+        "decontaminated_train_docs",
+        "training_corpus", "doc_repetition_stats",
+        "nation_pair_volume", "embedding_srp_pairs",
+        "ngram_jaccard_dups", "documents_clean_corpus",
+        "embedding_dup_clusters", "near_dup_representatives",
+        "embedding_similar_pairs",
+        "user_state_history", "user_hourly_gapfill",
+        "running_zscore_flags",
+        "value_histogram", "user_retention_cohorts",
+        "user_rolling_median",
+        "doc_weighted_sample", "corpus_mixture_sample",
+        "above_median_length_docs", "split_overlap_matrix",
+        "corpus_heavy_hitters",
+        "term_posting_lists", "corpus_pmi_collocations",
+        "hll_user_rollup", "source_quality_ols",
+        "orders_constraint_report", "multimodal_decode_png",
+        "sql_nation_revenue", "parse_props_variant",
+        "dynamic_session_stats", "salted_segment_revenue",
+        "dup_graph_stats", "dup_graph_pagerank",
+        "dup_graph_bfs_depths", "ivf_recall_report",
+        "streaming_approx_users", "streaming_native_dedup",
+        "embedding_kmeans_cells", "streaming_anomalies",
+        "streaming_state_history",
+        "embedding_int8_recall",
+        "source_unigram_kl", "streaming_ewma",
+        "user_cadence_profile",
+        "streaming_attribution", "streaming_transitions",
+        "doc_unigram_logprob", "doc_perplexity_buckets",
+        # --- last green r11 (r11 gate order preserved; rotates
+        # front in round 14 — round 13's spares pre-verify its first
+        # two entries, see the note above) ---
+        "biometric_union", "alert_windows",
+        "alerts_throttled", "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "customer_running_totals",
+        "dormant_customers_by_segment", "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
+        "corpus_vocab_topk", "embedding_pca_quality",
+        "orders_profile", "dedup_pipeline_report",
+        "streaming_alerts", "streaming_dedup_merge",
+        "streaming_interval_pairs",
+        "streaming_enriched_segment_counts",
+        "streaming_session_stats", "streaming_vocab_topk",
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        "streaming_user_cadence",
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints",
+        "user_value_ewma",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -313,41 +317,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
-    in ``queries()`` when the verdict prefix is full. The round-10
-    queue head (streaming_user_cadence) registered in the round-11
-    front; orc_interchange_report carries over — the round-11 prefix
-    had ZERO spare slots (the 49-entry r7-green obligation + the
-    cadence twin fill it exactly; see the front note's arithmetic
-    correction). Round-12 owes the 46-entry r9 block + this queue
-    (46 + 2 = 48, two spares) — the cap here stays ≤2.
+    in ``queries()`` when the verdict prefix is full. EMPTY in round
+    12: both carried entries (orc_interchange_report from round 10,
+    streaming_user_gapfill from round 11) registered in the round-12
+    front for their first driver verdicts, and NOTHING is queued
+    net-new this round by design — the r10-green block owed in round
+    13 is 48 entries, and a net-new queue entry would re-tighten
+    round 13 toward capacity (see the registry tail note). The cap
+    here stays ≤2 whenever the queue is non-empty.
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
-    def _wrap(fn):
-        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune_session(spark)
-            return fn(spark, sf_dir)
-        run.__wrapped__ = fn
-        return run
-
-    return {
-        # ORC write→read round-trip parity vs a parquet-side oracle —
-        # the one I/O format without an oracled entry (r9 verdict
-        # item 8); judge-verified hash-green at sf0.01 in round 10,
-        # carried queued because the round-11 front had no slot
-        # (plans/analytics.py)
-        "orc_interchange_report": _wrap(
-            analytics.orc_interchange_report
-        ),
-        # streaming hourly gap-fill twin (round-10 verdict item 6's
-        # pre-identified candidate — the one timeseries op with no
-        # streaming twin): three longs of keyed state, all-integer
-        # output, order-free per the state.py ledger; shares the
-        # batch gap-fill oracle (streaming/pipeline.py)
-        "streaming_user_gapfill": _wrap(
-            streaming_pipeline.streaming_user_gapfill
-        ),
-    }
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -366,7 +347,7 @@ def oracle_sql() -> dict[str, str]:
     # (us, event_id) total order and the shared cadence_finish dag
     # emits the batch profile relation verbatim
     o["streaming_user_cadence"] = events_ops.ORACLE["user_cadence_profile"]
-    # ORC round-trip parity (ROUND-10 QUEUE, carried to round 12 —
+    # ORC round-trip parity (ROUND-10 QUEUE, registered round 12 —
     # the round-11 prefix had zero spare slots): the oracle aggregates
     # the parquet table; hash match ⇒ the ORC interchange is lossless
     o["orc_interchange_report"] = analytics.ORC_INTERCHANGE_ORACLE
@@ -382,7 +363,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming SCD-2: closed runs emit on state change, open runs on
     # sentinel timer flush — the union equals the batch relation
     o["streaming_state_history"] = timeseries_ops.ORACLE["user_state_history"]
-    # streaming gap-fill twin (ROUND-11 QUEUE): closed hours + gap
+    # streaming gap-fill twin (ROUND-11 QUEUE, registered round 12):
+    # closed hours + gap
     # runs emit on hour advance, the open hour on sentinel timer
     # flush — the union equals the batch hourly spine exactly
     # (hour-bucket sums are commutative, so no order caveat at all)

@@ -132,68 +132,65 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-11 registration: the 49-entry r7-green obligation block
-    # leads IN ITS r7 GATE ORDER (the round-10 pre-plan's "47" was an
-    # un-resummed count — biometric_union/alert_windows rejoined the
-    # r7 rotation in round 10), with streaming_user_cadence (queue
-    # head, first verdict) slotted into the stateful-streaming run at
-    # front 46. Because the front replicates the r7 order, the owner
-    # map below is the BENCH_DETAIL_r07 precedent nearly verbatim for
-    # the front-owned memos; the closure/IVF/kmeans/unigram bills
-    # KEEP their round-10 owners because the r10-green block leads
-    # the tail (ahead of their r9-block co-consumers). "prev" = the
-    # round-10 owner, so round-over-round per-query diffs separate
-    # billing shifts from real regressions.
+    # Round-12 registration: the 46-entry r9-green obligation block
+    # leads IN ITS r9 GATE ORDER, then the two queue first-verdicts
+    # (orc_interchange_report, streaming_user_gapfill) and the two
+    # spares (doc_duplicate_spans — changed-source re-verification,
+    # embedding_kmeans_quality — r10-block head). Because the front
+    # replicates the r9 order, the owner map below is the
+    # BENCH_DETAIL_r09 precedent nearly verbatim for the front-owned
+    # memos; the decontam/training-corpus/unigram bills return to
+    # their tail owners (the r10 block leads the tail). One
+    # deliberate difference vs r9: the doc-term matrix bills to
+    # doc_tfidf_keywords (front 45) — the round-12 decomposed body
+    # is the first registration-order consumer of shared_doc_tf
+    # (corpus_vocab_topk, doc_repetition_stats, corpus_heavy_hitters,
+    # source_unigram_kl and the unigram scorer all sit in the tail).
+    # "prev" = the round-11 owner, so round-over-round per-query
+    # diffs separate billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # dedup_pipeline_report (front 37) is the first consumer of the
-    # decontam index/survivors, the clean-corpus chain, the LSH pair
-    # chain AND the training-corpus capstone — the r7 precedent
-    # (~13.9 s there); decontaminated_train_docs / training_corpus /
-    # corpus_token_budget / minhash_lsh_pairs (all tail) drop to
-    # cached-read time
+    # decontam index/survivors + training-corpus chain: first
+    # consumers are back in the tail r10 block (dedup_pipeline_report
+    # moved to the r11 block below them)
     "decontam_gram_index": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "decontam_survivors": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "training_corpus_rows": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+        "owner": "training_corpus", "prev": "dedup_pipeline_report"},
     "clean_corpus": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+        "owner": "corpus_token_budget",
+        "prev": "dedup_pipeline_report"},
     "text_lsh_pairs": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
-    # corpus_vocab_topk (front 34) is the first doc-term-matrix
-    # consumer (the r7 precedent); doc_repetition_stats (tail, r10
-    # block) reads cached blocks this round
+        "owner": "minhash_lsh_pairs",
+        "prev": "dedup_pipeline_report"},
     "doc_term_matrix": {
-        "owner": "corpus_vocab_topk",
-        "prev": "doc_repetition_stats"},
+        "owner": "doc_tfidf_keywords",
+        "prev": "corpus_vocab_topk"},
     # unigram scorer memo: both consumers (doc_unigram_logprob at
-    # r10-block 49, doc_perplexity_buckets at 50) sit in the tail;
+    # r10-block 47, doc_perplexity_buckets at 48) sit in the tail;
     # the scorer entry still runs first, so the bill does not move
     "unigram_scores": {
         "owner": "doc_unigram_logprob",
         "prev": "doc_unigram_logprob"},
-    # closure/IVF owners: unchanged from round 10 — the r10 block
-    # precedes the r9 block in the tail, so the round-10 first
-    # consumers stay first
     "embedding_cluster_closure": {
-        "owner": "embedding_dup_clusters",
+        "owner": "cross_modal_dup_agreement",
         "prev": "embedding_dup_clusters"},
     "text_cluster_closure": {
-        "owner": "near_dup_representatives",
+        "owner": "near_dup_clusters",
         "prev": "near_dup_representatives"},
     "ivf_cell_assignment": {
-        "owner": "ivf_recall_report", "prev": "ivf_recall_report"},
-    # doc_winnow_fingerprints (front 48) pays the winnow sketch this
-    # round (the r7 precedent); contamination_overlaps (r9-block
-    # head, tail) reads the persisted blocks
+        "owner": "embedding_ivf_topk", "prev": "ivf_recall_report"},
+    # contamination_overlaps (front 1) pays the winnow sketch this
+    # round (the r9 precedent); doc_winnow_fingerprints (r11 block,
+    # tail) reads the persisted blocks
     "winnow_fingerprints": {
-        "owner": "doc_winnow_fingerprints",
-        "prev": "contamination_overlaps"},
+        "owner": "contamination_overlaps",
+        "prev": "doc_winnow_fingerprints"},
 }
 
 BENCH_CONFS = {

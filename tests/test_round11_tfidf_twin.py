@@ -1,53 +1,95 @@
-"""Round-11 pre-work for the round-12 tfidf swap: the decomposed
-twin (``documents_ops._tfidf_keywords_decomposed``) must be
-row-identical to the registered ``doc_tfidf_keywords`` — same float
-dag per row, only the vocabulary-sized broadcast retired — and its
-plan must not build a vocabulary-sized broadcast relation.
-
-The registered fn is byte-stable this round (round 11's verdict
-prefix had zero spare slots — see the registry front note), so the
-twin lives module-level; round 12 swaps the registered body and
-flips test_plan_hygiene's broadcast pin to assert absence."""
+"""Round-11 pre-work for the round-12 tfidf swap — NOW LANDED: the
+registered ``doc_tfidf_keywords`` delegates to the decomposed form
+(``documents_ops._tfidf_keywords_decomposed``), vocabulary-sized
+broadcast retired. This suite keeps the VALUE-IDENTITY pin alive by
+rebuilding the retired broadcast form inline (the exact pre-swap dag:
+groupBy('word') df → round6(ln(N/df)) idf → broadcast join back) and
+asserting row-identity against the registered fn — so the swap's
+"byte-identical per-row dag" claim stays mechanically checked, not
+just asserted in a docstring."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from biometric_stream_processing_spark.plans import documents_ops
+from biometric_stream_processing_spark.plans.corpus_ops import (
+    shared_doc_tf,
+)
+from biometric_stream_processing_spark.plans.documents_ops import (
+    TFIDF_TOP_K,
+    _docs,
+)
 
 from conftest import SF_DIR
+
+
+def _broadcast_form(spark, sf_dir):
+    """The retired pre-round-12 body, verbatim: df-per-word as a
+    groupBy aggregate broadcast-joined back onto the matrix."""
+    ndf = _docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    tf = shared_doc_tf(spark, sf_dir)
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("_df"))
+    idf = dfreq.join(F.broadcast(ndf)).select(
+        "word",
+        F.round(F.log(F.col("_n") / F.col("_df")), 6).alias("_idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", "tf",
+        F.round(F.col("tf") * F.col("_idf"), 6).alias("score"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(
+                    (-F.col("score")).alias("_ns"),
+                    F.col("word"), F.col("tf"), F.col("score"),
+                ))),
+                1, TFIDF_TOP_K,
+            ).alias("_top")
+        )
+        .select("doc_id", F.posexplode("_top").alias("_pos", "_t"))
+        .select(
+            "doc_id",
+            F.col("_t.word").alias("word"),
+            F.col("_t.tf").alias("tf"),
+            F.col("_t.score").alias("score"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
+    )
 
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_decomposed_twin_is_row_identical(spark):
+def test_registered_fn_is_row_identical_to_broadcast_form(spark):
     """Bitwise frame equality (scores are rounded doubles compared
-    exactly — the twin's per-row dag is the registered fn's dag on
+    exactly — the decomposed dag is the broadcast form's dag on
     identical inputs, so not even a ulp may move)."""
     reg = _rows(documents_ops.doc_tfidf_keywords(spark, SF_DIR))
-    twin = _rows(documents_ops._tfidf_keywords_decomposed(spark, SF_DIR))
+    old = _rows(_broadcast_form(spark, SF_DIR))
     assert len(reg) > 0
-    assert twin == reg
+    assert reg == old
 
 
-def test_decomposed_twin_has_no_vocabulary_broadcast(spark):
-    """The only broadcast in the twin's plan is the 1-row corpus-size
-    scalar (size-invariant); df-per-word must come from a window over
-    ``word`` — no |vocabulary|-row BroadcastHashJoin build. The
-    registered fn still carries one this round (the swap is round
-    12's), which this test pins as the CONTRAST so the swap's hygiene
-    flip is observable."""
-    twin_plan = documents_ops._tfidf_keywords_decomposed(
-        spark, SF_DIR
-    )._jdf.queryExecution().executedPlan().toString()
-    # the vocab-sized build in the registered plan is a keyed
-    # BroadcastHashJoin on word; the twin must have none
-    assert "BroadcastHashJoin" not in twin_plan
-    # the window over word is present
-    assert "windowspecdefinition(word" in twin_plan.lower() or (
-        "Window" in twin_plan and "word" in twin_plan
-    )
+def test_registered_fn_has_no_vocabulary_broadcast(spark):
+    """The only broadcast in the registered plan is the 1-row
+    corpus-size scalar (size-invariant); df-per-word must come from a
+    window over ``word`` — no |vocabulary|-row BroadcastHashJoin
+    build. The inline-rebuilt broadcast form still carries one,
+    pinned as the CONTRAST so the hygiene flip stays observable."""
     reg_plan = documents_ops.doc_tfidf_keywords(
         spark, SF_DIR
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in reg_plan
+    assert "BroadcastHashJoin" not in reg_plan
+    assert "windowspecdefinition(word" in reg_plan.lower() or (
+        "Window" in reg_plan and "word" in reg_plan
+    )
+    old_plan = _broadcast_form(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in old_plan
