@@ -310,23 +310,45 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-    # WARM SECOND PASS (round 11): three consecutive verdicts spent
-    # effort adjudicating "in-bench drift" that fresh isolated A/Bs
-    # then attributed to first-call/position effects (the round-10
-    # flags on nation_pair_volume / late_shipment /
-    # top_customers_per_segment all reproduced their ORIGINAL pins).
-    # Record a same-session second reading per query — memos hot,
-    # codegen warm, the exact protocol of the docstring floor pins —
-    # into BENCH_DETAIL so drift adjudication reads warm-vs-pin
-    # directly instead of re-running isolated A/Bs a round later. The
-    # headline metric and the first-pass dict are UNCHANGED (the
-    # baseline comparison stays first-run honest). Opt out with
-    # SPARK_GRAFT_BENCH_WARM=0; skipped when the first pass blew past
-    # its normal envelope (a stalled host would double the damage).
+    # WARM SECOND PASS (round 11; streaming excluded round 12): three
+    # consecutive verdicts spent effort adjudicating "in-bench drift"
+    # that fresh isolated A/Bs then attributed to first-call/position
+    # effects (the round-10 flags on nation_pair_volume /
+    # late_shipment / top_customers_per_segment all reproduced their
+    # ORIGINAL pins). Record a same-session second reading per BATCH
+    # query — memos hot, codegen warm, the exact protocol of the
+    # docstring floor pins — into BENCH_DETAIL so drift adjudication
+    # reads warm-vs-pin directly instead of re-running isolated A/Bs
+    # a round later. STREAMING entries are skipped (round-11 verdict,
+    # What's wrong #1): a streaming query's rerun restages its source
+    # and rebuilds checkpoints from scratch, so the second reading is
+    # COLDER than the first (streaming_outer_pairs measured 18.9 s
+    # "warm" vs 2.6 s first-pass) — recording it as warm poisoned the
+    # round-11 total_warm. The headline metric and the first-pass
+    # dict are UNCHANGED (the baseline comparison stays first-run
+    # honest). Opt out with SPARK_GRAFT_BENCH_WARM=0; skipped — with
+    # the reason recorded in the payload — when the first pass blew
+    # past its envelope (a stalled host would double the damage;
+    # envelope configurable via SPARK_GRAFT_BENCH_WARM_ENVELOPE,
+    # round-11 advice: the README's own motivating run measured
+    # 192.2 s first-pass, so a modestly slower host must be able to
+    # keep its warm data).
     warm: dict[str, float] = {}
-    if (os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
-            and total <= 240.0):
+    warm_skipped: str | None = None
+    envelope = float(
+        os.environ.get("SPARK_GRAFT_BENCH_WARM_ENVELOPE", "240")
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "0":
+        warm_skipped = "SPARK_GRAFT_BENCH_WARM=0"
+    elif total > envelope:
+        warm_skipped = (
+            f"first pass {round(total, 1)}s exceeded the "
+            f"{envelope:.0f}s envelope"
+        )
+    else:
         for name, fn in qs.items():
+            if name.startswith("streaming_"):
+                continue  # restaged source+checkpoint ≠ warm
             t0 = time.time()
             fn(spark, sf_dir).count()
             warm[name] = round(time.time() - t0, 3)
@@ -386,8 +408,14 @@ def main() -> None:
                        "total": round(total, 3),
                        "memo_owner": MEMO_OWNERS}
             if warm:
+                # batch-only by construction (streaming skipped
+                # above), so total_warm is a sum of genuinely warm
+                # readings — NOT comparable to "total", which
+                # includes the streaming entries
                 payload["queries_warm"] = warm
                 payload["total_warm"] = round(sum(warm.values()), 3)
+            if warm_skipped:
+                payload["warm_skipped"] = warm_skipped
             json.dump(payload, f, indent=1, sort_keys=True)
             f.write("\n")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])

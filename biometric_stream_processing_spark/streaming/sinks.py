@@ -76,9 +76,29 @@ def idempotent_keyed_upsert_writer(
     format's snapshot isolation instead of version directories), and
     old versions age out with a retention sweep. This file-based
     shape keeps the contract runnable with zero table-format
-    dependencies."""
+    dependencies.
+
+    ``out_dir`` must be fresh per query LINEAGE (same rule as the
+    checkpoint dir): restarting with a NEW checkpoint over an old
+    ``out_dir`` restarts batch ids at 0, so batch 0 would merge from
+    base None — silently ignoring every version the previous run
+    committed — while ``read_keyed_registry`` keeps serving the stale
+    previous-run max version (round-11 advice). The writer REFUSES
+    that state: committed versions STRICTLY ABOVE the current batch
+    id can never exist in a single lineage (a legitimate replay
+    rewrites its OWN version, never one above), so their presence
+    proves out_dir reuse."""
 
     def _write(bdf: DataFrame, batch_id: int) -> None:
+        newest = _latest_version(out_dir)
+        if newest is not None and newest > batch_id:
+            raise ValueError(
+                f"stale keyed registry under {out_dir}: committed "
+                f"version={newest} exceeds current batch_id="
+                f"{batch_id} — out_dir belongs to a previous query "
+                f"lineage (new checkpoint over an old store); use a "
+                f"fresh out_dir or resume the original checkpoint"
+            )
         base = _latest_version(out_dir, below=batch_id)
         merged = bdf
         if base is not None:

@@ -141,3 +141,31 @@ def test_keyed_upsert_registry_is_exactly_once_under_replay(
     )
     # the batch truth over BATCHES: hr = users 1,2,5; bp = users 3,4
     assert rows == [("bp", 2, 7), ("hr", 3, 8)]
+
+
+def test_keyed_upsert_refuses_stale_out_dir(spark, tmpdir):
+    """Round-11 advice: reusing an out_dir with a FRESH checkpoint
+    restarts batch ids at 0 — batch 0 would merge from base None
+    while read_keyed_registry still serves the previous run's max
+    version. Committed versions strictly above the current batch id
+    prove that state; the writer must refuse it (a legitimate replay
+    only ever rewrites its OWN version, which stays allowed)."""
+    import pytest
+
+    run = uuid.uuid4().hex[:10]
+    out = tmpdir / "out_stale" / run
+    from biometric_stream_processing_spark.streaming.sinks import (
+        idempotent_keyed_upsert_writer,
+    )
+
+    w = idempotent_keyed_upsert_writer(str(out), ["event_type"])
+    bdf = spark.createDataFrame(
+        [("hr", 1, 1)], "event_type string, n long, sum_users long"
+    )
+    w(bdf, 0)
+    w(bdf, 1)
+    # same-version replay of the newest batch stays allowed
+    w(bdf, 1)
+    # a NEW lineage restarting at batch 0 over the old store must die
+    with pytest.raises(ValueError, match="stale keyed registry"):
+        w(bdf, 0)

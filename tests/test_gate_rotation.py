@@ -367,6 +367,82 @@ def test_gate_sources_file_is_current():
     )
 
 
+def test_gate_sources_deep_file_is_current():
+    """GATE_SOURCES_DEEP.json (round 12 — the helper-inclusive
+    fingerprint closing the round-11 spans gap) must match the working
+    tree — regenerate with ``python tools/gate_sources.py``."""
+    from tools.gate_sources import OUT_DEEP, compute_deep_hashes
+
+    assert os.path.exists(OUT_DEEP), "run python tools/gate_sources.py"
+    on_disk = json.load(open(OUT_DEEP))
+    now = compute_deep_hashes()
+    diff = {n for n in set(on_disk) | set(now)
+            if on_disk.get(n) != now.get(n)}
+    assert diff == set(), (
+        f"GATE_SOURCES_DEEP.json is stale for {sorted(diff)} — "
+        "run python tools/gate_sources.py"
+    )
+
+
+def test_deep_fingerprint_sees_helper_changes(monkeypatch):
+    """The round-11 spans hole, mechanically closed: a change to a
+    named helper (not the registered wrapper) must move the DEEP
+    fingerprint. Simulated by monkeypatching the def registry so
+    ``duplicate_spans``'s normalized dump differs — the
+    doc_duplicate_spans deep hash must move while its primary hash
+    stays put."""
+    import tools.gate_sources as gs
+
+    before = gs.compute_deep_hashes()["doc_duplicate_spans"]
+    real = gs._package_defs
+
+    def tampered():
+        defs = real()
+        assert "duplicate_spans" in defs  # the helper the gap hid
+        defs["duplicate_spans"] = [
+            (raw, dump + "~tampered") for raw, dump in
+            defs["duplicate_spans"]
+        ]
+        return defs
+
+    monkeypatch.setattr(gs, "_package_defs", tampered)
+    after = gs.compute_deep_hashes()["doc_duplicate_spans"]
+    assert after != before
+    # the primary hash is helper-blind by design (documented
+    # limitation) — the deep file exists precisely because of that
+    assert gs.compute_hashes()["doc_duplicate_spans"] == \
+        json.load(open(gs.OUT))["doc_duplicate_spans"]
+
+
+def test_changed_helpers_reenter_the_gate_window():
+    """Round-12 extension of the staleness gate: any tail entry whose
+    DEEP fingerprint (defining fn + oracle + transitively referenced
+    package defs, docstrings stripped) differs from the one recorded
+    at the last round's commit must sit inside the prefix. Skips on
+    rounds whose anchor commit predates GATE_SOURCES_DEEP.json (the
+    deep file self-baselines in round 12)."""
+    from tools.gate_sources import compute_deep_hashes
+
+    base = _last_round_commit()
+    if base is None:
+        pytest.skip("no recorded rounds")
+    try:
+        old = json.loads(_git("show", f"{base}:GATE_SOURCES_DEEP.json"))
+    except subprocess.CalledProcessError:
+        pytest.skip("GATE_SOURCES_DEEP.json not recorded at the last "
+                    "round's commit (first round with deep "
+                    "fingerprints)")
+    names, _ = _registered()
+    now = compute_deep_hashes()
+    parked_changed = [
+        n for n in names[GATE_CAP:] if old.get(n) != now.get(n)
+    ]
+    assert parked_changed == [], (
+        f"tail entries whose helper graph changed since the last "
+        f"round: {parked_changed} — front-load them"
+    )
+
+
 def test_changed_queries_reenter_the_gate_window():
     """Any query whose source fingerprint differs from the one
     recorded at the last round's commit must sit inside the prefix —

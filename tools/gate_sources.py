@@ -6,19 +6,32 @@ current ones — a query whose implementation or oracle changed since
 its last green verdict must re-enter the verdict-bearing prefix, so a
 stale verdict can never silently cover modified code (round-4 advice).
 
-Limitation (documented, deliberate): the hash covers the defining
-function's own source and its oracle string, not transitive helpers —
-a change to a shared operator module must still be front-loaded by
-the human rotation policy; the hash is the mechanical backstop for
-the common case (the query function or its oracle edited directly).
+DEEP FINGERPRINTS (round 12, closing the round-11 spans gap): the
+primary hash covers only the defining function's own source + oracle,
+so a rework routed through a named helper (the round-11
+``corpus_ops.duplicate_spans`` case) left the fingerprint unmoved and
+a stale verdict silently covering different physical code.
+``GATE_SOURCES_DEEP.json`` therefore adds a SECOND hash per entry
+that folds in every package-level function/class the entry's source
+transitively references by name (AST walk; name matches are resolved
+against every top-level def in the package, over-matching on purpose
+— a false inclusion only makes the fingerprint more sensitive).
+Helper sources are NORMALIZED (docstrings stripped, AST re-dumped)
+so measurement-pin docstring edits on a widely shared helper don't
+force half the tail back through the gate; the entry's OWN source
+stays byte-level via the primary hash. The primary file's format is
+unchanged so cross-round comparisons keep working; the deep
+comparison self-baselines (the rotation test skips rounds whose
+anchor commit predates the deep file).
 
-Regenerate after any query/oracle edit::
+Regenerate after any query/oracle/helper edit::
 
     python tools/gate_sources.py
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
@@ -27,6 +40,8 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "GATE_SOURCES.json")
+OUT_DEEP = os.path.join(ROOT, "GATE_SOURCES_DEEP.json")
+PKG = os.path.join(ROOT, "biometric_stream_processing_spark")
 
 
 def compute_hashes() -> dict[str, str]:
@@ -47,11 +62,117 @@ def compute_hashes() -> dict[str, str]:
     return out
 
 
+def _strip_docstrings(node: ast.AST) -> None:
+    for child in ast.walk(node):
+        if isinstance(
+            child,
+            (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef,
+             ast.Module),
+        ) and child.body:
+            first = child.body[0]
+            if (isinstance(first, ast.Expr)
+                    and isinstance(first.value, ast.Constant)
+                    and isinstance(first.value.value, str)):
+                child.body = child.body[1:] or [ast.Pass()]
+
+
+def _package_defs() -> dict[str, list[tuple[str, str]]]:
+    """name → [(raw source, normalized dump), ...] for every
+    top-level function / class in the package (plus __spark_entry__
+    itself): the resolution registry for by-name references. Raw
+    source drives the transitive reference walk (a normalized dump
+    no longer parses as the original code); the docstring-stripped
+    dump is what gets hashed. Multiple modules may define the same
+    name; all candidates are included (conservative over-match)."""
+    defs: dict[str, list[tuple[str, str]]] = {}
+    files = [os.path.join(ROOT, "__spark_entry__.py")]
+    for dirpath, _dirnames, filenames in os.walk(PKG):
+        files.extend(
+            os.path.join(dirpath, f)
+            for f in filenames if f.endswith(".py")
+        )
+    for path in sorted(files):
+        try:
+            text = open(path).read()
+            tree = ast.parse(text)
+        except (OSError, SyntaxError):
+            continue
+        for node in tree.body:
+            if isinstance(
+                node,
+                (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            ):
+                raw = ast.get_source_segment(text, node) or ""
+                _strip_docstrings(node)
+                defs.setdefault(node.name, []).append(
+                    (raw, ast.dump(node))
+                )
+    return defs
+
+
+def _referenced_names(src: str) -> set[str]:
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return set()
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            names.add(node.attr)
+        elif isinstance(node, ast.ImportFrom):
+            names.update(a.name for a in node.names)
+    return names
+
+
+def compute_deep_hashes() -> dict[str, str]:
+    """Primary hash + the sorted normalized sources of every
+    transitively name-referenced package def, folded into one md5
+    per entry (order-independent: helper dumps are deduped and
+    sorted before hashing)."""
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    primary = compute_hashes()
+    qs = entrymod.queries()
+    defs = _package_defs()
+    out: dict[str, str] = {}
+    for name, fn in qs.items():
+        target = getattr(fn, "__wrapped__", fn)
+        try:
+            src = inspect.getsource(target)
+        except (OSError, TypeError):
+            src = repr(target)
+        included: set[str] = set()  # normalized dumps (hashed)
+        frontier = [src]            # raw sources (walked)
+        seen_refs: set[str] = set()
+        while frontier:
+            s = frontier.pop()
+            for ref in _referenced_names(s) - seen_refs:
+                seen_refs.add(ref)
+                for raw, dump in defs.get(ref, []):
+                    if dump not in included:
+                        included.add(dump)
+                        frontier.append(raw)
+        h = hashlib.md5(primary[name].encode())
+        for dump in sorted(included):
+            h.update(hashlib.md5(dump.encode()).digest())
+        out[name] = h.hexdigest()
+    return out
+
+
 def main() -> None:
     with open(OUT, "w") as f:
         json.dump(compute_hashes(), f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {OUT}")
+    with open(OUT_DEEP, "w") as f:
+        json.dump(compute_deep_hashes(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT_DEEP}")
 
 
 if __name__ == "__main__":

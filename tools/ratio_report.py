@@ -56,8 +56,12 @@ def main() -> int:
         # BENCH_DETAIL (round-11 instrumentation): memos hot, codegen
         # warm — the docstring-pin protocol, free of the first-call/
         # position noise that dominated three rounds of drift
-        # adjudication. Usage: python tools/ratio_report.py [sf_dir]
-        # --warm
+        # adjudication. STREAMING readings are refused even if an
+        # older (pre-round-12) detail file carries them: a streaming
+        # rerun restages sources and rebuilds checkpoints, so its
+        # "warm" number is colder than its first pass (round-11
+        # verdict, What's wrong #1). Usage:
+        # python tools/ratio_report.py [sf_dir] --warm
         import glob
         import os
         import re
@@ -67,11 +71,23 @@ def main() -> int:
             glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json")),
             key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
         )
-        for p in reversed(details):
+        for i, p in enumerate(reversed(details)):
             d = json.load(open(p))
             if d.get("queries_warm"):
+                if i > 0:
+                    newest = os.path.basename(details[-1])
+                    why = json.load(open(details[-1])).get(
+                        "warm_skipped", "no queries_warm recorded"
+                    )
+                    print(f"WARNING: newest detail {newest} lacks "
+                          f"warm readings ({why}) — falling back to "
+                          f"a STALE round's file; re-run bench.py "
+                          f"before trusting these numbers")
                 print(f"warm readings from {os.path.basename(p)}")
-                spark_times = d["queries_warm"]
+                spark_times = {
+                    n: t for n, t in d["queries_warm"].items()
+                    if not n.startswith(STREAMING_PREFIX)
+                }
                 break
         else:
             print("no BENCH_DETAIL with queries_warm found")
