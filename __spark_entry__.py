@@ -158,8 +158,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     so the r10 verdict covers different physical code; a
     #     changed-source re-verification outranks a cheap freshness
     #     re-run.
-    #   - spare 2: embedding_kmeans_quality (r10-block head, memo
-    #     owner, cheapest to re-run) — softens round 13.
+    #   - spare 2 (REASSIGNED mid-round by the same principle as
+    #     spare 1): doc_perplexity_buckets — its round-12 decile
+    #     rework (single bounded window replacing the two-phase
+    #     prefix sum, commit 8d40821) routed through a helper, so
+    #     the primary fingerprint didn't move and the deep file
+    #     self-baselines this round; leaving it in the tail would
+    #     repeat the spans hazard (code no driver verdict has seen)
+    #     one round after the judge named it. The originally-planned
+    #     embedding_kmeans_quality (unchanged code, pure freshness)
+    #     returns to the tail at its r10-head position and rotates
+    #     front in round 13 like the rest of its block.
     #   Both spares are r10-block entries, so round 13's debt drops
     #   to 48 (see the round-13 note at the tail head). NOTHING is
     #   queued net-new this round (round-13 capacity).
@@ -225,13 +234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_gapfill",
         # --- spares (both r10-block entries; see the front note) ---
         "doc_duplicate_spans",
-        "embedding_kmeans_quality",
+        "doc_perplexity_buckets",
     ]
     tail = [
         # ROUND-13 OBLIGATION (K=3 on recorded rounds; once round 12
         # records, the window is {r10, r11, r12} and r10 leaves when
         # round 13 records): the 48-entry r10-green remainder below
-        # (decontaminated_train_docs .. doc_perplexity_buckets, r10
+        # (embedding_kmeans_quality .. doc_unigram_logprob, r10
         # gate order, minus the two entries round 12's spares
         # re-verified) fills the round-13 front. 48 + 0 queue = 48,
         # leaving TWO spare slots. ROUND-14 FEASIBILITY (re-derive
@@ -248,7 +257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last green r10 (r10 gate order preserved so memo
         # billing stays comparable; the decontam/training-corpus/
         # closure/unigram memo owners live here and precede their
-        # r11-block consumers below) ---
+        # r11-block consumers below. embedding_kmeans_quality is
+        # back at its r10-head position after the spare-2
+        # reassignment — still the first kmeans consumer in
+        # registration order, so the kmeans bill does not move) ---
+        "embedding_kmeans_quality",
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
         "nation_pair_volume", "embedding_srp_pairs",
@@ -276,7 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_unigram_kl", "streaming_ewma",
         "user_cadence_profile",
         "streaming_attribution", "streaming_transitions",
-        "doc_unigram_logprob", "doc_perplexity_buckets",
+        "doc_unigram_logprob",
         # --- last green r11 (r11 gate order preserved; rotates
         # front in round 14 — round 13's spares pre-verify its first
         # two entries, see the note above) ---

@@ -135,8 +135,10 @@ MEMO_OWNERS = {
     # Round-12 registration: the 46-entry r9-green obligation block
     # leads IN ITS r9 GATE ORDER, then the two queue first-verdicts
     # (orc_interchange_report, streaming_user_gapfill) and the two
-    # spares (doc_duplicate_spans — changed-source re-verification,
-    # embedding_kmeans_quality — r10-block head). Because the front
+    # spares (doc_duplicate_spans and doc_perplexity_buckets — BOTH
+    # changed-source re-verifications; embedding_kmeans_quality went
+    # back to the tail head when spare 2 was reassigned, still the
+    # first kmeans consumer). Because the front
     # replicates the r9 order, the owner map below is the
     # BENCH_DETAIL_r09 precedent nearly verbatim for the front-owned
     # memos; the decontam/training-corpus/unigram bills return to
@@ -171,11 +173,12 @@ MEMO_OWNERS = {
     "doc_term_matrix": {
         "owner": "doc_tfidf_keywords",
         "prev": "corpus_vocab_topk"},
-    # unigram scorer memo: both consumers (doc_unigram_logprob at
-    # r10-block 47, doc_perplexity_buckets at 48) sit in the tail;
-    # the scorer entry still runs first, so the bill does not move
+    # unigram scorer memo: doc_perplexity_buckets moved to front 50
+    # (spare-2 reassignment — its round-12 decile rework needs an
+    # in-gate verdict), so it now precedes doc_unigram_logprob (tail,
+    # r10 block) and pays the scorer build
     "unigram_scores": {
-        "owner": "doc_unigram_logprob",
+        "owner": "doc_perplexity_buckets",
         "prev": "doc_unigram_logprob"},
     "embedding_cluster_closure": {
         "owner": "cross_modal_dup_agreement",

@@ -78,14 +78,24 @@ def _strip_docstrings(node: ast.AST) -> None:
 
 def _package_defs() -> dict[str, list[tuple[str, str]]]:
     """name → [(raw source, normalized dump), ...] for every
-    top-level function / class in the package (plus __spark_entry__
-    itself): the resolution registry for by-name references. Raw
-    source drives the transitive reference walk (a normalized dump
-    no longer parses as the original code); the docstring-stripped
-    dump is what gets hashed. Multiple modules may define the same
-    name; all candidates are included (conservative over-match)."""
+    top-level function / class in the package: the resolution
+    registry for by-name references. Raw source drives the
+    transitive reference walk (a normalized dump no longer parses as
+    the original code); the docstring-stripped dump is what gets
+    hashed. Multiple modules may define the same name; all
+    candidates are included (conservative over-match).
+
+    ``__spark_entry__.py`` is deliberately NOT scanned: its defs are
+    the registration surface (``queries``/``oracle_sql``), whose
+    list literals encode the ROTATION ORDER — policy that changes
+    every round by design. Including them made any entry whose
+    closure mentions the name ``queries`` (four embedding entries
+    do, via an attribute reference) flip its deep hash on every
+    front rotation, spuriously forcing unrelated tail entries back
+    through the gate. The entry's own wrapper + oracle are already
+    byte-covered by the primary hash."""
     defs: dict[str, list[tuple[str, str]]] = {}
-    files = [os.path.join(ROOT, "__spark_entry__.py")]
+    files: list[str] = []
     for dirpath, _dirnames, filenames in os.walk(PKG):
         files.extend(
             os.path.join(dirpath, f)
