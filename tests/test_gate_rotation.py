@@ -484,3 +484,37 @@ def test_queue_registry_consistency():
     assert set(queued).isdisjoint(registered)
     assert [n for n in queued if n not in oracles] == []
     assert all(hasattr(fn, "__wrapped__") for fn in queued.values())
+
+
+def test_deep_fingerprint_ignores_registration_order():
+    """Deep fingerprints must be ROTATION-INVARIANT (round-12 fix):
+    ``_package_defs`` must not resolve names against
+    ``__spark_entry__.py``, whose ``queries``/``oracle_sql`` bodies
+    encode the per-round front/tail rotation lists. Before the fix,
+    four embedding entries' closures referenced the name ``queries``
+    and their deep hashes flipped on every front rotation, spuriously
+    forcing unrelated tail entries back through the gate."""
+    import ast
+
+    from tools.gate_sources import ROOT, _package_defs
+
+    entry_path = os.path.join(ROOT, "__spark_entry__.py")
+    text = open(entry_path).read()
+    entry_defs = {
+        node.name: ast.get_source_segment(text, node)
+        for node in ast.parse(text).body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef))
+    }
+    assert "queries" in entry_defs  # the registration surface exists
+    defs = _package_defs()
+    leaked = [
+        name for name, src in entry_defs.items()
+        for raw, _dump in defs.get(name, [])
+        if raw == src
+    ]
+    assert leaked == [], (
+        f"__spark_entry__ defs {leaked} leaked into the deep-"
+        "fingerprint resolution registry — rotation edits would "
+        "flip tail fingerprints"
+    )
