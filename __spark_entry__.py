@@ -253,6 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (biometric_union, alert_windows — cheap sub-second
         # queries) so round 14 owes 48 and keeps its own spares;
         # queue NOTHING net-new in round 13 either.
+        # ROUND-13 IN-BLOCK OBLIGATION (round-12 hint audit):
+        # retire the SF-growing F.broadcast on the foreign-key
+        # reference-key set in operators/validate.constraint_report
+        # while orders_constraint_report is front — see that
+        # docstring; value-identical (join strategy only), so hash
+        # re-verify + plan A/B and flip any hygiene pin in the same
+        # commit. Derive the due set with tools/round_plan.py, not
+        # from this comment.
         #
         # --- last green r10 (r10 gate order preserved so memo
         # billing stays comparable; the decontam/training-corpus/

@@ -88,7 +88,19 @@ def constraint_report(
     """Evaluate ``rules`` against ``df``; ``refs`` maps a
     ``foreign_key`` rule's ``ref`` name to the referenced frame
     (single key column). Output (rule, n_violations), one row per
-    rule in declaration order (rule names carry the order)."""
+    rule in declaration order (rule names carry the order).
+
+    ROUND-13 OBLIGATION (found in the round-12 hint audit, deferred
+    because ``orders_constraint_report`` sits in the r10 tail block
+    and the deep-fingerprint gate self-baselined this round): the
+    ``foreign_key`` branch force-broadcasts the DISTINCT reference-
+    key set, which is SF-GROWING (customer keys — billions of rows
+    at 100 TB, an executor OOM under a forced hint). Retire the
+    ``F.broadcast`` wrapper when the entry rotates front in round 13
+    — the optimizer broadcasts it at bench scale from its own stats
+    and flips to a shuffled anti-join at scale (the round-10
+    customer/part/vocabulary retirement pattern, value-identical by
+    construction: join strategy only)."""
     if not rules:
         raise ValueError("constraint_report needs at least one rule")
     refs = refs or {}
