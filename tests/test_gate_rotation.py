@@ -518,3 +518,41 @@ def test_deep_fingerprint_ignores_registration_order():
         "fingerprint resolution registry — rotation edits would "
         "flip tail fingerprints"
     )
+
+
+def test_round_plan_tool_agrees_with_the_rotation_helpers():
+    """tools/round_plan.py (round 12) must stay a THIN printer over
+    these helpers — it exists so round-plan notes are derived, never
+    hand-summed. Smoke: it runs clean and its projected following-
+    round debt equals the same derivation done inline."""
+    import io
+    import sys as _sys
+
+    sys_path = list(_sys.path)
+    try:
+        _sys.path.insert(0, os.path.join(ROOT, "tools"))
+        import round_plan
+
+        buf = io.StringIO()
+        stdout = _sys.stdout
+        _sys.stdout = buf
+        try:
+            rc = round_plan.main()
+        finally:
+            _sys.stdout = stdout
+    finally:
+        _sys.path[:] = sys_path
+    out = buf.getvalue()
+    assert rc == 0, out
+
+    names, _ = _registered()
+    rounds = _rounds()
+    if not rounds:
+        pytest.skip("no recorded rounds")
+    k = _k_window(_n_total())
+    proj = dict(rounds)
+    proj[max(rounds) + 1] = {
+        n: {"hash_match": True} for n in names[:GATE_CAP]
+    }
+    due = _due_after_next(proj, names, k)
+    assert f"must hold {len(due)}" in out, out
