@@ -317,7 +317,20 @@ def similar_pairs_blocked(
     the candidate-bounded near-duplicate path. Equi-join on the block
     key keeps this a shuffle-hash join instead of a cross product; at
     scale the block key is an LSH bucket (random-hyperplane signs) or
-    IVF centroid id."""
+    IVF centroid id.
+
+    FLOOR PINS (round 12, consumers' isolated warm best-of-3 at
+    sf0.1 vs same-boot DuckDB; recorded here because both entries sit
+    in tail blocks whose own docstrings are fingerprint-frozen):
+    ``embedding_similar_pairs`` (label blocks) 1.69-1.78 s vs
+    0.80 s (2.1-2.2×; sf0.001 floor 0.47 s ≈ 28%) and
+    ``embedding_srp_pairs`` (SRP buckets) 1.01-1.11 s vs 0.49 s
+    (2.1-2.3×; floor 0.56 s ≈ 55%). The residual data term is the
+    pair-expansion dot products computed on exchanged rows — the
+    join IS the operator; DuckDB does the same expansion in-process
+    over its own arrays. Both plans are already the scale shape
+    (bounded equi-join, per-row norm hoisted, no cross product), so
+    the ~2× readings are accepted. No further work planned."""
     base = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
