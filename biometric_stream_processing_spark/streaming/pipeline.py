@@ -1208,7 +1208,11 @@ def streaming_user_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow emission + memory-sink collect dominates; the keyed state
     itself is three longs and the kernel is one dict pass per batch.
     DuckDB replays the same relation in 1.7 s (no state machinery —
-    the ratio_report streaming caveat applies)."""
+    the ratio_report streaming caveat applies). State-partition A/B
+    (round 12, warm pairs): 4 → 13.7-14.4 s (the big emission
+    SERIALIZES — opposite of the light machines' 4-is-best rule),
+    8 → 6.5-7.8 s, 16 → 7.5-8.4 s, 32 → 5.1-9.2 s (unstable);
+    8 stands."""
     import os
     import uuid
 
