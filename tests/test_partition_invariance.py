@@ -1,0 +1,55 @@
+"""Cross-cutting partition-invariance mini-sweep (round 12).
+
+The repo's determinism story rests on recipes whose values cannot
+depend on the physical layout — exact-decimal sums, order-free
+stateful ledgers, content-hash sampling, 6-dp-rounded log terms. A
+full-registry sweep under adversarial parallelism (local[11], 7
+shuffle partitions vs the tuned 32/32) ran 148/148 hash-green at
+round 12; this test keeps a fast CI-sized slice of that property:
+representative kernels from each risk family, run under two shuffle-
+partition counts in one session, must produce identical row sets.
+
+Representative picks (one per family, chosen for nontrivial
+aggregation paths, sf0.001 so the whole file stays seconds-fast):
+
+- ``doc_tfidf_keywords`` — decomposed count-window + top-k window
+  (the round-12 broadcast-retirement form);
+- ``doc_perplexity_buckets`` — ONE unpartitioned running-sum window
+  over the bounded distinct-score relation (the round-12 shape);
+- ``user_value_ewma`` — the mapInPandas carry-dict recurrence
+  (partition-batched Python, the explicitly layout-exposed path);
+- ``dedup_exact`` — canonical-registry min-by semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ENTRIES = [
+    "doc_tfidf_keywords",
+    "doc_perplexity_buckets",
+    "user_value_ewma",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_rows_identical_under_different_shuffle_partitions(spark, name):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, (
+        f"{name}: {len(a ^ b)} rows differ between 3- and "
+        f"13-partition runs"
+    )
+    assert a, f"{name}: empty result at {SF_DIR}"
