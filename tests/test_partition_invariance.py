@@ -9,19 +9,30 @@ round 12; this test keeps a fast CI-sized slice of that property:
 representative kernels from each risk family, run under two shuffle-
 partition counts in one session, must produce identical row sets.
 
-Representative picks (one per family, chosen for nontrivial
-aggregation paths, sf0.001 so the whole file stays seconds-fast):
+Two traps this file had to learn (round 12):
 
-- ``doc_tfidf_keywords`` — decomposed count-window + top-k window
-  (the round-12 broadcast-retirement form);
-- ``doc_perplexity_buckets`` — ONE unpartitioned running-sum window
-  over the bounded distinct-score relation (the round-12 shape);
-- ``user_value_ewma`` — the mapInPandas carry-dict recurrence
-  (partition-batched Python, the explicitly layout-exposed path);
-- ``dedup_exact`` — canonical-registry min-by semantics.
+- the registered wrappers call ``tune_session``, which RESETS
+  ``spark.sql.shuffle.partitions`` on divergence — the test must call
+  the underlying plan functions (``fn.__wrapped__``) or both runs
+  silently execute under the tuned value;
+- running corpus entries MATERIALIZES the session memos
+  (lazy localCheckpoints), and later plan-hygiene dumps then see
+  AQE broadcast the now-known-small subtrees — so memo caches are
+  cleared between runs (each layout builds its own plans) AND on
+  teardown (later test modules must see pristine plan state).
+
+Representative picks (one per family, sf0.001 so the whole file
+stays seconds-fast): ``doc_tfidf_keywords`` — decomposed
+count-window + top-k window; ``doc_perplexity_buckets`` — ONE
+unpartitioned running sum over the bounded distinct-score relation;
+``user_value_ewma`` — the mapInPandas carry-dict recurrence (the
+explicitly layout-exposed path); ``dedup_exact`` — canonical-
+registry min-by semantics.
 """
 
 from __future__ import annotations
+
+import sys
 
 import pytest
 
@@ -34,20 +45,64 @@ ENTRIES = [
     "dedup_exact",
 ]
 
+_PKG = "biometric_stream_processing_spark"
+_LOCK_KEY = "__memo_lock__"
+
+
+def _clear_package_memos(spark=None) -> None:
+    """Empty every session-memo cache dict in loaded package modules
+    (identified by the in-dict lock sentinel, or the _CACHE naming
+    convention for not-yet-locked ones), and drop Spark's cached-plan
+    registry: ``persist()`` registers the ANALYZED PLAN in the
+    session cacheManager, which structurally matches a freshly-built
+    identical subtree and substitutes the size-known InMemoryRelation
+    — so clearing the Python dicts alone still leaves later plan
+    dumps seeing broadcast-sized subtrees. Next callers rebuild
+    fresh LAZY frames against an empty cache, so subsequent plan
+    dumps are pristine."""
+    for name, mod in list(sys.modules.items()):
+        if not name.startswith(_PKG):
+            continue
+        for attr, val in list(vars(mod).items()):
+            if not isinstance(val, dict):
+                continue
+            if _LOCK_KEY in val or attr.endswith("_CACHE"):
+                lk = val.get(_LOCK_KEY)
+                val.clear()
+                if lk is not None:
+                    val[_LOCK_KEY] = lk
+    if spark is not None:
+        spark.catalog.clearCache()
+
+
+@pytest.fixture()
+def fresh_memos(spark):
+    _clear_package_memos(spark)
+    yield
+    _clear_package_memos(spark)
+
 
 @pytest.mark.parametrize("name", ENTRIES)
-def test_rows_identical_under_different_shuffle_partitions(spark, name):
+def test_rows_identical_under_different_shuffle_partitions(
+    spark, fresh_memos, name
+):
     import __spark_entry__ as entrymod
 
-    fn = entrymod.queries()[name]
+    # the UNWRAPPED plan function: the registered wrapper re-tunes
+    # the session, which would reset the partition conf under test
+    fn = entrymod.queries()[name].__wrapped__
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = {tuple(r) for r in fn(spark, SF_DIR).collect()}
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        b = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        for n in ("3", "13"):
+            # each layout builds its own plans
+            _clear_package_memos(spark)
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == n
+            results[n] = {tuple(r) for r in fn(spark, SF_DIR).collect()}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+    a, b = results["3"], results["13"]
     assert a == b, (
         f"{name}: {len(a ^ b)} rows differ between 3- and "
         f"13-partition runs"
