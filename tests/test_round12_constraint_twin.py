@@ -1,0 +1,117 @@
+"""Round-12 pre-work for the round-13 constraint_report swap (the
+tfidf-twin staging pattern, `test_round11_tfidf_twin.py`): the
+registered ``orders_constraint_report`` force-broadcasts the DISTINCT
+foreign-key reference set — SF-growing, an executor OOM under a
+forced hint at 100 TB — but sits fingerprint-frozen in the r10 tail
+block this round, so the live body cannot change until it rotates
+front. This suite pins the staged hint-free twin
+(``operators/validate._constraint_report_unhinted``) NOW:
+
+* VALUE-IDENTITY against the registered entry's exact rule set on
+  the real orders/customer tables (join strategy cannot move an
+  anti-join's row set, and this makes that mechanical);
+* the optimizer still picks a BROADCAST anti-join from the parquet
+  size stats with no hint at bench scale (so the swap costs nothing
+  where data is small) while the plan carries NO ResolvedHint (so
+  at 100 TB the planner is free to flip to a shuffled anti-join);
+* the registered form's forced hint as the CONTRAST, so the round-13
+  flip stays observable — after the swap, invert that assertion and
+  delete the duplicate body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.operators.validate import (
+    _constraint_report_unhinted,
+    constraint_report,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+from biometric_stream_processing_spark.plans.analytics import (
+    PRICE_CAP,
+    _t,
+    orders_constraint_report,
+)
+
+from conftest import SF_DIR
+
+
+def _entry_rules():
+    """The registered entry's rule list, verbatim
+    (plans/analytics.orders_constraint_report)."""
+    return [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        foreign_key("o_custkey", "customer"),
+        in_range("o_totalprice", 0.0, PRICE_CAP),
+        in_set("o_orderstatus", "O", "F", "P"),
+        matches("o_orderpriority", "^[1-5]-"),
+        not_null("o_orderdate"),
+    ]
+
+
+def _twin_report(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return _constraint_report_unhinted(
+        o, _entry_rules(), refs={"customer": c.select("c_custkey")}
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_twin_is_row_identical_to_registered_entry(spark):
+    reg = _rows(orders_constraint_report(spark, SF_DIR))
+    twin = _rows(_twin_report(spark, SF_DIR))
+    assert len(reg) == 7
+    assert reg == twin
+
+
+def test_twin_has_no_forced_hint_but_still_broadcasts_at_bench_scale(spark):
+    """No ResolvedHint survives into the twin's optimized logical
+    plan, yet the PHYSICAL anti-join is still broadcast-hash — the
+    customer key set at test scale sits far under
+    autoBroadcastJoinThreshold, so the stats-based planner makes the
+    same choice the hint forced. That pair of facts is the whole
+    argument for the swap: identical plan where small, planner-free
+    where huge."""
+    twin = _twin_report(spark, SF_DIR)
+    qe = twin._jdf.queryExecution()
+    assert "ResolvedHint" not in qe.optimizedPlan().toString()
+    phys = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
+
+
+def test_registered_form_still_carries_the_forced_hint(spark):
+    """CONTRAST PIN (invert after the round-13 swap): the live
+    registered body still force-broadcasts the reference key set."""
+    reg = orders_constraint_report(spark, SF_DIR)
+    analyzed = reg._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" in analyzed or "ResolvedHint" in analyzed
+
+
+def test_twin_matches_on_synthetic_edge_frame(spark):
+    """Both forms agree where violations are NON-ZERO in every rule
+    class (the real orders table has zero FK orphans, so this frame
+    exercises the orphan-count path the swap actually touches)."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, None), (3, 99)],
+        "k int, fk int",
+    )
+    ref = spark.createDataFrame([(10,), (20,)], "rk int")
+    rules = [unique("k"), foreign_key("fk", "ref"), not_null("fk")]
+    a = _rows(constraint_report(df, rules, {"ref": ref}))
+    b = _rows(_constraint_report_unhinted(df, rules, {"ref": ref}))
+    assert a == b
+    got = dict(a)
+    assert got["fk(fk->ref)"] == 1  # the 99 orphan; NULL fk excluded
+    assert got["unique(k)"] == 1
+    assert got["not_null(fk)"] == 1
