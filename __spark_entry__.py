@@ -248,19 +248,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 arithmetic catch is the precedent): the r11-green
         # block is 50 entries (CORRECTNESS_r11 is 50/50 green and
         # none re-verify in round 12), so round 14 would owe exactly
-        # 50 — capacity, zero spares. Spend BOTH round-13 spares on
-        # the first two r11-block entries in gate order
-        # (biometric_union, alert_windows — cheap sub-second
-        # queries) so round 14 owes 48 and keeps its own spares;
-        # queue NOTHING net-new in round 13 either.
+        # 50 — capacity, zero spares. Spend the round-13 spares on
+        # r11-block entries so round 14 owes 48 and keeps its own
+        # spares: spare 1 = biometric_union (r11 head, cheap);
+        # spare 2 = streaming_enriched_segment_counts (REASSIGNED
+        # from alert_windows by the round-12 second hint audit — a
+        # hint retirement outranks a cheap freshness re-run, the
+        # spare-1 precedent): its forced F.broadcast on the
+        # SF-GROWING customer dim retires IN-BLOCK via the staged
+        # twin (streaming/pipeline._streaming_enriched_unhinted,
+        # value-pinned in tests/test_round12_enrichment_twin.py —
+        # swap, delete the duplicate, flip the contrast pin, hash
+        # re-verify). Queue NOTHING net-new in round 13 either.
         # ROUND-13 IN-BLOCK OBLIGATION (round-12 hint audit):
         # retire the SF-growing F.broadcast on the foreign-key
         # reference-key set in operators/validate.constraint_report
-        # while orders_constraint_report is front — see that
-        # docstring; value-identical (join strategy only), so hash
-        # re-verify + plan A/B and flip any hygiene pin in the same
-        # commit. Derive the due set with tools/round_plan.py, not
-        # from this comment.
+        # while orders_constraint_report is front — the swap body is
+        # PRE-BUILT (operators/validate._constraint_report_unhinted,
+        # value-pinned in tests/test_round12_constraint_twin.py):
+        # point the registered helper at it, delete the duplicate,
+        # flip the contrast pin, hash re-verify. Derive the due set
+        # with tools/round_plan.py, not from this comment.
         #
         # --- last green r10 (r10 gate order preserved so memo
         # billing stays comparable; the decontam/training-corpus/

@@ -1,0 +1,77 @@
+"""Round-12 staging pins for the streaming-enrichment hint
+retirement (the second finding of this round's ``F.broadcast``
+audit; tfidf/constraint staging pattern): the registered
+``streaming_enriched_segment_counts`` FORCES a broadcast of the
+SF-growing customer dimension — its own docstring claims
+threshold-based planning — but sits fingerprint-frozen in the r11
+tail block. This suite pins the staged twin
+(``streaming/pipeline._streaming_enriched_unhinted``) now:
+
+* VALUE-IDENTITY of the executed streaming query against the
+  registered form on the real tables (hint = join strategy only);
+* the twin's analyzed plan carries NO hint node while the inline
+  rebuild of the registered join shape carries one (the CONTRAST —
+  invert after the swap lands);
+* the per-microbatch planner still broadcasts the 2-column dim from
+  stats at bench scale, checked on the batch-equivalent join (the
+  stream-static right side is planned with the same stats per
+  micro-batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biometric_stream_processing_spark.sources.readers import load_table
+from biometric_stream_processing_spark.streaming import pipeline as sp
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_twin_is_row_identical_to_registered_entry(spark):
+    reg = _rows(sp.streaming_enriched_segment_counts(spark, SF_DIR))
+    twin = _rows(sp._streaming_enriched_unhinted(spark, SF_DIR))
+    assert len(reg) > 0
+    assert reg == twin
+
+
+def _dim(spark):
+    return load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+
+
+def test_twin_join_carries_no_hint_and_registered_shape_does(spark):
+    """Plan contrast on un-started frames. The hinted frame rebuilds
+    the registered body's join line verbatim (the entry itself runs
+    its stream internally, so its pre-start plan isn't reachable
+    without executing it — the tfidf-twin inline-rebuild recipe)."""
+    import os
+
+    ts_unit = sp._events_ts_unit(os.path.join(SF_DIR, "events.parquet"))
+    src = sp._events_stream_source(spark, SF_DIR, "events.parquet", ts_unit)
+    dim = _dim(spark)
+    unhinted = src.join(dim, src["user_id"] == dim["c_custkey"], "inner")
+    hinted = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
+    )
+    assert "Hint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_planner_still_broadcasts_dim_from_stats_at_bench_scale(spark):
+    """The stream-static right side is planned per micro-batch with
+    the same size stats as a batch join; at test scale the 2-column
+    customer projection sits far under autoBroadcastJoinThreshold, so
+    dropping the hint changes nothing where data is small."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = _dim(spark)
+    joined = events.join(dim, events["user_id"] == dim["c_custkey"], "inner")
+    phys = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
