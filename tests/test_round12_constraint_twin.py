@@ -90,6 +90,25 @@ def test_twin_has_no_forced_hint_but_still_broadcasts_at_bench_scale(spark):
     assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
 
 
+def test_twin_flips_to_shuffled_anti_join_when_broadcast_is_off(spark):
+    """The 100 TB claim, executed: with broadcast planning disabled
+    (the stand-in for a reference set too big to build), the twin's
+    FK anti-join flips to a shuffled join AND still returns the
+    identical report — the forced-hint form can never make that
+    flip, which is exactly why it OOMs at scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        twin = _twin_report(spark, SF_DIR)
+        phys = twin._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
+        shuffled_rows = _rows(twin)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert shuffled_rows == _rows(orders_constraint_report(spark, SF_DIR))
+
+
 def test_registered_form_still_carries_the_forced_hint(spark):
     """CONTRAST PIN (invert after the round-13 swap): the live
     registered body still force-broadcasts the reference key set."""

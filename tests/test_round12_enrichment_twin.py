@@ -63,6 +63,23 @@ def test_twin_join_carries_no_hint_and_registered_shape_does(spark):
     assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
 
 
+def test_twin_flips_to_shuffled_join_when_broadcast_is_off(spark):
+    """The 100 TB claim, executed on the twin end-to-end: with
+    broadcast planning disabled (the stand-in for a customer dim too
+    big to build), the stream-static join plans shuffled per
+    micro-batch and the emitted snapshot is still identical — the
+    forced-hint registered form can never make that flip."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = _rows(sp._streaming_enriched_unhinted(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert shuffled == _rows(
+        sp.streaming_enriched_segment_counts(spark, SF_DIR)
+    )
+
+
 def test_planner_still_broadcasts_dim_from_stats_at_bench_scale(spark):
     """The stream-static right side is planned per micro-batch with
     the same size stats as a batch join; at test scale the 2-column
