@@ -307,8 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution", "streaming_transitions",
         "doc_unigram_logprob",
         # --- last green r11 (r11 gate order preserved; rotates
-        # front in round 14 — round 13's spares pre-verify its first
-        # two entries, see the note above) ---
+        # front in round 14 — round 13's spares pre-verify two of
+        # its entries: biometric_union and the hint-retirement swap
+        # streaming_enriched_segment_counts, see the note above) ---
         "biometric_union", "alert_windows",
         "alerts_throttled", "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
