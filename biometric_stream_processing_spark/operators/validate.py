@@ -8,7 +8,12 @@ Rule kinds and their plans:
   predicates; ALL of them fold into ONE shared scan-aggregation pass
   (a conditional count per rule), however many are declared.
 * ``unique`` — needs a grouped count (one shuffle on the key);
-  violations = Σ(extra copies) = n − distinct.
+  violations = Σ(extra copies) = n − distinct, computed over NON-NULL
+  keys only (``count(col)``/``countDistinct(col)`` skip NULLs): a
+  missing key is ``not_null``'s violation, a repeated key is
+  ``unique``'s — the rules partition the failure space rather than
+  double-counting one bad row (property-pinned vs an independent
+  Python reference in ``tests/test_validate_properties.py``).
 * ``foreign_key`` — a broadcast LEFT ANTI join against the (small)
   referenced key set; violations = orphan rows. At 100 TB the dim
   side is the broadcast and the fact side never shuffles.

@@ -36,7 +36,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # Broadcast generously: all dim tables here are tiny; at 100 TB the
     # dims (region/nation/part/supplier) still fit well under 1 GiB.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # Cores-sized locally; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides —
+    # the adversarial-parallelism sweep knob (tune_session resets a
+    # session to THIS value on divergence, so the override must live
+    # here, not in a caller's conf.set):
+    #   SPARK_GRAFT_CPUS=11 SPARK_GRAFT_SHUFFLE_PARTITIONS=7 \
+    #     python tools/check_oracle.py /root/testdata/sf0.01
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(os.cpu_count() or 8)
+    ),
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,117 @@
+"""Hypothesis property suite for the data-validation surface
+(`operators/validate`): random null-laden frames + random rule
+parameters vs an INDEPENDENT pure-Python violation counter. Runs the
+registered form AND the round-13-staged unhinted twin on every
+example, so both bodies stay pinned to the same semantics (the twin
+parity tests in `test_round12_constraint_twin.py` compare the two
+forms to each other; this file compares both to ground truth).
+
+The validation API is user-facing (the Deequ/Great-Expectations
+surface), so its NULL conventions are contract, not incident:
+* not_null / in_range / in_set / matches count NULL as a violation
+  (an unparseable/absent value cannot satisfy a domain rule);
+* unique counts extra copies among NON-NULL keys only
+  (count(col) − countDistinct(col), both of which skip NULLs per SQL
+  aggregate semantics — THIS SUITE's first falsifying example was two
+  all-NULL keys, which unique ignores): a missing key is the
+  not_null rule's violation, a repeated key is unique's, and the two
+  rules partition the failure space instead of double-counting one
+  bad row;
+* foreign_key counts NON-NULL orphans only (SQL FK semantics: NULL
+  references are legal).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from biometric_stream_processing_spark.operators.validate import (
+    _constraint_report_unhinted,
+    constraint_report,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+
+# Small domains on purpose: collisions (duplicate keys, boundary
+# prices, orphan refs) must be LIKELY, not lottery draws.
+_KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+_PRICES = st.one_of(
+    st.none(),
+    st.sampled_from([-1.0, 0.0, 0.5, 1.0, 49.5, 50.0, 99.5, 100.0, 101.0]),
+)
+_STATUSES = st.one_of(st.none(), st.sampled_from(["O", "F", "P", "X", "1-A"]))
+
+_ROWS = st.lists(
+    st.tuples(_KEYS, _KEYS, _PRICES, _STATUSES),
+    min_size=1,
+    max_size=12,
+)
+_REF_KEYS = st.sets(st.integers(min_value=0, max_value=5), max_size=4)
+_BOUNDS = st.tuples(
+    st.sampled_from([0.0, 0.5, 50.0]), st.sampled_from([50.0, 99.5, 100.0])
+)
+
+
+def _py_reference(rows, ref_keys, lo, hi):
+    """Independent counter — dict/loop Python, no Spark concepts."""
+    ks = [r[0] for r in rows]
+    fks = [r[1] for r in rows]
+    prices = [r[2] for r in rows]
+    statuses = [r[3] for r in rows]
+    pat = re.compile(r"^[1-5]-")
+    return {
+        "not_null(k)": sum(1 for k in ks if k is None),
+        # non-null extra copies only — NULL keys belong to not_null
+        "unique(k)": (
+            sum(1 for k in ks if k is not None)
+            - len({k for k in ks if k is not None})
+        ),
+        "fk(fk->ref)": sum(
+            1 for f in fks if f is not None and f not in ref_keys
+        ),
+        f"in_range(price,{lo},{hi})": sum(
+            1 for p in prices if p is None or p < lo or p > hi
+        ),
+        "in_set(status)": sum(
+            1 for s in statuses if s is None or s not in ("O", "F", "P")
+        ),
+        "matches(status)": sum(
+            1 for s in statuses if s is None or not pat.match(s)
+        ),
+    }
+
+
+def test_constraint_report_matches_python_reference(spark):
+    @settings(max_examples=12, deadline=None)
+    @given(_ROWS, _REF_KEYS, _BOUNDS)
+    def prop(rows, ref_keys, bounds):
+        lo, hi = bounds
+        df = spark.createDataFrame(
+            rows, "k long, fk long, price double, status string"
+        )
+        ref = spark.createDataFrame(
+            [(k,) for k in sorted(ref_keys)] or [(None,)], "rk long"
+        ).where("rk is not null")
+        rules = [
+            not_null("k"),
+            unique("k"),
+            foreign_key("fk", "ref"),
+            in_range("price", lo, hi),
+            in_set("status", "O", "F", "P"),
+            matches("status", "^[1-5]-"),
+        ]
+        expected = _py_reference(rows, ref_keys, lo, hi)
+        for form in (constraint_report, _constraint_report_unhinted):
+            got = {
+                r.rule: r.n_violations
+                for r in form(df, rules, {"ref": ref}).collect()
+            }
+            assert got == expected
+
+    prop()
