@@ -1,0 +1,88 @@
+"""Hypothesis property for the as-of join (`operators/joins`): both
+strategies — the declarative union+window form (`asof_join`, the
+scale path) and the cogrouped-Pandas `merge_asof` form
+(`asof_join_cogroup`) — must agree with an INDEPENDENT bisect
+reference on random keyed time series, under the operator's stated
+preconditions (right side unique per (key, ts), non-NULL values).
+
+Pins the whole contract surface at once: inclusive equal-ts match
+(DuckDB ASOF >= semantics), no-prior-match → NULL, per-key isolation
+(a key with left rows but no right rows fills nothing), and duplicate
+LEFT timestamps each independently matched."""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import given, settings, strategies as st
+
+from biometric_stream_processing_spark.operators.joins import (
+    asof_join,
+    asof_join_cogroup,
+)
+
+# Tight domains so equal-ts collisions and no-match keys are likely.
+_TS = st.integers(min_value=0, max_value=20)
+_KEYS = st.integers(min_value=1, max_value=3)
+
+_LEFT = st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=10)
+# right: per-(key, ts) unique via a dict strategy per key
+_RIGHT = st.dictionaries(
+    st.tuples(_KEYS, _TS), st.integers(min_value=0, max_value=99),
+    max_size=8,
+)
+
+
+def _reference(left_rows, right_map):
+    """Pure-Python as-of: per key, latest right ts <= left ts."""
+    per_key: dict[int, list[tuple[int, int]]] = {}
+    for (k, ts), v in right_map.items():
+        per_key.setdefault(k, []).append((ts, v))
+    for k in per_key:
+        per_key[k].sort()
+    out = []
+    for i, (k, ts) in enumerate(left_rows):
+        series = per_key.get(k, [])
+        pos = bisect.bisect_right([t for t, _ in series], ts) - 1
+        if pos < 0:
+            out.append((k, ts, i, None, None))
+        else:
+            rts, rv = series[pos]
+            out.append((k, ts, i, rts, rv))
+    return sorted(out)
+
+
+def test_asof_strategies_match_bisect_reference(spark):
+    @settings(max_examples=10, deadline=None)
+    @given(_LEFT, _RIGHT)
+    def prop(left_rows, right_map):
+        left = spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(left_rows)],
+            "user_id long, es long, row_id long",
+        )
+        right = spark.createDataFrame(
+            [(k, ts, v) for (k, ts), v in right_map.items()]
+            or [(None, None, None)],
+            "user_id long, bp_es long, bp_value long",
+        ).where("user_id is not null")
+        expected = _reference(left_rows, right_map)
+
+        decl = sorted(
+            (r.user_id, r.es, r.row_id, r.asof_bp_es, r.asof_bp_value)
+            for r in asof_join(
+                left, right, "user_id", "es", "bp_es", ["bp_value"]
+            ).collect()
+        )
+        assert decl == expected
+
+        cog = sorted(
+            (r.user_id, r.es, r.row_id, r.asof_bp_es, r.asof_bp_value)
+            for r in asof_join_cogroup(
+                left, right, "user_id", "es", "bp_es", ["bp_value"],
+                "user_id long, es long, row_id long, "
+                "asof_bp_es long, asof_bp_value long",
+            ).collect()
+        )
+        assert cog == expected
+
+    prop()
