@@ -305,6 +305,65 @@ def main() -> None:
     # MEMO_OWNERS map above — the authoritative billing record the
     # bench emits into BENCH_DETAIL.)
 
+    # OBSERVED memo billing (round 12): MEMO_OWNERS above is a
+    # hand-derived prediction of which query pays each shared build —
+    # twice now a rotation note mis-derived adjacent arithmetic, so
+    # the bench now also RECORDS the owner it actually saw. Two probe
+    # kinds: the four lazily-persisted frames flip
+    # isCachedColumnBuffersLoaded() when their buffers materialize
+    # (the cost landing on the clock), and the module session-memos
+    # gain their (appId, sf_dir) key inside the first consumer's
+    # timed call (eager memos pay right there; lazy ones build plan
+    # AND execute within the same timed window, so attribution
+    # holds). The observed map is written next to the declared one,
+    # plus an explicit mismatch list — drift between them is the
+    # alarm that a rotation note needs re-deriving.
+    def _cache_probe(df):
+        jdf = df._jdf
+        cm = spark._jsparkSession.sharedState().cacheManager()
+
+        def probe() -> bool:
+            cd = cm.lookupCachedData(jdf)
+            return bool(
+                cd.isDefined()
+                and cd.get().cachedRepresentation().cacheBuilder()
+                .isCachedColumnBuffersLoaded()
+            )
+        return probe
+
+    def _dict_probe(*dicts):
+        key = (spark.sparkContext.applicationId,
+               os.path.realpath(sf_dir))
+
+        def probe() -> bool:
+            return any(key in d for d in dicts)
+        return probe
+
+    from biometric_stream_processing_spark.plans import (
+        corpus_ops as _c,
+        documents_ops as _d,
+    )
+    memo_probes = {
+        "text_lsh_pairs": _cache_probe(pairs),
+        "ivf_cell_assignment": _cache_probe(cells),
+        "winnow_fingerprints": _cache_probe(fps),
+        "clean_corpus": _cache_probe(clean),
+        "doc_term_matrix": _dict_probe(_c._TF_CACHE),
+        "unigram_scores": _dict_probe(_c._LP_CACHE),
+        "text_cluster_closure": _dict_probe(_d._CLUSTERS_CACHE),
+        "embedding_cluster_closure": _dict_probe(_d._EMB_CLUSTERS_CACHE),
+        "decontam_gram_index": _dict_probe(_d._DECONTAM_CACHE),
+        "decontam_survivors": _dict_probe(_d._DECONTAM_CACHE),
+        "training_corpus_rows": _dict_probe(_d._TRAINING_CACHE),
+        "kmeans_training_and_assignment_map": _dict_probe(
+            _d._KMEANS_CACHE, _d._KMEANS_ASSIGN_CACHE
+        ),
+    }
+    observed: dict[str, str] = {}
+    for m, probe in memo_probes.items():
+        if probe():  # built off the clock before the loop — a bug
+            observed[m] = "__prebuilt__"
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -313,6 +372,25 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        for m, probe in memo_probes.items():
+            if m not in observed and probe():
+                observed[m] = name
+    if os.environ.get("SPARK_GRAFT_BENCH_DEBUG_MEMOS") == "1":
+        print(f"memo_owner_observed: {observed}", file=sys.stderr)
+    mismatches = sorted(
+        m for m, got in observed.items()
+        if got != MEMO_OWNERS.get(m, {}).get("owner")
+    )
+    if mismatches:
+        print(
+            "WARN memo owner mismatch (observed != declared): "
+            + ", ".join(
+                f"{m}: {observed[m]} != "
+                f"{MEMO_OWNERS.get(m, {}).get('owner')}"
+                for m in mismatches
+            ),
+            file=sys.stderr,
+        )
     # WARM SECOND PASS (round 11; streaming excluded round 12): three
     # consecutive verdicts spent effort adjudicating "in-bench drift"
     # that fresh isolated A/Bs then attributed to first-call/position
@@ -409,7 +487,10 @@ def main() -> None:
         with open(detail, "w") as f:
             payload = {"queries": timings, "sf": sf_val,
                        "total": round(total, 3),
-                       "memo_owner": MEMO_OWNERS}
+                       "memo_owner": MEMO_OWNERS,
+                       "memo_owner_observed": observed}
+            if mismatches:
+                payload["memo_owner_mismatch"] = mismatches
             if warm:
                 # batch-only by construction (streaming skipped
                 # above), so total_warm is a sum of genuinely warm
