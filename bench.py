@@ -323,12 +323,17 @@ def main() -> None:
         cm = spark._jsparkSession.sharedState().cacheManager()
 
         def probe() -> bool:
-            cd = cm.lookupCachedData(jdf)
-            return bool(
-                cd.isDefined()
-                and cd.get().cachedRepresentation().cacheBuilder()
-                .isCachedColumnBuffersLoaded()
-            )
+            # fail-soft: a py4j surface change must cost the observed
+            # record, never the bench run itself
+            try:
+                cd = cm.lookupCachedData(jdf)
+                return bool(
+                    cd.isDefined()
+                    and cd.get().cachedRepresentation().cacheBuilder()
+                    .isCachedColumnBuffersLoaded()
+                )
+            except Exception:
+                return False
         return probe
 
     def _dict_probe(*dicts):
