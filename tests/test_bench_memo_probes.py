@@ -1,0 +1,54 @@
+"""The bench memo-observation probes (bench.py round 12) reference
+module cache dicts by name; a rename would crash the DRIVER's bench
+run at round close — the one run per round that cannot be retried.
+Parse bench.py's probe section and assert every referenced attribute
+still exists with the memo-dict shape, so the break is caught in CI
+instead."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+BENCH = Path(__file__).resolve().parents[1] / "bench.py"
+
+
+def test_bench_probe_cache_attrs_resolve():
+    src = BENCH.read_text()
+    from biometric_stream_processing_spark.plans import (
+        corpus_ops,
+        documents_ops,
+    )
+
+    mods = {"_c": corpus_ops, "_d": documents_ops}
+    refs = re.findall(r"\b(_c|_d)\.(_[A-Z_]*CACHE)\b", src)
+    assert len(refs) >= 8, "probe section shrank — update this test"
+    for alias, attr in refs:
+        cache = getattr(mods[alias], attr, None)
+        assert isinstance(cache, dict), (
+            f"bench.py references {alias}.{attr} but "
+            f"{mods[alias].__name__} no longer exposes it as a dict"
+        )
+
+
+def test_bench_probe_covers_every_declared_memo():
+    """Every MEMO_OWNERS key must have an observation probe (and vice
+    versa) — an unobserved memo silently reverts billing to trust."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench_mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = bench_mod
+    try:
+        spec.loader.exec_module(bench_mod)
+        declared = set(bench_mod.MEMO_OWNERS)
+    finally:
+        sys.modules.pop("bench_mod", None)
+    src = BENCH.read_text()
+    probe_block = src.split("memo_probes = {", 1)[1].split("}", 1)[0]
+    probed = set(re.findall(r'"([a-z_]+)":', probe_block))
+    assert probed == declared, (
+        f"probe/declared drift: only-probed={probed - declared}, "
+        f"only-declared={declared - probed}"
+    )
