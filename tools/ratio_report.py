@@ -42,6 +42,14 @@ BOUNDED_ORACLE = {
     "corpus_heavy_hitters",
 }
 
+# Entries whose Spark side DELIBERATELY does work the oracle never
+# prices: the deliverable IS an I/O round trip (a full write + a
+# read-back through the format under test) while the oracle only
+# aggregates the already-materialized parquet — the only way to
+# oracle an interchange format DuckDB cannot read. Ratio structural,
+# like the streaming rows; wall pin in the entry's docstring.
+ROUND_TRIP_ORACLE = {"orc_interchange_report"}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
@@ -130,6 +138,8 @@ def main() -> int:
         tag = " [streaming]" if name.startswith(STREAMING_PREFIX) else ""
         if name in BOUNDED_ORACLE and not tag:
             tag = " [bounded-oracle]"
+        if name in ROUND_TRIP_ORACLE and not tag:
+            tag = " [io-round-trip]"
         if s is None:
             print(f"{name:38s} {'-':>7s} {d:7.2f}{tag}")
         else:
@@ -143,7 +153,8 @@ def main() -> int:
         tnb_s, tnb_d = sum(s for s, _ in nb), sum(d for _, d in nb)
         cmp_ = [(s, d) for (n, s, d) in rows
                 if s is not None and not n.startswith(STREAMING_PREFIX)
-                and n not in BOUNDED_ORACLE]
+                and n not in BOUNDED_ORACLE
+                and n not in ROUND_TRIP_ORACLE]
         tc_s, tc_d = sum(s for s, _ in cmp_), sum(d for _, d in cmp_)
         line = (f"\nTOTAL spark {ts:.1f}s duck {td:.1f}s ratio "
                 f"{ts / max(td, 1e-9):.2f}x")
@@ -151,7 +162,8 @@ def main() -> int:
             line += (f"  |  excl. streaming: {tnb_s:.1f}/{tnb_d:.1f}"
                      f" = {tnb_s / max(tnb_d, 1e-9):.2f}x")
         if cmp_:
-            line += (f"  |  excl. streaming+bounded: {tc_s:.1f}/"
+            line += (f"  |  excl. all structural "
+                     f"(streaming+bounded+round-trip): {tc_s:.1f}/"
                      f"{tc_d:.1f} = {tc_s / max(tc_d, 1e-9):.2f}x")
         print(line)
     return 0
