@@ -524,9 +524,23 @@ def test_round_plan_tool_agrees_with_the_rotation_helpers():
     """tools/round_plan.py (round 12) must stay a THIN printer over
     these helpers — it exists so round-plan notes are derived, never
     hand-summed. Smoke: it runs clean and its projected following-
-    round debt equals the same derivation done inline."""
+    round debt equals the same derivation done inline.
+
+    Skipped in the between-rounds state (round-12 verdict, What's
+    wrong #1): when the newest CORRECTNESS artifact postdates the
+    shipped registration, the on-disk plan is by construction LAST
+    round's and round_plan correctly reports the unrotated front as
+    red (rc=1) — the same guard test_expiring_debt_is_front_loaded
+    uses. Once the builder touches the registration (actively
+    shipping this round's rotation), the test runs for real and the
+    tool must exit 0."""
     import io
     import sys as _sys
+
+    if _rounds() and not _registration_updated_since_last_artifact():
+        pytest.skip("registration predates the newest driver artifact "
+                    "(between-rounds state); round_plan correctly "
+                    "reports the unrotated front as due")
 
     sys_path = list(_sys.path)
     try:
