@@ -142,141 +142,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 12 (recorded rounds r1-r7, r9, r10, r11): r9 leaves the
-    # window when this round records (post-recording window
-    # {r10, r11, r12}), so the 46-entry r9-green block fills the
-    # front (derived fresh from CORRECTNESS_r{09,10,11}: exactly 46
-    # entries have last-green r9; the r10/r11 blocks are 50 each —
-    # 46+50+50 = 146 registered, set-check clean). Front = 46 r9-due
-    # + 2 queue first-verdicts (orc_interchange_report, carried from
-    # round 10 through round 11's zero-spare prefix, and
-    # streaming_user_gapfill, the round-11 net-new) + 2 spares = 50:
-    #   - spare 1 (REASSIGNED per the round-11 verdict, What's wrong
-    #     #2): doc_duplicate_spans — its round-11 helper rework
-    #     (corpus_ops.duplicate_spans min/max-window form, commit
-    #     956e5bb) didn't move the registered-wrapper fingerprint,
-    #     so the r10 verdict covers different physical code; a
-    #     changed-source re-verification outranks a cheap freshness
-    #     re-run.
-    #   - spare 2 (REASSIGNED mid-round by the same principle as
-    #     spare 1): doc_perplexity_buckets — its round-12 decile
-    #     rework (single bounded window replacing the two-phase
-    #     prefix sum, commit 8d40821) routed through a helper, so
-    #     the primary fingerprint didn't move and the deep file
-    #     self-baselines this round; leaving it in the tail would
-    #     repeat the spans hazard (code no driver verdict has seen)
-    #     one round after the judge named it. The originally-planned
-    #     embedding_kmeans_quality (unchanged code, pure freshness)
-    #     returns to the tail at its r10-head position and rotates
-    #     front in round 13 like the rest of its block.
-    #   Both spares are r10-block entries, so round 13's debt drops
-    #   to 48 (see the round-13 note at the tail head). NOTHING is
-    #   queued net-new this round (round-13 capacity).
-    # In-block obligation LANDED with this rotation: the registered
-    # doc_tfidf_keywords (front 45) now delegates to the decomposed
-    # form (documents_ops._tfidf_keywords_decomposed — vocabulary
-    # broadcast retired, per-row dag byte-identical, hash re-verified
-    # green at sf0.001/sf0.01/sf0.1 this round); the plan-hygiene pin
-    # flipped to assert the broadcast's ABSENCE and
-    # tests/test_round11_tfidf_twin.py now pins row-identity against
-    # an inline rebuild of the retired broadcast form.
-    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r09 is the
-    # precedent for this front order): contamination_overlaps
-    # (front 1) pays the winnow sketch; minhash_lsh_pairs (front 3)
-    # the LSH pair chain; near_dup_clusters (front 4) the text
-    # closure; embedding_ivf_topk (front 8) the IVF cells;
-    # corpus_token_budget (front 10) the clean corpus;
-    # cross_modal_dup_agreement (front 11) the embedding closure;
-    # doc_tfidf_keywords (front 45) the doc-term matrix (the
-    # decomposed body is the first registration-order consumer);
-    # embedding_kmeans_quality (front 50) keeps the kmeans bill;
-    # decontam/training-corpus/unigram bills return to their tail
-    # owners (decontaminated_train_docs, training_corpus,
-    # doc_unigram_logprob).
+    # ROUND 13 (recorded rounds r1-r7, r9, r10, r11, r12): r10 leaves
+    # the window when this round records (post-recording window
+    # {r11, r12, r13}), so the r10-green remainder fills the front —
+    # derived fresh via tools/round_plan.py against
+    # CORRECTNESS_r{10,11,12}: exactly 48 entries have last-green r10
+    # (the 50-entry r10 block minus doc_duplicate_spans and
+    # doc_perplexity_buckets, both re-verified as round-12 spares);
+    # the r11/r12 blocks are 50 each — 48+50+50 = 148 registered,
+    # set-check clean. Front = 48 r10-due in r10 gate order + 2
+    # spares = 50; the queue is EMPTY and NOTHING is queued net-new
+    # (round-14 capacity, see the tail note). Spares are both
+    # r11-block entries so round 14 owes 48:
+    #   - spare 1: biometric_union (r11 head, cheap freshness).
+    #   - spare 2: streaming_enriched_segment_counts — its forced
+    #     F.broadcast on the SF-GROWING customer dim retired IN-BLOCK
+    #     this round via the staged round-12 twin (swap landed,
+    #     duplicate deleted, contrast pin flipped in
+    #     tests/test_round12_enrichment_twin.py, hash re-verified at
+    #     sf0.001/sf0.01/sf0.1).
+    # Second in-block obligation LANDED: orders_constraint_report
+    # (front, r10 block) no longer force-broadcasts the foreign-key
+    # reference set — operators/validate.constraint_report absorbed
+    # the staged _constraint_report_unhinted body (duplicate deleted,
+    # contrast pin flipped in tests/test_round12_constraint_twin.py,
+    # hash re-verified at the same three SFs). Zero SF-growing
+    # F.broadcast remains anywhere in the package.
+    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r10 is the
+    # precedent — this front replicates the r10 gate order, so the
+    # r10 observed owners apply nearly verbatim):
+    # embedding_kmeans_quality (front 1) keeps the kmeans bill;
+    # decontaminated_train_docs (front 2) the decontam index +
+    # survivors; training_corpus (front 3) the training-corpus rows,
+    # clean corpus, and LSH pair chain; doc_repetition_stats
+    # (front 4) the doc-term matrix; embedding_dup_clusters (front 9)
+    # the embedding closure; near_dup_representatives (front 10) the
+    # text closure; ivf_recall_report (front 36) the IVF cells;
+    # doc_unigram_logprob (front 48) the unigram scorer. The ONE
+    # difference vs r10: the winnow sketch bills to
+    # doc_winnow_fingerprints (tail, r11 block) — contamination_
+    # overlaps moved behind it into the r12 block this round.
     front = [
-        # --- last green r9 (oldest debt) IN ITS r9 GATE ORDER — 46
-        # entries; order preserved so BENCH_DETAIL_r09 per-query
+        # --- last green r10 (oldest debt) IN ITS r10 GATE ORDER —
+        # 48 entries; order preserved so BENCH_DETAIL_r10 per-query
         # numbers stay comparable ---
-        "contamination_overlaps",
-        "dedup_exact", "minhash_lsh_pairs",
-        "near_dup_clusters", "simhash_fingerprints",
-        "simhash_dup_pairs",
-        "embedding_topk", "embedding_ivf_topk",
-        "embedding_similar_pairs_bucketed",
-        "corpus_token_budget", "cross_modal_dup_agreement",
-        "asof_latest_reading", "cogrouped_purchase_values",
-        "event_type_stats", "funnel_view_click_purchase",
-        "approx_percentile_bounds", "doc_text_stats",
-        "doc_token_counts", "doc_lang_quality",
-        "streaming_alert_windows_update",
-        "streaming_alert_windows_complete",
-        "streaming_dedup_canonicals",
-        "multimodal_meta", "multimodal_frame_samples",
-        "multimodal_features",
-        "parse_props_json", "serialize_events_json",
-        "interval_join_pairs", "full_outer_daily",
-        "tumbling_hourly", "user_sessions",
-        "props_map_entries", "salted_distinct_users",
-        "native_session_stats",
-        "fuzzy_name_matches", "event_type_ohlc",
-        "purchase_attribution",
-        "embedding_rrf_fusion", "session_transitions",
-        "event_skew_profile", "label_centroid_report",
-        "streaming_ohlc", "doc_passage_dedup",
-        "doc_bigram_logprob",
-        "doc_tfidf_keywords",
-        "streaming_funnel",
-        # --- queue first-verdicts. streaming_user_gapfill sits
-        # directly after streaming_funnel so the staged
-        # events+sentinel source is warm when it executes (the
-        # round-11 cadence-twin placement precedent). ---
-        "orc_interchange_report",
-        "streaming_user_gapfill",
-        # --- spares (both r10-block entries; see the front note) ---
-        "doc_duplicate_spans",
-        "doc_perplexity_buckets",
-    ]
-    tail = [
-        # ROUND-13 OBLIGATION (K=3 on recorded rounds; once round 12
-        # records, the window is {r10, r11, r12} and r10 leaves when
-        # round 13 records): the 48-entry r10-green remainder below
-        # (embedding_kmeans_quality .. doc_unigram_logprob, r10
-        # gate order, minus the two entries round 12's spares
-        # re-verified) fills the round-13 front. 48 + 0 queue = 48,
-        # leaving TWO spare slots. ROUND-14 FEASIBILITY (re-derive
-        # from the CORRECTNESS files, do not trust this count — the
-        # round-11 arithmetic catch is the precedent): the r11-green
-        # block is 50 entries (CORRECTNESS_r11 is 50/50 green and
-        # none re-verify in round 12), so round 14 would owe exactly
-        # 50 — capacity, zero spares. Spend the round-13 spares on
-        # r11-block entries so round 14 owes 48 and keeps its own
-        # spares: spare 1 = biometric_union (r11 head, cheap);
-        # spare 2 = streaming_enriched_segment_counts (REASSIGNED
-        # from alert_windows by the round-12 second hint audit — a
-        # hint retirement outranks a cheap freshness re-run, the
-        # spare-1 precedent): its forced F.broadcast on the
-        # SF-GROWING customer dim retires IN-BLOCK via the staged
-        # twin (streaming/pipeline._streaming_enriched_unhinted,
-        # value-pinned in tests/test_round12_enrichment_twin.py —
-        # swap, delete the duplicate, flip the contrast pin, hash
-        # re-verify). Queue NOTHING net-new in round 13 either.
-        # ROUND-13 IN-BLOCK OBLIGATION (round-12 hint audit):
-        # retire the SF-growing F.broadcast on the foreign-key
-        # reference-key set in operators/validate.constraint_report
-        # while orders_constraint_report is front — the swap body is
-        # PRE-BUILT (operators/validate._constraint_report_unhinted,
-        # value-pinned in tests/test_round12_constraint_twin.py):
-        # point the registered helper at it, delete the duplicate,
-        # flip the contrast pin, hash re-verify. Derive the due set
-        # with tools/round_plan.py, not from this comment.
-        #
-        # --- last green r10 (r10 gate order preserved so memo
-        # billing stays comparable; the decontam/training-corpus/
-        # closure/unigram memo owners live here and precede their
-        # r11-block consumers below. embedding_kmeans_quality is
-        # back at its r10-head position after the spare-2
-        # reassignment — still the first kmeans consumer in
-        # registration order, so the kmeans bill does not move) ---
         "embedding_kmeans_quality",
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
@@ -306,11 +215,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_cadence_profile",
         "streaming_attribution", "streaming_transitions",
         "doc_unigram_logprob",
-        # --- last green r11 (r11 gate order preserved; rotates
-        # front in round 14 — round 13's spares pre-verify two of
-        # its entries: biometric_union and the hint-retirement swap
-        # streaming_enriched_segment_counts, see the note above) ---
-        "biometric_union", "alert_windows",
+        # --- spares (both r11-block entries; see the front note) ---
+        "biometric_union",
+        "streaming_enriched_segment_counts",
+    ]
+    tail = [
+        # ROUND-14 OBLIGATION (K=3 on recorded rounds; once round 13
+        # records, the window is {r11, r12, r13} and r11 leaves when
+        # round 14 records): the 48-entry r11-green remainder below
+        # (alert_windows .. user_value_ewma, r11 gate order, minus
+        # the two entries round 13's spares re-verify) fills the
+        # round-14 front. 48 + 0 queue = 48, leaving TWO spare
+        # slots. ROUND-15 FEASIBILITY (re-derive from the
+        # CORRECTNESS files via tools/round_plan.py, do not trust
+        # this count — the round-11 arithmetic catch is the
+        # precedent): the r12-green block is 50 entries
+        # (CORRECTNESS_r12 is 50/50 green and none re-verify in
+        # round 13), so round 15 would owe exactly 50 — capacity,
+        # zero spares. Spend the round-14 spares on r12-block
+        # entries so round 15 owes 48 and keeps its own spares;
+        # r12-block candidates with standing adjudication debt
+        # first: contamination_overlaps (round-12 verdict What's
+        # wrong #2) and doc_tfidf_keywords (#3) — check VERDICT_r13
+        # for overriding assignments, and queue NOTHING net-new in
+        # round 14 unless both spares survive.
+        #
+        # --- last green r11 (r11 gate order preserved so memo
+        # billing stays comparable; biometric_union and
+        # streaming_enriched_segment_counts moved to the round-13
+        # spare slots above — rotates front in round 14) ---
+        "alert_windows",
         "alerts_throttled", "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
         "distinct_user_type_pairs", "top_orders",
@@ -332,13 +266,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile", "dedup_pipeline_report",
         "streaming_alerts", "streaming_dedup_merge",
         "streaming_interval_pairs",
-        "streaming_enriched_segment_counts",
         "streaming_session_stats", "streaming_vocab_topk",
         "streaming_abandoned_clicks", "streaming_outer_pairs",
         "streaming_user_cadence",
         "regional_revenue_rollup", "q5_asia_revenue",
         "doc_winnow_fingerprints",
         "user_value_ewma",
+        # --- last green r12 (r12 gate order preserved; rotates
+        # front in round 15 — round 14's spares should pre-verify
+        # two of its entries, see the note above) ---
+        "contamination_overlaps",
+        "dedup_exact", "minhash_lsh_pairs",
+        "near_dup_clusters", "simhash_fingerprints",
+        "simhash_dup_pairs",
+        "embedding_topk", "embedding_ivf_topk",
+        "embedding_similar_pairs_bucketed",
+        "corpus_token_budget", "cross_modal_dup_agreement",
+        "asof_latest_reading", "cogrouped_purchase_values",
+        "event_type_stats", "funnel_view_click_purchase",
+        "approx_percentile_bounds", "doc_text_stats",
+        "doc_token_counts", "doc_lang_quality",
+        "streaming_alert_windows_update",
+        "streaming_alert_windows_complete",
+        "streaming_dedup_canonicals",
+        "multimodal_meta", "multimodal_frame_samples",
+        "multimodal_features",
+        "parse_props_json", "serialize_events_json",
+        "interval_join_pairs", "full_outer_daily",
+        "tumbling_hourly", "user_sessions",
+        "props_map_entries", "salted_distinct_users",
+        "native_session_stats",
+        "fuzzy_name_matches", "event_type_ohlc",
+        "purchase_attribution",
+        "embedding_rrf_fusion", "session_transitions",
+        "event_skew_profile", "label_centroid_report",
+        "streaming_ohlc", "doc_passage_dedup",
+        "doc_bigram_logprob",
+        "doc_tfidf_keywords",
+        "streaming_funnel",
+        "orc_interchange_report",
+        "streaming_user_gapfill",
+        "doc_duplicate_spans",
+        "doc_perplexity_buckets",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -348,13 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
     in ``queries()`` when the verdict prefix is full. EMPTY in round
-    12: both carried entries (orc_interchange_report from round 10,
-    streaming_user_gapfill from round 11) registered in the round-12
-    front for their first driver verdicts, and NOTHING is queued
-    net-new this round by design — the r10-green block owed in round
-    13 is 48 entries, and a net-new queue entry would re-tighten
-    round 13 toward capacity (see the registry tail note). The cap
-    here stays ≤2 whenever the queue is non-empty.
+    13 (as in round 12): nothing is carried and NOTHING is queued
+    net-new by design — the r11-green block owed in round 14 is 48
+    entries, and a net-new queue entry would re-tighten round 14
+    toward capacity (see the registry tail note). The cap here stays
+    ≤2 whenever the queue is non-empty.
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""

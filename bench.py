@@ -132,68 +132,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-12 registration: the 46-entry r9-green obligation block
-    # leads IN ITS r9 GATE ORDER, then the two queue first-verdicts
-    # (orc_interchange_report, streaming_user_gapfill) and the two
-    # spares (doc_duplicate_spans and doc_perplexity_buckets — BOTH
-    # changed-source re-verifications; embedding_kmeans_quality went
-    # back to the tail head when spare 2 was reassigned, still the
-    # first kmeans consumer). Because the front
-    # replicates the r9 order, the owner map below is the
-    # BENCH_DETAIL_r09 precedent nearly verbatim for the front-owned
-    # memos; the decontam/training-corpus/unigram bills return to
-    # their tail owners (the r10 block leads the tail). One
-    # deliberate difference vs r9: the doc-term matrix bills to
-    # doc_tfidf_keywords (front 45) — the round-12 decomposed body
-    # is the first registration-order consumer of shared_doc_tf
-    # (corpus_vocab_topk, doc_repetition_stats, corpus_heavy_hitters,
-    # source_unigram_kl and the unigram scorer all sit in the tail).
-    # "prev" = the round-11 owner, so round-over-round per-query
+    # Round-13 registration: the 48-entry r10-green obligation block
+    # leads IN ITS r10 GATE ORDER, then the two spares
+    # (biometric_union and streaming_enriched_segment_counts, both
+    # r11-block freshness/hint-swap re-verifications — neither
+    # consumes a shared memo). Because the front replicates the r10
+    # order, the owner map below is the BENCH_DETAIL_r10 OBSERVED
+    # billing nearly verbatim. The one difference: the winnow sketch
+    # bills to doc_winnow_fingerprints (tail, r11 block) —
+    # contamination_overlaps, last round's owner, moved behind it
+    # into the r12 block (tail end) this rotation.
+    # "prev" = the round-12 owner, so round-over-round per-query
     # diffs separate billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # decontam index/survivors + training-corpus chain: first
-    # consumers are back in the tail r10 block (dedup_pipeline_report
-    # moved to the r11 block below them)
     "decontam_gram_index": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
+        "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
+        "prev": "decontaminated_train_docs"},
     "training_corpus_rows": {
-        "owner": "training_corpus", "prev": "dedup_pipeline_report"},
+        "owner": "training_corpus", "prev": "training_corpus"},
+    # training_corpus (front 3) precedes documents_clean_corpus
+    # (front 8) in the r10 order and is the first clean-corpus and
+    # LSH-pair-chain consumer (the r10 observed precedent)
     "clean_corpus": {
-        "owner": "corpus_token_budget",
-        "prev": "dedup_pipeline_report"},
+        "owner": "training_corpus",
+        "prev": "corpus_token_budget"},
     "text_lsh_pairs": {
-        "owner": "minhash_lsh_pairs",
-        "prev": "dedup_pipeline_report"},
+        "owner": "training_corpus",
+        "prev": "minhash_lsh_pairs"},
     "doc_term_matrix": {
-        "owner": "doc_tfidf_keywords",
-        "prev": "corpus_vocab_topk"},
-    # unigram scorer memo: doc_perplexity_buckets moved to front 50
-    # (spare-2 reassignment — its round-12 decile rework needs an
-    # in-gate verdict), so it now precedes doc_unigram_logprob (tail,
-    # r10 block) and pays the scorer build
+        "owner": "doc_repetition_stats",
+        "prev": "doc_tfidf_keywords"},
     "unigram_scores": {
-        "owner": "doc_perplexity_buckets",
-        "prev": "doc_unigram_logprob"},
+        "owner": "doc_unigram_logprob",
+        "prev": "doc_perplexity_buckets"},
     "embedding_cluster_closure": {
-        "owner": "cross_modal_dup_agreement",
-        "prev": "embedding_dup_clusters"},
+        "owner": "embedding_dup_clusters",
+        "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
-        "owner": "near_dup_clusters",
-        "prev": "near_dup_representatives"},
+        "owner": "near_dup_representatives",
+        "prev": "near_dup_clusters"},
     "ivf_cell_assignment": {
-        "owner": "embedding_ivf_topk", "prev": "ivf_recall_report"},
-    # contamination_overlaps (front 1) pays the winnow sketch this
-    # round (the r9 precedent); doc_winnow_fingerprints (r11 block,
-    # tail) reads the persisted blocks
+        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
+    # the winnow-sketch first consumer in the new order sits in the
+    # tail r11 block: doc_winnow_fingerprints computes and persists
+    # the blocks; contamination_overlaps (r12 block, further down)
+    # reads them warm
     "winnow_fingerprints": {
-        "owner": "contamination_overlaps",
-        "prev": "doc_winnow_fingerprints"},
+        "owner": "doc_winnow_fingerprints",
+        "prev": "contamination_overlaps"},
 }
 
 BENCH_CONFS = {

@@ -95,101 +95,18 @@ def constraint_report(
     (single key column). Output (rule, n_violations), one row per
     rule in declaration order (rule names carry the order).
 
-    ROUND-13 OBLIGATION (found in the round-12 hint audit, deferred
-    because ``orders_constraint_report`` sits in the r10 tail block
-    and the deep-fingerprint gate self-baselined this round): the
-    ``foreign_key`` branch force-broadcasts the DISTINCT reference-
-    key set, which is SF-GROWING (customer keys — billions of rows
-    at 100 TB, an executor OOM under a forced hint). Retire the
-    ``F.broadcast`` wrapper when the entry rotates front in round 13
-    — the optimizer broadcasts it at bench scale from its own stats
-    and flips to a shuffled anti-join at scale (the round-10
-    customer/part/vocabulary retirement pattern, value-identical by
-    construction: join strategy only). The swap body is PRE-BUILT
-    below as ``_constraint_report_unhinted`` (the tfidf-twin staging
-    pattern): round 13 points this function's body at it, deletes
-    the duplicate, and flips the contrast pin in
-    ``tests/test_round12_constraint_twin.py`` — value-identity and
-    the optimizer-still-broadcasts-from-stats claim are already
-    mechanically pinned there."""
-    if not rules:
-        raise ValueError("constraint_report needs at least one rule")
-    refs = refs or {}
-    missing_refs = sorted(
-        r.ref for r in rules if r.kind == "foreign_key" and r.ref not in refs
-    )
-    if missing_refs:
-        raise ValueError(
-            f"foreign_key rules reference frames not passed in refs: "
-            f"{missing_refs} (have: {sorted(refs)})"
-        )
-    row_rules = [r for r in rules
-                 if r.kind in ("not_null", "in_range", "in_set",
-                               "matches")]
-    parts: list[DataFrame] = []
-    if row_rules:
-        aggs = [
-            F.sum(_violation_pred(r).cast("long")).alias(r.name)
-            for r in row_rules
-        ]
-        one = df.agg(*aggs)
-        stacked = ", ".join(
-            f"'{r.name}', `{r.name}`" for r in row_rules
-        )
-        parts.append(one.select(F.expr(
-            f"stack({len(row_rules)}, {stacked}) AS "
-            "(rule, n_violations)"
-        )))
-    for r in rules:
-        if r.kind == "unique":
-            parts.append(
-                df.agg(
-                    (F.count(r.col) - F.countDistinct(r.col))
-                    .alias("n_violations")
-                ).select(
-                    F.lit(r.name).alias("rule"), "n_violations"
-                )
-            )
-        elif r.kind == "foreign_key":
-            ref_df = refs[r.ref].select(
-                F.col(refs[r.ref].columns[0]).alias("_k")
-            ).distinct()
-            orphans = df.where(F.col(r.col).isNotNull()).join(
-                F.broadcast(ref_df),
-                F.col(r.col) == F.col("_k"),
-                "left_anti",
-            )
-            parts.append(orphans.agg(
-                F.count("*").alias("n_violations")
-            ).select(F.lit(r.name).alias("rule"), "n_violations"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-def _constraint_report_unhinted(
-    df: DataFrame,
-    rules: list[Rule],
-    refs: dict[str, DataFrame] | None = None,
-) -> DataFrame:
-    """ROUND-13 SWAP STAGING — ``constraint_report`` minus the forced
-    ``F.broadcast`` on the foreign-key reference set (see the
-    obligation note there). A standalone duplicate ON PURPOSE: the
-    registered ``orders_constraint_report`` sits fingerprint-frozen
-    in the r10 tail block this round, so the live body cannot be
-    touched (not even factored) without tripping the staleness gate
-    outside its verdict window. Round 13, with the entry front:
-    delegate ``constraint_report``'s FK branch to this form (or swap
-    wholesale), delete this duplicate, flip the contrast pin in
-    ``tests/test_round12_constraint_twin.py``, and hash re-verify.
-
-    Value-identical by construction — the hint changes join STRATEGY
-    only; an anti-join's output is the same rows under broadcast-hash
-    or sort-merge. At bench scale the optimizer still picks a
-    broadcast from the parquet size stats (pinned in the twin test);
-    at 100 TB it flips to a shuffled anti-join instead of OOMing an
-    executor on a billions-of-keys forced build side."""
+    HINT RETIREMENT LANDED (round 13, staged round 12 as
+    ``_constraint_report_unhinted``): the ``foreign_key`` branch no
+    longer force-broadcasts the DISTINCT reference-key set — that set
+    is SF-GROWING (customer keys: billions of rows at 100 TB, an
+    executor OOM under a forced hint). Hint-free, the stats-based
+    planner still picks a broadcast anti-join at bench scale (the
+    key set sits far under autoBroadcastJoinThreshold) and is free
+    to flip to a shuffled anti-join at 100 TB — both facts pinned in
+    ``tests/test_round12_constraint_twin.py``, which also keeps the
+    retired broadcast form rebuilt inline for a permanent
+    value-identity check (join strategy cannot move an anti-join's
+    row set)."""
     if not rules:
         raise ValueError("constraint_report needs at least one rule")
     refs = refs or {}

@@ -689,58 +689,19 @@ def streaming_enriched_segment_counts(
     broadcast when under the threshold — exactly the batch broadcast
     story; the streaming state is one row per (segment, type) group.
     The exact-decimal sum keeps the double aggregate
-    order-independent (``plans/events_ops.dsum``)."""
-    import os
-    import uuid
+    order-independent (``plans/events_ops.dsum``).
 
-    from ..plans.events_ops import dsum
-    from ..sources.readers import load_table
-
-    with pinned_shuffle_partitions(spark):
-        ts_unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
-        src = _events_stream_source(spark, sf_dir, "events.parquet", ts_unit)
-        dim = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", F.col("c_mktsegment").alias("segment")
-        )
-        enriched = src.join(
-            F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
-        )
-        # no countDistinct here: distinct aggregation is unsupported on
-        # streaming frames (it needs per-group member state; Spark
-        # offers approx_count_distinct instead, which has no exact
-        # oracle)
-        agg = enriched.groupBy("segment", "event_type").agg(
-            F.count("*").alias("n_events"),
-            dsum(F.col("value"), "sum_value"),
-        )
-        name = "enrich_stream_" + uuid.uuid4().hex[:8]
-        out = run_stream_to_memory(
-            agg, name, scratch_dir("bspe_enr_"),
-            output_mode="complete",
-        )
-    return out
-
-
-def _streaming_enriched_unhinted(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """SWAP STAGING (found in the round-12 second hint audit) —
-    ``streaming_enriched_segment_counts`` minus the forced
-    ``F.broadcast`` on the customer dimension. The registered body
-    FORCES the broadcast while its own docstring claims
-    threshold-based planning; customer is SF-GROWING (billions of
-    rows at 100 TB — an executor OOM under a forced hint, the exact
-    class the round-10 batch retirements and the staged
-    constraint_report twin fixed). The entry sits fingerprint-frozen
-    in the r11 tail block, so the live body cannot change until it
-    rotates front (round 14, or a round-13 spare — see the registry
-    tail note): then point the registered fn here (or swap
-    wholesale), delete the duplicate, flip the contrast pin in
-    ``tests/test_round12_enrichment_twin.py``, and hash re-verify.
-
-    Value-identical by construction: the hint moves join STRATEGY
-    only, and at bench scale the per-microbatch planner still
-    broadcasts the 2-column dim from its parquet stats."""
+    HINT RETIREMENT LANDED (round 13, staged round 12 as
+    ``_streaming_enriched_unhinted``): the dimension join no longer
+    forces ``F.broadcast`` — customer is SF-GROWING (billions of
+    rows at 100 TB: an executor OOM under a forced hint), and the
+    docstring's threshold-based-planning claim above is now what the
+    code actually does. The per-microbatch planner still broadcasts
+    the 2-column dim from its parquet stats at bench scale and flips
+    to a shuffled join when it can't — both pinned in
+    ``tests/test_round12_enrichment_twin.py``, which also keeps the
+    retired hinted form rebuilt inline for a permanent value-identity
+    check (the hint moves join strategy only)."""
     import os
     import uuid
 
@@ -756,6 +717,10 @@ def _streaming_enriched_unhinted(
         enriched = src.join(
             dim, src["user_id"] == dim["c_custkey"], "inner"
         )
+        # no countDistinct here: distinct aggregation is unsupported on
+        # streaming frames (it needs per-group member state; Spark
+        # offers approx_count_distinct instead, which has no exact
+        # oracle)
         agg = enriched.groupBy("segment", "event_type").agg(
             F.count("*").alias("n_events"),
             dsum(F.col("value"), "sum_value"),

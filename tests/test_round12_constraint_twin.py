@@ -1,22 +1,23 @@
-"""Round-12 pre-work for the round-13 constraint_report swap (the
-tfidf-twin staging pattern, `test_round11_tfidf_twin.py`): the
-registered ``orders_constraint_report`` force-broadcasts the DISTINCT
-foreign-key reference set — SF-growing, an executor OOM under a
-forced hint at 100 TB — but sits fingerprint-frozen in the r10 tail
-block this round, so the live body cannot change until it rotates
-front. This suite pins the staged hint-free twin
-(``operators/validate._constraint_report_unhinted``) NOW:
+"""Round-12 pre-work for the round-13 constraint_report swap — NOW
+LANDED: the registered ``orders_constraint_report`` no longer
+force-broadcasts the DISTINCT foreign-key reference set (SF-growing:
+an executor OOM under a forced hint at 100 TB). This suite keeps the
+swap's claims mechanically pinned (the tfidf precedent,
+`test_round11_tfidf_twin.py`):
 
-* VALUE-IDENTITY against the registered entry's exact rule set on
-  the real orders/customer tables (join strategy cannot move an
-  anti-join's row set, and this makes that mechanical);
-* the optimizer still picks a BROADCAST anti-join from the parquet
-  size stats with no hint at bench scale (so the swap costs nothing
-  where data is small) while the plan carries NO ResolvedHint (so
-  at 100 TB the planner is free to flip to a shuffled anti-join);
-* the registered form's forced hint as the CONTRAST, so the round-13
-  flip stays observable — after the swap, invert that assertion and
-  delete the duplicate body.
+* VALUE-IDENTITY against the retired broadcast form, rebuilt inline
+  verbatim (join strategy cannot move an anti-join's row set, and
+  this makes that mechanical);
+* the registered form carries NO hint anywhere in the ANALYZED plan
+  (ADVICE round 12: EliminateResolvedHint strips ResolvedHint from
+  every optimized plan, so the old optimized-plan assertion was
+  vacuous) yet the PHYSICAL anti-join is still broadcast-hash at
+  bench scale — the stats-based planner makes the same choice the
+  hint forced, so the swap costs nothing where data is small;
+* with broadcast planning disabled (the 100 TB stand-in) the
+  registered form flips to a shuffled anti-join AND returns the
+  identical report — the forced-hint form could never make that
+  flip, which is exactly why it would OOM at scale.
 """
 
 from __future__ import annotations
@@ -24,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from biometric_stream_processing_spark.operators.validate import (
-    _constraint_report_unhinted,
     constraint_report,
     foreign_key,
     in_range,
@@ -56,81 +56,103 @@ def _entry_rules():
     ]
 
 
-def _twin_report(spark, sf_dir):
+def _broadcast_form_report(spark, sf_dir):
+    """The RETIRED pre-round-13 FK branch, rebuilt verbatim: the
+    row/unique rules delegate to the live body (they never changed),
+    while the FK orphan count re-runs the old forced
+    ``F.broadcast(ref_df)`` anti-join and is substituted for the
+    live FK row — so the value-identity pin compares the exact
+    retired dag, not a paraphrase."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return _constraint_report_unhinted(
-        o, _entry_rules(), refs={"customer": c.select("c_custkey")}
+    rules = _entry_rules()
+    live = constraint_report(
+        o, [r for r in rules if r.kind != "foreign_key"],
+        refs={},
     )
+    fk = [r for r in rules if r.kind == "foreign_key"][0]
+    ref_df = c.select(F.col("c_custkey").alias("_k")).distinct()
+    orphans = o.where(F.col(fk.col).isNotNull()).join(
+        F.broadcast(ref_df),
+        F.col(fk.col) == F.col("_k"),
+        "left_anti",
+    )
+    fk_row = orphans.agg(F.count("*").alias("n_violations")).select(
+        F.lit(fk.name).alias("rule"), "n_violations"
+    )
+    return live.unionAll(fk_row)
 
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_twin_is_row_identical_to_registered_entry(spark):
+def test_registered_entry_is_row_identical_to_broadcast_form(spark):
     reg = _rows(orders_constraint_report(spark, SF_DIR))
-    twin = _rows(_twin_report(spark, SF_DIR))
+    old = _rows(_broadcast_form_report(spark, SF_DIR))
     assert len(reg) == 7
-    assert reg == twin
+    assert reg == old
 
 
-def test_twin_has_no_forced_hint_but_still_broadcasts_at_bench_scale(spark):
-    """No ResolvedHint survives into the twin's optimized logical
-    plan, yet the PHYSICAL anti-join is still broadcast-hash — the
-    customer key set at test scale sits far under
-    autoBroadcastJoinThreshold, so the stats-based planner makes the
-    same choice the hint forced. That pair of facts is the whole
-    argument for the swap: identical plan where small, planner-free
-    where huge."""
-    twin = _twin_report(spark, SF_DIR)
-    qe = twin._jdf.queryExecution()
-    assert "ResolvedHint" not in qe.optimizedPlan().toString()
+def test_registered_has_no_hint_but_still_broadcasts_at_bench_scale(spark):
+    """No hint ANYWHERE in the registered entry's analyzed plan
+    (UnresolvedHint or ResolvedHint — asserted pre-optimization,
+    where EliminateResolvedHint cannot vacuously hide one), yet the
+    PHYSICAL anti-join is still broadcast-hash — the customer key set
+    at test scale sits far under autoBroadcastJoinThreshold, so the
+    stats-based planner makes the same choice the hint forced. That
+    pair of facts is the whole argument for the swap: identical plan
+    where small, planner-free where huge."""
+    reg = orders_constraint_report(spark, SF_DIR)
+    qe = reg._jdf.queryExecution()
+    analyzed = qe.analyzed().toString()
+    assert "Hint" not in analyzed  # matches Unresolved+Resolved both
     phys = qe.executedPlan().toString()
     assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
 
 
-def test_twin_flips_to_shuffled_anti_join_when_broadcast_is_off(spark):
-    """The 100 TB claim, executed: with broadcast planning disabled
-    (the stand-in for a reference set too big to build), the twin's
-    FK anti-join flips to a shuffled join AND still returns the
-    identical report — the forced-hint form can never make that
-    flip, which is exactly why it OOMs at scale."""
+def test_registered_flips_to_shuffled_anti_join_when_broadcast_is_off(spark):
+    """The 100 TB claim, executed on the LIVE registered body: with
+    broadcast planning disabled (the stand-in for a reference set too
+    big to build), the FK anti-join flips to a shuffled join AND
+    still returns the identical report."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        twin = _twin_report(spark, SF_DIR)
-        phys = twin._jdf.queryExecution().executedPlan().toString()
+        reg = orders_constraint_report(spark, SF_DIR)
+        phys = reg._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in phys
         assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
-        shuffled_rows = _rows(twin)
+        shuffled_rows = _rows(reg)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert shuffled_rows == _rows(orders_constraint_report(spark, SF_DIR))
 
 
-def test_registered_form_still_carries_the_forced_hint(spark):
-    """CONTRAST PIN (invert after the round-13 swap): the live
-    registered body still force-broadcasts the reference key set."""
-    reg = orders_constraint_report(spark, SF_DIR)
-    analyzed = reg._jdf.queryExecution().analyzed().toString()
+def test_forced_broadcast_form_carried_the_hint(spark):
+    """CONTRAST PIN, inverted at the round-13 swap: the retired
+    broadcast form (rebuilt inline above) DOES carry the hint in its
+    analyzed plan while the registered body does not — so if a
+    forced broadcast ever creeps back into the FK branch, the no-hint
+    assertion above goes red against a demonstrated-sensitive
+    detector, not a vacuous one."""
+    old = _broadcast_form_report(spark, SF_DIR)
+    analyzed = old._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" in analyzed or "ResolvedHint" in analyzed
 
 
-def test_twin_matches_on_synthetic_edge_frame(spark):
-    """Both forms agree where violations are NON-ZERO in every rule
-    class (the real orders table has zero FK orphans, so this frame
-    exercises the orphan-count path the swap actually touches)."""
+def test_report_matches_reference_on_synthetic_edge_frame(spark):
+    """The live body agrees with an independently-computed expected
+    report where violations are NON-ZERO in every rule class (the
+    real orders table has zero FK orphans, so this frame exercises
+    the orphan-count path the swap actually touched)."""
     df = spark.createDataFrame(
         [(1, 10), (1, 20), (2, None), (3, 99)],
         "k int, fk int",
     )
     ref = spark.createDataFrame([(10,), (20,)], "rk int")
     rules = [unique("k"), foreign_key("fk", "ref"), not_null("fk")]
-    a = _rows(constraint_report(df, rules, {"ref": ref}))
-    b = _rows(_constraint_report_unhinted(df, rules, {"ref": ref}))
-    assert a == b
-    got = dict(a)
+    got = dict(_rows(constraint_report(df, rules, {"ref": ref})))
     assert got["fk(fk->ref)"] == 1  # the 99 orphan; NULL fk excluded
     assert got["unique(k)"] == 1
     assert got["not_null(fk)"] == 1

@@ -1,27 +1,36 @@
 """Round-12 staging pins for the streaming-enrichment hint
-retirement (the second finding of this round's ``F.broadcast``
-audit; tfidf/constraint staging pattern): the registered
-``streaming_enriched_segment_counts`` FORCES a broadcast of the
-SF-growing customer dimension — its own docstring claims
-threshold-based planning — but sits fingerprint-frozen in the r11
-tail block. This suite pins the staged twin
-(``streaming/pipeline._streaming_enriched_unhinted``) now:
+retirement — NOW LANDED (round 13): the registered
+``streaming_enriched_segment_counts`` no longer forces a broadcast of
+the SF-growing customer dimension; the per-microbatch planner picks
+the strategy from stats, exactly what the entry's docstring always
+claimed. This suite keeps the swap's claims mechanically pinned (the
+tfidf/constraint precedent):
 
-* VALUE-IDENTITY of the executed streaming query against the
-  registered form on the real tables (hint = join strategy only);
-* the twin's analyzed plan carries NO hint node while the inline
-  rebuild of the registered join shape carries one (the CONTRAST —
-  invert after the swap lands);
+* VALUE-IDENTITY of the executed registered streaming query against
+  the RETIRED hinted form, rebuilt inline verbatim (hint = join
+  strategy only);
+* the registered join shape carries NO hint node in its analyzed
+  plan while the hinted rebuild carries one (the contrast pin,
+  inverted at the swap: the detector is demonstrated sensitive, not
+  vacuous);
+* with broadcast planning disabled (the 100 TB stand-in) the
+  registered query's join actually plans SHUFFLED — asserted on the
+  batch-equivalent join under the same conf, per the round-12 ADVICE
+  (the stream-static right side is planned per micro-batch with the
+  same stats) — and the emitted snapshot is still identical;
 * the per-microbatch planner still broadcasts the 2-column dim from
-  stats at bench scale, checked on the batch-equivalent join (the
-  stream-static right side is planned with the same stats per
-  micro-batch).
+  stats at bench scale, so dropping the hint costs nothing where
+  data is small.
 """
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import functions as F
 
+from biometric_stream_processing_spark.plans.events_ops import dsum
 from biometric_stream_processing_spark.sources.readers import load_table
 from biometric_stream_processing_spark.streaming import pipeline as sp
 
@@ -32,26 +41,51 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_twin_is_row_identical_to_registered_entry(spark):
-    reg = _rows(sp.streaming_enriched_segment_counts(spark, SF_DIR))
-    twin = _rows(sp._streaming_enriched_unhinted(spark, SF_DIR))
-    assert len(reg) > 0
-    assert reg == twin
-
-
 def _dim(spark):
     return load_table(spark, SF_DIR, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
 
 
-def test_twin_join_carries_no_hint_and_registered_shape_does(spark):
-    """Plan contrast on un-started frames. The hinted frame rebuilds
-    the registered body's join line verbatim (the entry itself runs
-    its stream internally, so its pre-start plan isn't reachable
-    without executing it — the tfidf-twin inline-rebuild recipe)."""
-    import os
+def _hinted_form(spark, sf_dir):
+    """The RETIRED pre-round-13 registered body, rebuilt verbatim:
+    the same staged source, forced ``F.broadcast`` on the dim join,
+    the same (segment, type) complete-mode aggregate."""
+    with sp.pinned_shuffle_partitions(spark):
+        ts_unit = sp._events_ts_unit(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        src = sp._events_stream_source(
+            spark, sf_dir, "events.parquet", ts_unit
+        )
+        dim = _dim(spark)
+        enriched = src.join(
+            F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
+        )
+        agg = enriched.groupBy("segment", "event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        name = "enrich_hinted_" + uuid.uuid4().hex[:8]
+        return sp.run_stream_to_memory(
+            agg, name, sp.scratch_dir("bspe_enr_"),
+            output_mode="complete",
+        )
 
+
+def test_registered_is_row_identical_to_retired_hinted_form(spark):
+    reg = _rows(sp.streaming_enriched_segment_counts(spark, SF_DIR))
+    old = _rows(_hinted_form(spark, SF_DIR))
+    assert len(reg) > 0
+    assert reg == old
+
+
+def test_registered_join_carries_no_hint_and_hinted_shape_does(spark):
+    """Plan contrast on un-started frames. The registered body's join
+    line (rebuilt verbatim — the entry runs its stream internally, so
+    its pre-start plan isn't reachable without executing it) carries
+    no hint; wrapping the dim in F.broadcast plants one, proving the
+    detector sees what it claims to."""
     ts_unit = sp._events_ts_unit(os.path.join(SF_DIR, "events.parquet"))
     src = sp._events_stream_source(spark, SF_DIR, "events.parquet", ts_unit)
     dim = _dim(spark)
@@ -63,16 +97,29 @@ def test_twin_join_carries_no_hint_and_registered_shape_does(spark):
     assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
 
 
-def test_twin_flips_to_shuffled_join_when_broadcast_is_off(spark):
-    """The 100 TB claim, executed on the twin end-to-end: with
+def test_registered_flips_to_shuffled_join_when_broadcast_is_off(spark):
+    """The 100 TB claim, executed on the LIVE registered entry: with
     broadcast planning disabled (the stand-in for a customer dim too
-    big to build), the stream-static join plans shuffled per
-    micro-batch and the emitted snapshot is still identical — the
-    forced-hint registered form can never make that flip."""
+    big to build), the emitted snapshot is identical AND the join
+    actually plans shuffled — asserted on the batch-equivalent join
+    under the same conf (round-12 ADVICE: the stream-static right
+    side is planned per micro-batch with the same size stats, and the
+    streaming query's executed plan isn't reachable through the
+    memory-sink helper)."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        shuffled = _rows(sp._streaming_enriched_unhinted(spark, SF_DIR))
+        events = load_table(spark, SF_DIR, "events").select(
+            "user_id", "event_type", "value"
+        )
+        dim = _dim(spark)
+        batch_eq = events.join(
+            dim, events["user_id"] == dim["c_custkey"], "inner"
+        )
+        phys = batch_eq._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
+        shuffled = _rows(sp.streaming_enriched_segment_counts(spark, SF_DIR))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert shuffled == _rows(

@@ -1,10 +1,10 @@
 """Hypothesis property suite for the data-validation surface
 (`operators/validate`): random null-laden frames + random rule
-parameters vs an INDEPENDENT pure-Python violation counter. Runs the
-registered form AND the round-13-staged unhinted twin on every
-example, so both bodies stay pinned to the same semantics (the twin
-parity tests in `test_round12_constraint_twin.py` compare the two
-forms to each other; this file compares both to ground truth).
+parameters vs an INDEPENDENT pure-Python violation counter. (The
+round-13-staged unhinted twin merged into the live body at the swap;
+`test_round12_constraint_twin.py` still pins the retired broadcast
+form's row-identity, while this file compares the live body to
+ground truth.)
 
 The validation API is user-facing (the Deequ/Great-Expectations
 surface), so its NULL conventions are contract, not incident:
@@ -28,7 +28,6 @@ import re
 from hypothesis import given, settings, strategies as st
 
 from biometric_stream_processing_spark.operators.validate import (
-    _constraint_report_unhinted,
     constraint_report,
     foreign_key,
     in_range,
@@ -107,11 +106,12 @@ def test_constraint_report_matches_python_reference(spark):
             matches("status", "^[1-5]-"),
         ]
         expected = _py_reference(rows, ref_keys, lo, hi)
-        for form in (constraint_report, _constraint_report_unhinted):
-            got = {
-                r.rule: r.n_violations
-                for r in form(df, rules, {"ref": ref}).collect()
-            }
-            assert got == expected
+        # the staged _constraint_report_unhinted twin merged into the
+        # live body at the round-13 swap — one form remains
+        got = {
+            r.rule: r.n_violations
+            for r in constraint_report(df, rules, {"ref": ref}).collect()
+        }
+        assert got == expected
 
     prop()
