@@ -373,18 +373,21 @@ def main() -> None:
                 observed[m] = name
     if os.environ.get("SPARK_GRAFT_BENCH_DEBUG_MEMOS") == "1":
         print(f"memo_owner_observed: {observed}", file=sys.stderr)
+    # declared-but-unobserved memos (round-12 advice): a memo whose
+    # probe never fires during the timed loop means the billing
+    # reverted to unverified trust (its build path changed, its probe
+    # rotted, or its owner query was removed) — flag it with the same
+    # alarm instead of silently dropping it from the observed map
     mismatches = sorted(
-        m for m, got in observed.items()
-        if got != MEMO_OWNERS.get(m, {}).get("owner")
+        f"{m}: {observed.get(m, '<unobserved>')} != "
+        f"{MEMO_OWNERS.get(m, {}).get('owner')}"
+        for m in set(observed) | set(MEMO_OWNERS)
+        if observed.get(m) != MEMO_OWNERS.get(m, {}).get("owner")
     )
     if mismatches:
         print(
             "WARN memo owner mismatch (observed != declared): "
-            + ", ".join(
-                f"{m}: {observed[m]} != "
-                f"{MEMO_OWNERS.get(m, {}).get('owner')}"
-                for m in mismatches
-            ),
+            + ", ".join(mismatches),
             file=sys.stderr,
         )
     # WARM SECOND PASS (round 11; streaming excluded round 12): three
