@@ -176,8 +176,15 @@ MEMO_OWNERS = {
     "text_cluster_closure": {
         "owner": "near_dup_representatives",
         "prev": "near_dup_clusters"},
+    # the r10-round DECLARED map said ivf_recall_report here, but the
+    # first observed run under this front order (round 13) measured
+    # the IVF-cell build billing to embedding_dup_clusters (front 9 —
+    # its embedding near-dup pairs come from IVF-bucketed candidate
+    # blocks, well before ivf_recall_report at front 36): the
+    # observation mechanism correcting a hand-derived owner, which is
+    # exactly why it exists
     "ivf_cell_assignment": {
-        "owner": "ivf_recall_report", "prev": "embedding_ivf_topk"},
+        "owner": "embedding_dup_clusters", "prev": "embedding_ivf_topk"},
     # the winnow-sketch first consumer in the new order sits in the
     # tail r11 block: doc_winnow_fingerprints computes and persists
     # the blocks; contamination_overlaps (r12 block, further down)
@@ -205,6 +212,19 @@ BENCH_CONFS = {
     # (true) — measured: forcing size-based coalescing at sf0.1
     # collapses every shuffle to 1-2 partitions and serializes the
     # window/agg compute (bench total 40s → 69s).
+    #
+    # Driver heap 4g (round 13): the default 1g heap GC-thrashed to a
+    # mid-loop OOM once the round-13 rotation moved the stateful
+    # streaming_user_gapfill (~1.05 M emitted rows) to the END of the
+    # 148-query loop, where every shared memo is already persisted —
+    # observed live: old gen 94%, 196 concurrent GC cycles, heap
+    # 936M/1048M, on a box with 120 GiB free. Round 12 survived only
+    # because its order ran the gapfill at front position 48, before
+    # the memo set was resident. 4g stays well under the measured 8g+
+    # G1 regression on higher-order-function queries (session.py
+    # note); the 4g-vs-r12 total stayed inside run noise when this
+    # landed.
+    "spark.driver.memory": "4g",
 }
 
 
@@ -360,9 +380,16 @@ def main() -> None:
         if probe():  # built off the clock before the loop — a bug
             observed[m] = "__prebuilt__"
 
+    # SPARK_GRAFT_BENCH_PROGRESS=1: per-query stderr markers so a
+    # crashed (unretryable) bench run identifies WHICH query died —
+    # added after a round-13 mid-loop JVM OOM left no way to locate
+    # the failing entry among 148
+    progress = os.environ.get("SPARK_GRAFT_BENCH_PROGRESS") == "1"
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        if progress:
+            print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         fn(spark, sf_dir).count()
         dt = time.time() - t0
