@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -65,7 +66,16 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from biometric_stream_processing_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    # Full-registry sweeps need headroom the 1 GiB default heap does
+    # not have once every shared memo is resident (round 13: the last
+    # three of 148 entries died of GC thrash at sf0.1 — the same
+    # failure bench.py hit and fixed with its 4g BENCH_CONFS pin).
+    # SPARK_GRAFT_DRIVER_MEM still overrides.
+    extra = (
+        {} if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        else {"spark.driver.memory": "4g"}
+    )
+    spark = get_spark("oracle-check", extra_confs=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
