@@ -239,6 +239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wrong #2) and doc_tfidf_keywords (#3) — check VERDICT_r13
         # for overriding assignments, and queue NOTHING net-new in
         # round 14 unless both spares survive.
+        # ROUND-14 IN-BLOCK OBLIGATION (round-13 staging): land the
+        # orders_profile construction-memo swap while the entry is
+        # front — the swap body is PRE-BUILT
+        # (plans/analytics._orders_profile_memoized, value- and
+        # contract-pinned in tests/test_round13_profile_twin.py;
+        # measured 0.88-1.15 s → 0.14-0.20 s warm at sf0.1): point
+        # the registered body at it, delete the duplicate, flip the
+        # twin pins permanent, hash re-verify at sf0.01 AND sf0.1.
         #
         # --- last green r11 (r11 gate order preserved so memo
         # billing stays comparable; biometric_union and

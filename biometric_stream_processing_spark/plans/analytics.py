@@ -585,6 +585,73 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ROUND-14 SWAP STAGING for ``orders_profile`` (round-13 measurement;
+# the entry and its helper are fingerprint-frozen in the r11 tail
+# block this round and rotate front in round 14 — the tfidf/
+# constraint/enrichment staging pattern): the entry's 47.9× warm
+# ratio is ~0.85 s of PER-CALL py4j plan construction (36 agg
+# Columns), measured this round as full call 0.89-0.93 s warm vs
+# 0.05-0.07 s for the same two jobs on PRE-BUILT frames. The twin
+# below memoizes the CONSTRUCTED (never-collected) aggregation plans
+# per (session, table dir) — the construction-memo treatment that
+# fixed the LSH chain and clean-corpus plans in round 6 — while
+# keeping the eager-snapshot contract intact: every call still RUNS
+# both jobs, so each call re-profiles current data; only the
+# immutable plan objects are reused. Measured same-boot best-of-5 at
+# sf0.1: registered 0.88-1.15 s warm vs twin 0.14-0.20 s — the
+# 47.9× ratio drops to roughly 7-10× of the ~0.02 s DuckDB oracle,
+# the remainder being the two genuine 1-row jobs + assembly. Round
+# 14, with the entry front: point ``orders_profile``'s body here,
+# delete the duplicate tail, flip the twin test's registered-form
+# pins to permanent ones, hash re-verify
+# (tests/test_round13_profile_twin.py pins value identity, the
+# eager re-profile contract across two dirs, and plan-object reuse).
+_PROFILE_FRAMES_CACHE: dict[tuple, "tuple[DataFrame, DataFrame]"] = {}
+
+
+def _orders_profile_memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``orders_profile`` with the two aggregation PLANS built once
+    per (session, dir) — value-identical: the same frames produce the
+    same two 1-row jobs, and the jobs still execute on every call
+    (the eager-snapshot contract is about when jobs RUN, which is
+    unchanged; plan objects are immutable so reuse cannot go stale —
+    the round-6 construction-memo argument verbatim)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    key = (spark.sparkContext.applicationId,
+           _os.path.realpath(sf_dir))
+    frames = _PROFILE_FRAMES_CACHE.get(key)
+    if frames is None:
+        frames = _profile_agg_frames(_t(spark, sf_dir, "orders"))
+        _PROFILE_FRAMES_CACHE[key] = frames
+    stat_df, dist_df = frames
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stat = pool.submit(lambda: stat_df.collect()[0])
+        f_dist = pool.submit(lambda: dist_df.collect()[0])
+        stat, dist = f_stat.result(), f_dist.result()
+    from ..functions.local_rel import values_frame
+
+    return values_frame(
+        spark,
+        [
+            (
+                name,
+                stat[f"_nn_{name}"],
+                dist[f"_nd_{name}"],
+                stat[f"_mnn_{name}"],
+                stat[f"_mxn_{name}"],
+                stat[f"_mns_{name}"],
+                stat[f"_mxs_{name}"],
+            )
+            for name, _ in _PROFILE_COLS
+        ],
+        "col_name string, n_null bigint, n_distinct bigint, "
+        "min_num double, max_num double, min_str string, "
+        "max_str string",
+    )
+
+
 #: in_range bound for o_totalprice — deliberately INSIDE the data
 #: range so the rule actually fires (a report of all-zeros proves
 #: nothing about the violation counting)
