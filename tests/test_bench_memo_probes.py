@@ -52,3 +52,24 @@ def test_bench_probe_covers_every_declared_memo():
         f"probe/declared drift: only-probed={probed - declared}, "
         f"only-declared={declared - probed}"
     )
+
+
+def test_bench_and_oracle_harnesses_pin_the_driver_heap():
+    """Round-13 regression pin: both full-registry harnesses OOM'd
+    the 1 GiB default driver heap once the rotation ran the stateful
+    gap-fill twin LAST (every shared memo resident — observed live at
+    old gen 94%, 196 concurrent GC cycles). bench.py carries the fix
+    in BENCH_CONFS; tools/check_oracle.py applies the same default
+    (SPARK_GRAFT_DRIVER_MEM still overrides). A refactor that drops
+    either pin resurrects a failure that only reproduces at the END
+    of a 148-query session — catch it here instead."""
+    import bench
+
+    assert bench.BENCH_CONFS.get("spark.driver.memory"), (
+        "BENCH_CONFS lost its driver-heap pin (round-13 OOM class)"
+    )
+    oracle_src = (BENCH.parent / "tools" / "check_oracle.py").read_text()
+    assert "spark.driver.memory" in oracle_src, (
+        "check_oracle.py lost its driver-heap default "
+        "(round-13 OOM class)"
+    )
