@@ -142,50 +142,146 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 13 (recorded rounds r1-r7, r9, r10, r11, r12): r10 leaves
-    # the window when this round records (post-recording window
-    # {r11, r12, r13}), so the r10-green remainder fills the front —
-    # derived fresh via tools/round_plan.py against
-    # CORRECTNESS_r{10,11,12}: exactly 48 entries have last-green r10
-    # (the 50-entry r10 block minus doc_duplicate_spans and
-    # doc_perplexity_buckets, both re-verified as round-12 spares);
-    # the r11/r12 blocks are 50 each — 48+50+50 = 148 registered,
-    # set-check clean. Front = 48 r10-due in r10 gate order + 2
-    # spares = 50; the queue is EMPTY and NOTHING is queued net-new
-    # (round-14 capacity, see the tail note). Spares are both
-    # r11-block entries so round 14 owes 48:
-    #   - spare 1: biometric_union (r11 head, cheap freshness).
-    #   - spare 2: streaming_enriched_segment_counts — its forced
-    #     F.broadcast on the SF-GROWING customer dim retired IN-BLOCK
-    #     this round via the staged round-12 twin (swap landed,
-    #     duplicate deleted, contrast pin flipped in
-    #     tests/test_round12_enrichment_twin.py, hash re-verified at
-    #     sf0.001/sf0.01/sf0.1).
-    # Second in-block obligation LANDED: orders_constraint_report
-    # (front, r10 block) no longer force-broadcasts the foreign-key
-    # reference set — operators/validate.constraint_report absorbed
-    # the staged _constraint_report_unhinted body (duplicate deleted,
-    # contrast pin flipped in tests/test_round12_constraint_twin.py,
-    # hash re-verified at the same three SFs). Zero SF-growing
-    # F.broadcast remains anywhere in the package.
-    # MEMO_OWNERS moves (bench.py map; BENCH_DETAIL_r10 is the
-    # precedent — this front replicates the r10 gate order, so the
-    # r10 observed owners apply nearly verbatim):
-    # embedding_kmeans_quality (front 1) keeps the kmeans bill;
-    # decontaminated_train_docs (front 2) the decontam index +
-    # survivors; training_corpus (front 3) the training-corpus rows,
-    # clean corpus, and LSH pair chain; doc_repetition_stats
-    # (front 4) the doc-term matrix; embedding_dup_clusters (front 9)
-    # the embedding closure; near_dup_representatives (front 10) the
-    # text closure; ivf_recall_report (front 36) the IVF cells;
-    # doc_unigram_logprob (front 48) the unigram scorer. The ONE
-    # difference vs r10: the winnow sketch bills to
-    # doc_winnow_fingerprints (tail, r11 block) — contamination_
-    # overlaps moved behind it into the r12 block this round.
+    # ROUND 14 (recorded rounds r1-r7, r9-r13): r11 leaves the window
+    # when this round records (post-recording window {r12, r13, r14}),
+    # so the r11-green remainder fills the front — derived fresh via
+    # tools/round_plan.py against CORRECTNESS_r{11,12,13}: exactly 48
+    # entries have last-green r11 (the 50-entry r11 block minus
+    # biometric_union and streaming_enriched_segment_counts, both
+    # re-verified as round-13 spares); the r12/r13 blocks are 50 each
+    # — 48+50+50 = 148 registered, set-check clean. Front = 48 r11-due
+    # in r11 gate order + 2 spares = 50; the queue is EMPTY and
+    # NOTHING is queued net-new (round-15 capacity, see the tail
+    # note). Spares are both r12-block entries so round 15 owes 48 —
+    # the two the round-13 tail note nominated (VERDICT_r13 assigned
+    # no overriding spares), both with standing warm-wall watch
+    # status, both placed AFTER their shared-memo owners so they read
+    # warm:
+    #   - spare 1: contamination_overlaps (round-12 verdict wall,
+    #     adjudicated round 13 — pin reproduced; reads the winnow
+    #     sketch built at front 47).
+    #   - spare 2: doc_tfidf_keywords (threshold-straddling 0.986 s
+    #     warm, stage-decomposition pin from round 12 stands; reads
+    #     the doc-term matrix built at front 33).
+    # IN-BLOCK OBLIGATION LANDED: orders_profile (front 35) absorbed
+    # the round-13-staged construction memo
+    # (plans/analytics._orders_profile_memoized → registered body,
+    # duplicate deleted, pins flipped permanent in
+    # tests/test_round13_profile_twin.py, hash re-verified at
+    # sf0.001/sf0.01/sf0.1) — the 54× per-call py4j plan-construction
+    # wall drops to ~0.15-0.20 s warm.
+    # MEMO_OWNERS moves (bench.py map; this front replicates the r11
+    # gate order, so the BENCH_DETAIL_r11 declared owners apply with
+    # three derived corrections for the new tail order):
+    # dedup_pipeline_report (front 36) pays the decontam index +
+    # survivors, training-corpus rows, clean corpus, and LSH pair
+    # chain (its 5_training_corpus stage materializes all four);
+    # corpus_vocab_topk (front 33) the doc-term matrix;
+    # doc_winnow_fingerprints (front 47) the winnow sketch;
+    # embedding_kmeans_quality (r13 block, first kmeans consumer)
+    # keeps the kmeans bill. The r12 block now precedes the r13 block
+    # in the tail, so three memos bill to r12-block entries:
+    # near_dup_clusters the text closure, cross_modal_dup_agreement
+    # the embedding closure, embedding_ivf_topk the IVF cells (the
+    # round-13 observation corrected this memo's hand-derived owner
+    # once already — bench.py:MEMO_OWNERS carries the note), and
+    # doc_perplexity_buckets (r12 tail end) the unigram scorer.
     front = [
-        # --- last green r10 (oldest debt) IN ITS r10 GATE ORDER —
-        # 48 entries; order preserved so BENCH_DETAIL_r10 per-query
+        # --- last green r11 (oldest debt) IN ITS r11 GATE ORDER —
+        # 48 entries; order preserved so BENCH_DETAIL_r11 per-query
         # numbers stay comparable ---
+        "alert_windows",
+        "alerts_throttled", "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "customer_running_totals",
+        "dormant_customers_by_segment", "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
+        "corpus_vocab_topk", "embedding_pca_quality",
+        "orders_profile", "dedup_pipeline_report",
+        "streaming_alerts", "streaming_dedup_merge",
+        "streaming_interval_pairs",
+        "streaming_session_stats", "streaming_vocab_topk",
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        "streaming_user_cadence",
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints",
+        "user_value_ewma",
+        # --- spares (both r12-block entries; see the front note) ---
+        "contamination_overlaps",
+        "doc_tfidf_keywords",
+    ]
+    tail = [
+        # ROUND-15 OBLIGATION (K=3 on recorded rounds; once round 14
+        # records, the window is {r12, r13, r14} and r12 leaves when
+        # round 15 records): the 48-entry r12-green remainder below
+        # (dedup_exact .. doc_perplexity_buckets, r12 gate order,
+        # minus the two entries round 14's spares re-verify) fills
+        # the round-15 front. 48 + 0 queue = 48, leaving TWO spare
+        # slots. ROUND-16 FEASIBILITY (re-derive from the
+        # CORRECTNESS files via tools/round_plan.py, do not trust
+        # this count — the round-11 arithmetic catch is the
+        # precedent): the r13-green block is 50 entries
+        # (CORRECTNESS_r13 is 50/50 green and none re-verify in
+        # round 14), so round 16 would owe exactly 50 — capacity,
+        # zero spares. Spend the round-15 spares on r13-block
+        # entries so round 16 owes 48 and keeps its own spares;
+        # r13-block candidates with standing adjudication debt
+        # first: embedding_srp_pairs and ivf_recall_report (the two
+        # round-13-verdict marginal warm walls — check their round-14
+        # A/B outcomes and VERDICT_r14 for overriding assignments),
+        # and queue NOTHING net-new in round 15 unless both spares
+        # survive.
+        #
+        # --- last green r12 (r12 gate order preserved so memo
+        # billing stays comparable; contamination_overlaps and
+        # doc_tfidf_keywords moved to the round-14 spare slots above
+        # — rotates front in round 15) ---
+        "dedup_exact", "minhash_lsh_pairs",
+        "near_dup_clusters", "simhash_fingerprints",
+        "simhash_dup_pairs",
+        "embedding_topk", "embedding_ivf_topk",
+        "embedding_similar_pairs_bucketed",
+        "corpus_token_budget", "cross_modal_dup_agreement",
+        "asof_latest_reading", "cogrouped_purchase_values",
+        "event_type_stats", "funnel_view_click_purchase",
+        "approx_percentile_bounds", "doc_text_stats",
+        "doc_token_counts", "doc_lang_quality",
+        "streaming_alert_windows_update",
+        "streaming_alert_windows_complete",
+        "streaming_dedup_canonicals",
+        "multimodal_meta", "multimodal_frame_samples",
+        "multimodal_features",
+        "parse_props_json", "serialize_events_json",
+        "interval_join_pairs", "full_outer_daily",
+        "tumbling_hourly", "user_sessions",
+        "props_map_entries", "salted_distinct_users",
+        "native_session_stats",
+        "fuzzy_name_matches", "event_type_ohlc",
+        "purchase_attribution",
+        "embedding_rrf_fusion", "session_transitions",
+        "event_skew_profile", "label_centroid_report",
+        "streaming_ohlc", "doc_passage_dedup",
+        "doc_bigram_logprob",
+        "streaming_funnel",
+        "orc_interchange_report",
+        "streaming_user_gapfill",
+        "doc_duplicate_spans",
+        "doc_perplexity_buckets",
+        # --- last green r13 (r13 gate order preserved; rotates
+        # front in round 16 — round 15's spares should pre-verify
+        # two of its entries, see the note above) ---
         "embedding_kmeans_quality",
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
@@ -215,107 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_cadence_profile",
         "streaming_attribution", "streaming_transitions",
         "doc_unigram_logprob",
-        # --- spares (both r11-block entries; see the front note) ---
         "biometric_union",
         "streaming_enriched_segment_counts",
-    ]
-    tail = [
-        # ROUND-14 OBLIGATION (K=3 on recorded rounds; once round 13
-        # records, the window is {r11, r12, r13} and r11 leaves when
-        # round 14 records): the 48-entry r11-green remainder below
-        # (alert_windows .. user_value_ewma, r11 gate order, minus
-        # the two entries round 13's spares re-verify) fills the
-        # round-14 front. 48 + 0 queue = 48, leaving TWO spare
-        # slots. ROUND-15 FEASIBILITY (re-derive from the
-        # CORRECTNESS files via tools/round_plan.py, do not trust
-        # this count — the round-11 arithmetic catch is the
-        # precedent): the r12-green block is 50 entries
-        # (CORRECTNESS_r12 is 50/50 green and none re-verify in
-        # round 13), so round 15 would owe exactly 50 — capacity,
-        # zero spares. Spend the round-14 spares on r12-block
-        # entries so round 15 owes 48 and keeps its own spares;
-        # r12-block candidates with standing adjudication debt
-        # first: contamination_overlaps (round-12 verdict What's
-        # wrong #2) and doc_tfidf_keywords (#3) — check VERDICT_r13
-        # for overriding assignments, and queue NOTHING net-new in
-        # round 14 unless both spares survive.
-        # ROUND-14 IN-BLOCK OBLIGATION (round-13 staging): land the
-        # orders_profile construction-memo swap while the entry is
-        # front — the swap body is PRE-BUILT
-        # (plans/analytics._orders_profile_memoized, value- and
-        # contract-pinned in tests/test_round13_profile_twin.py;
-        # measured 0.88-1.15 s → 0.14-0.20 s warm at sf0.1): point
-        # the registered body at it, delete the duplicate, flip the
-        # twin pins permanent, hash re-verify at sf0.01 AND sf0.1.
-        #
-        # --- last green r11 (r11 gate order preserved so memo
-        # billing stays comparable; biometric_union and
-        # streaming_enriched_segment_counts moved to the round-13
-        # spare slots above — rotates front in round 14) ---
-        "alert_windows",
-        "alerts_throttled", "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "customer_running_totals",
-        "dormant_customers_by_segment", "users_with_both_streams",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "doc_passages",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks", "source_dedup_report",
-        "source_quality_report",
-        "corpus_vocab_topk", "embedding_pca_quality",
-        "orders_profile", "dedup_pipeline_report",
-        "streaming_alerts", "streaming_dedup_merge",
-        "streaming_interval_pairs",
-        "streaming_session_stats", "streaming_vocab_topk",
-        "streaming_abandoned_clicks", "streaming_outer_pairs",
-        "streaming_user_cadence",
-        "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints",
-        "user_value_ewma",
-        # --- last green r12 (r12 gate order preserved; rotates
-        # front in round 15 — round 14's spares should pre-verify
-        # two of its entries, see the note above) ---
-        "contamination_overlaps",
-        "dedup_exact", "minhash_lsh_pairs",
-        "near_dup_clusters", "simhash_fingerprints",
-        "simhash_dup_pairs",
-        "embedding_topk", "embedding_ivf_topk",
-        "embedding_similar_pairs_bucketed",
-        "corpus_token_budget", "cross_modal_dup_agreement",
-        "asof_latest_reading", "cogrouped_purchase_values",
-        "event_type_stats", "funnel_view_click_purchase",
-        "approx_percentile_bounds", "doc_text_stats",
-        "doc_token_counts", "doc_lang_quality",
-        "streaming_alert_windows_update",
-        "streaming_alert_windows_complete",
-        "streaming_dedup_canonicals",
-        "multimodal_meta", "multimodal_frame_samples",
-        "multimodal_features",
-        "parse_props_json", "serialize_events_json",
-        "interval_join_pairs", "full_outer_daily",
-        "tumbling_hourly", "user_sessions",
-        "props_map_entries", "salted_distinct_users",
-        "native_session_stats",
-        "fuzzy_name_matches", "event_type_ohlc",
-        "purchase_attribution",
-        "embedding_rrf_fusion", "session_transitions",
-        "event_skew_profile", "label_centroid_report",
-        "streaming_ohlc", "doc_passage_dedup",
-        "doc_bigram_logprob",
-        "doc_tfidf_keywords",
-        "streaming_funnel",
-        "orc_interchange_report",
-        "streaming_user_gapfill",
-        "doc_duplicate_spans",
-        "doc_perplexity_buckets",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -325,9 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
     in ``queries()`` when the verdict prefix is full. EMPTY in round
-    13 (as in round 12): nothing is carried and NOTHING is queued
-    net-new by design — the r11-green block owed in round 14 is 48
-    entries, and a net-new queue entry would re-tighten round 14
+    14 (as in rounds 12-13): nothing is carried and NOTHING is queued
+    net-new by design — the r12-green block owed in round 15 is 48
+    entries, and a net-new queue entry would re-tighten round 15
     toward capacity (see the registry tail note). The cap here stays
     ≤2 whenever the queue is non-empty.
     ``tools/check_oracle.py --queued`` verifies entries here against

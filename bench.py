@@ -132,66 +132,71 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-13 registration: the 48-entry r10-green obligation block
-    # leads IN ITS r10 GATE ORDER, then the two spares
-    # (biometric_union and streaming_enriched_segment_counts, both
-    # r11-block freshness/hint-swap re-verifications — neither
-    # consumes a shared memo). Because the front replicates the r10
-    # order, the owner map below is the BENCH_DETAIL_r10 OBSERVED
-    # billing nearly verbatim. The one difference: the winnow sketch
-    # bills to doc_winnow_fingerprints (tail, r11 block) —
-    # contamination_overlaps, last round's owner, moved behind it
-    # into the r12 block (tail end) this rotation.
-    # "prev" = the round-12 owner, so round-over-round per-query
+    # Round-14 registration: the 48-entry r11-green obligation block
+    # leads IN ITS r11 GATE ORDER, then the two spares
+    # (contamination_overlaps and doc_tfidf_keywords, both r12-block
+    # watch-list re-verifications — both placed after their memo
+    # owners so they read warm and bill nothing). The front
+    # replicates the r11 order, so the BENCH_DETAIL_r11 DECLARED map
+    # applies with three tail-order corrections: the r12 block now
+    # precedes the r13 block, so the closure/IVF/unigram memos bill
+    # to their r12-block consumers (near_dup_clusters,
+    # cross_modal_dup_agreement, embedding_ivf_topk,
+    # doc_perplexity_buckets) instead of the r13-block ones.
+    # "prev" = the round-13 owner, so round-over-round per-query
     # diffs separate billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
+    # dedup_pipeline_report (front 36) counts its deepest stage
+    # (5_training_corpus) FIRST by design, which materializes the
+    # decontam index/survivors, the training-corpus capstone, the
+    # clean corpus, and the LSH pair chain in one timed call — the
+    # r7/r11 precedent (BENCH_DETAIL_r11 declared the same four)
     "decontam_gram_index": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
     "training_corpus_rows": {
-        "owner": "training_corpus", "prev": "training_corpus"},
-    # training_corpus (front 3) precedes documents_clean_corpus
-    # (front 8) in the r10 order and is the first clean-corpus and
-    # LSH-pair-chain consumer (the r10 observed precedent)
+        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
     "clean_corpus": {
-        "owner": "training_corpus",
-        "prev": "corpus_token_budget"},
+        "owner": "dedup_pipeline_report",
+        "prev": "training_corpus"},
     "text_lsh_pairs": {
-        "owner": "training_corpus",
-        "prev": "minhash_lsh_pairs"},
+        "owner": "dedup_pipeline_report",
+        "prev": "training_corpus"},
     "doc_term_matrix": {
-        "owner": "doc_repetition_stats",
-        "prev": "doc_tfidf_keywords"},
+        "owner": "corpus_vocab_topk",
+        "prev": "doc_repetition_stats"},
+    # doc_perplexity_buckets sits at the r12-block tail end, still
+    # ahead of doc_unigram_logprob (r13 block) — same relative order
+    # as round 12, whose observed owner it was
     "unigram_scores": {
-        "owner": "doc_unigram_logprob",
-        "prev": "doc_perplexity_buckets"},
+        "owner": "doc_perplexity_buckets",
+        "prev": "doc_unigram_logprob"},
     "embedding_cluster_closure": {
-        "owner": "embedding_dup_clusters",
-        "prev": "cross_modal_dup_agreement"},
+        "owner": "cross_modal_dup_agreement",
+        "prev": "embedding_dup_clusters"},
     "text_cluster_closure": {
-        "owner": "near_dup_representatives",
-        "prev": "near_dup_clusters"},
-    # the r10-round DECLARED map said ivf_recall_report here, but the
-    # first observed run under this front order (round 13) measured
-    # the IVF-cell build billing to embedding_dup_clusters (front 9 —
-    # its embedding near-dup pairs come from IVF-bucketed candidate
-    # blocks, well before ivf_recall_report at front 36): the
-    # observation mechanism correcting a hand-derived owner, which is
-    # exactly why it exists
+        "owner": "near_dup_clusters",
+        "prev": "near_dup_representatives"},
+    # embedding_ivf_topk (r12 block) precedes BOTH r13-block IVF-cell
+    # consumers (embedding_dup_clusters, whose near-dup pairs come
+    # from IVF-bucketed candidate blocks — the round-13 OBSERVED
+    # owner that corrected the r10-round hand-derivation — and
+    # ivf_recall_report); it was round 12's observed owner under the
+    # same relative order
     "ivf_cell_assignment": {
-        "owner": "embedding_dup_clusters", "prev": "embedding_ivf_topk"},
-    # the winnow-sketch first consumer in the new order sits in the
-    # tail r11 block: doc_winnow_fingerprints computes and persists
-    # the blocks; contamination_overlaps (r12 block, further down)
-    # reads them warm
+        "owner": "embedding_ivf_topk",
+        "prev": "embedding_dup_clusters"},
+    # doc_winnow_fingerprints (front 47) computes and persists the
+    # sketch; contamination_overlaps (front 49, spare slot) reads it
+    # warm two positions later
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
-        "prev": "contamination_overlaps"},
+        "prev": "doc_winnow_fingerprints"},
 }
 
 BENCH_CONFS = {
@@ -223,9 +228,39 @@ BENCH_CONFS = {
     # the memo set was resident. 4g stays well under the measured 8g+
     # G1 regression on higher-order-function queries (session.py
     # note); the 4g-vs-r12 total stayed inside run noise when this
-    # landed.
-    "spark.driver.memory": "4g",
+    # landed. Pinned only when SPARK_GRAFT_DRIVER_MEM is unset
+    # (round-13 advice: an unconditional pin here silently overrode
+    # the documented session.py override hook, since get_spark merges
+    # extra_confs over DEFAULT_CONFS — check_oracle.py already
+    # guarded this way).
+    **(
+        {} if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        else {"spark.driver.memory": "4g"}
+    ),
 }
+
+
+def _warn_if_driver_mem_diverged(spark, requested: dict) -> None:
+    """builder.config only takes effect when this call actually
+    launches the JVM — if a SparkSession already exists in the
+    process, getOrCreate attaches and the heap request is silently
+    dropped, re-exposing the round-13 GC-thrash OOM with no
+    diagnostic (round-13 advice). Shared by bench.py and
+    tools/check_oracle.py."""
+    want = requested.get("spark.driver.memory") or os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM"
+    )
+    if not want:
+        return
+    got = spark.sparkContext.getConf().get("spark.driver.memory", "")
+    if got != want:
+        print(
+            f"WARN spark.driver.memory={got or '<default>'} (requested"
+            f" {want}): a pre-existing SparkSession was attached, the"
+            " heap request did not take effect — full-registry runs"
+            " may OOM (bench.py BENCH_CONFS note)",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:
@@ -240,6 +275,7 @@ def main() -> None:
     from biometric_stream_processing_spark.session import get_spark
 
     spark = get_spark("bench", extra_confs=BENCH_CONFS)
+    _warn_if_driver_mem_diverged(spark, BENCH_CONFS)
     qs = entrymod.queries()
     # SPARK_GRAFT_BENCH_QUEUED=1 appends the round-6 gate queue
     # (queued_queries) — the one-flip integration path when the queue

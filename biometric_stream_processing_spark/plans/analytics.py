@@ -499,6 +499,13 @@ def _profile_agg_frames(o: DataFrame) -> "tuple[DataFrame, DataFrame]":
     return o.agg(*stat_aggs), o.agg(*dist_aggs)
 
 
+# the profiler's two constructed (never-collected) aggregation plans,
+# memoized per (session, dir) via memo.session_memo — which also
+# evicts entries left by stopped sessions (round-13 advice: the
+# ad-hoc staging dict kept dead sessions' plan handles alive)
+_PROFILE_FRAMES_CACHE: dict = {}
+
+
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN PROFILER (data-quality observability): one long-format
     row per column of ``orders`` with null count, exact distinct
@@ -538,12 +545,26 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduling floors, i.e. fixed per-CALL driver cost, not data
     cost. A SQL-string construction variant measured 0.52 s to
     build but 1.0-1.2 s end-to-end (``parquet.`path``` re-resolves
-    the file listing per call) — not adopted. The DuckDB ratio
-    (~65× on a 0.02 s oracle) is this per-call constant; it shrinks
-    to noise at any real data scale."""
+    the file listing per call) — not adopted.
+
+    CONSTRUCTION MEMO (staged round 13, landed round 14 with the
+    entry front): the two aggregation PLANS are built once per
+    (session, dir) via ``session_memo`` — the treatment that fixed
+    the LSH chain and clean-corpus plans in round 6 — which removes
+    the ~0.85 s per-call py4j constant behind the entry's old 47.9×
+    warm DuckDB ratio. Value-identical: the same frames produce the
+    same two 1-row jobs. The eager-snapshot contract is PRESERVED —
+    every call still RUNS both jobs, so each call re-profiles
+    current data; only the immutable plan objects are reused (reuse
+    cannot go stale). Measured same-boot best-of-5 at sf0.1:
+    rebuild-per-call 0.88-1.15 s warm vs memoized 0.14-0.20 s — the
+    remainder is the two genuine 1-row jobs + assembly
+    (tests/test_round13_profile_twin.py pins value identity, the
+    per-dir re-profile contract, and plan-object reuse)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    o = _t(spark, sf_dir, "orders")
+    from ..memo import session_memo
+
     # TWO aggregation passes by design: string min/max forces
     # sort-based aggregation (immutable buffer type), and fused with
     # the multi-countDistinct it drags the whole Expand through a
@@ -551,7 +572,10 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1. Separated, the distinct counts keep the hash-aggregated
     # Expand and the min/max/null pass is a global fold (no sort: no
     # grouping keys).
-    stat_df, dist_df = _profile_agg_frames(o)
+    stat_df, dist_df = session_memo(
+        _PROFILE_FRAMES_CACHE, spark, sf_dir,
+        lambda: _profile_agg_frames(_t(spark, sf_dir, "orders")),
+    )
     # both jobs are independent single-row aggregations over the same
     # scan — submit them from two threads so their stages overlap
     # (Spark schedules concurrent jobs fairly on local[*] and on a
@@ -585,71 +609,6 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ROUND-14 SWAP STAGING for ``orders_profile`` (round-13 measurement;
-# the entry and its helper are fingerprint-frozen in the r11 tail
-# block this round and rotate front in round 14 — the tfidf/
-# constraint/enrichment staging pattern): the entry's 47.9× warm
-# ratio is ~0.85 s of PER-CALL py4j plan construction (36 agg
-# Columns), measured this round as full call 0.89-0.93 s warm vs
-# 0.05-0.07 s for the same two jobs on PRE-BUILT frames. The twin
-# below memoizes the CONSTRUCTED (never-collected) aggregation plans
-# per (session, table dir) — the construction-memo treatment that
-# fixed the LSH chain and clean-corpus plans in round 6 — while
-# keeping the eager-snapshot contract intact: every call still RUNS
-# both jobs, so each call re-profiles current data; only the
-# immutable plan objects are reused. Measured same-boot best-of-5 at
-# sf0.1: registered 0.88-1.15 s warm vs twin 0.14-0.20 s — the
-# 47.9× ratio drops to roughly 7-10× of the ~0.02 s DuckDB oracle,
-# the remainder being the two genuine 1-row jobs + assembly. Round
-# 14, with the entry front: point ``orders_profile``'s body here,
-# delete the duplicate tail, flip the twin test's registered-form
-# pins to permanent ones, hash re-verify
-# (tests/test_round13_profile_twin.py pins value identity, the
-# eager re-profile contract across two dirs, and plan-object reuse).
-_PROFILE_FRAMES_CACHE: dict[tuple, "tuple[DataFrame, DataFrame]"] = {}
-
-
-def _orders_profile_memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``orders_profile`` with the two aggregation PLANS built once
-    per (session, dir) — value-identical: the same frames produce the
-    same two 1-row jobs, and the jobs still execute on every call
-    (the eager-snapshot contract is about when jobs RUN, which is
-    unchanged; plan objects are immutable so reuse cannot go stale —
-    the round-6 construction-memo argument verbatim)."""
-    import os as _os
-    from concurrent.futures import ThreadPoolExecutor
-
-    key = (spark.sparkContext.applicationId,
-           _os.path.realpath(sf_dir))
-    frames = _PROFILE_FRAMES_CACHE.get(key)
-    if frames is None:
-        frames = _profile_agg_frames(_t(spark, sf_dir, "orders"))
-        _PROFILE_FRAMES_CACHE[key] = frames
-    stat_df, dist_df = frames
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_stat = pool.submit(lambda: stat_df.collect()[0])
-        f_dist = pool.submit(lambda: dist_df.collect()[0])
-        stat, dist = f_stat.result(), f_dist.result()
-    from ..functions.local_rel import values_frame
-
-    return values_frame(
-        spark,
-        [
-            (
-                name,
-                stat[f"_nn_{name}"],
-                dist[f"_nd_{name}"],
-                stat[f"_mnn_{name}"],
-                stat[f"_mxn_{name}"],
-                stat[f"_mns_{name}"],
-                stat[f"_mxs_{name}"],
-            )
-            for name, _ in _PROFILE_COLS
-        ],
-        "col_name string, n_null bigint, n_distinct bigint, "
-        "min_num double, max_num double, min_str string, "
-        "max_str string",
-    )
 
 
 #: in_range bound for o_totalprice — deliberately INSIDE the data

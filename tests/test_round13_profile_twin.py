@@ -1,28 +1,28 @@
-"""Round-13 staging pins for the round-14 orders_profile swap (the
-tfidf/constraint/enrichment staging pattern): the registered
-``orders_profile`` rebuilds its two aggregation plans (~36 agg
-Columns through py4j) on EVERY call — measured this round at ~0.85 s
-of the 0.89-0.93 s warm wall, the entirety of its 47.9× DuckDB ratio
-— but sits fingerprint-frozen in the r11 tail block until it rotates
-front in round 14. This suite pins the staged construction-memoized
-twin (``plans/analytics._orders_profile_memoized``) NOW:
+"""Permanent pins for the ``orders_profile`` construction memo
+(staged round 13, LANDED round 14 while the entry sat in the verdict
+front — the tfidf/constraint/enrichment swap pattern). The registered
+body now builds its two aggregation plans (~36 agg Columns through
+py4j, measured at ~0.85 s of the old 0.89-0.93 s warm wall) once per
+(session, dir) via ``memo.session_memo``; every call still RUNS both
+1-row jobs, so the eager-snapshot contract — each call re-profiles
+current data — is unchanged. This suite pins:
 
-* VALUE-IDENTITY against the registered entry on the real orders
-  table (same frames → same two 1-row jobs → same assembly);
-* the eager-snapshot contract is PRESERVED: every call still runs
-  both jobs (only the immutable plan objects are reused), proven by
-  profiling two DIFFERENT datasets through the same session — the
-  memo key includes the table dir, and each dir's profile reflects
-  its own data;
+* the profile RELATION itself (one row per ``_PROFILE_COLS`` entry,
+  with real distinct counts) on the real orders table;
+* the eager-snapshot contract survives the memo: only the PLAN is
+  cached, proven by profiling two DIFFERENT datasets through the
+  same session — the memo key includes the table dir, and each dir's
+  profile reflects its own data;
 * construction reuse is OBSERVABLE: the second same-dir call hits
-  the module cache (one entry per (session, dir) key).
-
-After the round-14 swap: point the registered body at the twin,
-delete the duplicate, and flip this suite's registered-form pins to
-permanent ones (the constraint-twin precedent).
+  the module cache (one entry per (session, dir) key, identical
+  frame objects across calls).
 """
 
 from __future__ import annotations
+
+import os
+
+import pytest
 
 from biometric_stream_processing_spark.plans import analytics as a
 
@@ -33,42 +33,51 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_twin_is_row_identical_to_registered_entry(spark):
-    reg = _rows(a.orders_profile(spark, SF_DIR))
-    twin = _rows(a._orders_profile_memoized(spark, SF_DIR))
-    assert len(reg) == len(a._PROFILE_COLS)
-    assert reg == twin
+def test_profile_shape_and_snapshot_stability(spark):
+    prof = a.orders_profile(spark, SF_DIR)
+    rows = _rows(prof)
+    assert len(rows) == len(a._PROFILE_COLS)
+    assert {r[0] for r in rows} == {c for c, _ in a._PROFILE_COLS}
+    # every column of a non-empty table has ≥1 distinct value, and
+    # o_orderkey (the PK) has as many distincts as rows
+    by_name = {r[0]: r for r in rows}
+    assert all(r[2] >= 1 for r in rows)
+    assert by_name["o_orderkey"][1] == 0  # no nulls in the PK
+    # the returned frame is a frozen snapshot: re-collecting it
+    # replays the same scalars
+    assert _rows(prof) == rows
 
 
-def test_twin_reprofiles_current_data_per_call(spark):
+def test_memo_reprofiles_current_data_per_call(spark):
     """The eager-snapshot contract survives the memo: only the PLAN
     is cached, so each call's jobs read whatever the table dir holds.
     Two different dirs through one session must yield different
-    profiles (per-dir memo keys), each matching the registered
-    (never-memoized) form on the same dir."""
+    profiles (per-dir memo keys)."""
     other = (SF_DIR.replace("sf0.001", "sf0.01")
              if SF_DIR.endswith("sf0.001")
              else SF_DIR.replace("sf0.01", "sf0.001"))
     assert other != SF_DIR
-    t1 = _rows(a._orders_profile_memoized(spark, SF_DIR))
-    t2 = _rows(a._orders_profile_memoized(spark, other))
+    if not os.path.isdir(other):  # round-13 advice: skip, not crash,
+        pytest.skip(f"sibling scale-factor dir missing: {other}")
+    t1 = _rows(a.orders_profile(spark, SF_DIR))
+    t2 = _rows(a.orders_profile(spark, other))
     assert t1 != t2  # different data ⇒ different profile
-    assert t2 == _rows(a.orders_profile(spark, other))
     # repeat call re-runs the jobs on the SAME plans and agrees
-    assert _rows(a._orders_profile_memoized(spark, SF_DIR)) == t1
+    assert _rows(a.orders_profile(spark, SF_DIR)) == t1
 
 
-def test_twin_reuses_constructed_plans(spark):
+def test_memo_reuses_constructed_plans(spark):
     """Construction reuse is observable: after two same-dir calls the
     module cache holds exactly one (session, dir) entry per dir used,
     and the cached objects are the SAME frame instances across calls
     (identity, not just equality — the whole point of the memo)."""
-    a._orders_profile_memoized(spark, SF_DIR)
+    a.orders_profile(spark, SF_DIR)
     key = [k for k in a._PROFILE_FRAMES_CACHE
-           if k[0] == spark.sparkContext.applicationId
+           if isinstance(k, tuple)
+           and k[0] == spark.sparkContext.applicationId
            and k[1].endswith(SF_DIR.split("/")[-1])]
     assert len(key) == 1
     before = a._PROFILE_FRAMES_CACHE[key[0]]
-    a._orders_profile_memoized(spark, SF_DIR)
+    a.orders_profile(spark, SF_DIR)
     after = a._PROFILE_FRAMES_CACHE[key[0]]
     assert before[0] is after[0] and before[1] is after[1]

@@ -76,6 +76,12 @@ def main() -> int:
         else {"spark.driver.memory": "4g"}
     )
     spark = get_spark("oracle-check", extra_confs=extra)
+    # round-13 advice: builder.config is a no-op when getOrCreate
+    # attaches to a pre-existing session — warn instead of silently
+    # running a full sweep on the 1 GiB default heap
+    from bench import _warn_if_driver_mem_diverged
+
+    _warn_if_driver_mem_diverged(spark, extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
