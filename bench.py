@@ -263,6 +263,27 @@ def _warn_if_driver_mem_diverged(spark, requested: dict) -> None:
         )
 
 
+def _gc_millis(spark) -> "int | None":
+    """Cumulative stop-the-world GC time (ms) across all collectors of
+    the driver JVM — local mode, so this is ALL the GC there is.
+    Recorded into BENCH_DETAIL at loop boundaries (round 14): the
+    round-13 OOM showed heap pressure builds as the 148-query loop
+    leaves every shared memo resident, and warm-pass readings taken
+    at the END of the run can inflate 3-5× over isolated same-boot
+    A/Bs of identical plans. A per-phase GC delta separates "the heap
+    was thrashing" from "the host was slow" without re-running.
+    Fail-soft: a py4j surface change must cost the telemetry, never
+    the bench run."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management
+            .ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -421,6 +442,7 @@ def main() -> None:
     # added after a round-13 mid-loop JVM OOM left no way to locate
     # the failing entry among 148
     progress = os.environ.get("SPARK_GRAFT_BENCH_PROGRESS") == "1"
+    gc_at_start = _gc_millis(spark)
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -476,7 +498,9 @@ def main() -> None:
     # round-11 advice: the README's own motivating run measured
     # 192.2 s first-pass, so a modestly slower host must be able to
     # keep its warm data).
+    gc_after_first = _gc_millis(spark)
     warm: dict[str, float] = {}
+    warm_gc: dict[str, int] = {}
     warm_skipped: str | None = None
     envelope = float(
         os.environ.get("SPARK_GRAFT_BENCH_WARM_ENVELOPE", "240")
@@ -489,12 +513,24 @@ def main() -> None:
             f"{envelope:.0f}s envelope"
         )
     else:
+        # per-query GC delta alongside each warm reading (round 14):
+        # isolated same-boot A/Bs of late-warm-loop entries measured
+        # 2-3× BELOW their in-bench warm numbers (dup_graph_pagerank
+        # 3.5-3.8 s isolated vs 8.6 s in-bench) — the end-of-run
+        # session state, not the plans, inflates the tail. The GC
+        # column turns that from an inference into a per-entry record
+        # a drift adjudication can read directly.
         for name, fn in qs.items():
             if name.startswith("streaming_"):
                 continue  # restaged source+checkpoint ≠ warm
+            g0 = _gc_millis(spark)
             t0 = time.time()
             fn(spark, sf_dir).count()
             warm[name] = round(time.time() - t0, 3)
+            g1 = _gc_millis(spark)
+            if g0 is not None and g1 is not None and g1 > g0:
+                warm_gc[name] = g1 - g0
+    gc_after_warm = _gc_millis(spark)
     pairs.unpersist()
     cells.unpersist()
     fps.unpersist()
@@ -551,6 +587,13 @@ def main() -> None:
                        "total": round(total, 3),
                        "memo_owner": MEMO_OWNERS,
                        "memo_owner_observed": observed}
+            if gc_at_start is not None and gc_after_first is not None:
+                gc_info = {"first_pass_ms": gc_after_first - gc_at_start}
+                if gc_after_warm is not None:
+                    gc_info["warm_pass_ms"] = (
+                        gc_after_warm - gc_after_first
+                    )
+                payload["gc"] = gc_info
             if mismatches:
                 payload["memo_owner_mismatch"] = mismatches
             if warm:
@@ -560,6 +603,8 @@ def main() -> None:
                 # includes the streaming entries
                 payload["queries_warm"] = warm
                 payload["total_warm"] = round(sum(warm.values()), 3)
+                if warm_gc:
+                    payload["queries_warm_gc_ms"] = warm_gc
             if warm_skipped:
                 payload["warm_skipped"] = warm_skipped
             json.dump(payload, f, indent=1, sort_keys=True)
