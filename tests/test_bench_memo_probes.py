@@ -54,6 +54,27 @@ def test_bench_probe_covers_every_declared_memo():
     )
 
 
+def test_gc_probe_returns_live_counter(spark):
+    """The round-14 GC telemetry (_gc_millis) is fail-soft by design
+    — a py4j surface change makes it return None rather than crash
+    the bench. That also means it can silently rot: BENCH_DETAIL
+    would just lose its gc columns with no error anywhere. Assert
+    against the live session that the probe still reads a real,
+    monotonic JVM counter."""
+    import bench
+
+    a = bench._gc_millis(spark)
+    assert isinstance(a, int) and a >= 0, (
+        "bench._gc_millis no longer reads the JVM GC beans — the "
+        "BENCH_DETAIL gc columns would silently disappear"
+    )
+    # force some allocation churn, then re-read: cumulative GC time
+    # never decreases
+    spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+    b = bench._gc_millis(spark)
+    assert isinstance(b, int) and b >= a
+
+
 def test_bench_and_oracle_harnesses_pin_the_driver_heap():
     """Round-13 regression pin: both full-registry harnesses OOM'd
     the 1 GiB default driver heap once the rotation ran the stateful
