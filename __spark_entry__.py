@@ -228,21 +228,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 15 records): the 48-entry r12-green remainder below
         # (dedup_exact .. doc_perplexity_buckets, r12 gate order,
         # minus the two entries round 14's spares re-verify) fills
-        # the round-15 front. 48 + 0 queue = 48, leaving TWO spare
-        # slots. ROUND-16 FEASIBILITY (re-derive from the
-        # CORRECTNESS files via tools/round_plan.py, do not trust
-        # this count — the round-11 arithmetic catch is the
+        # the round-15 front, PLUS the queue's one first-verdict:
+        # 48 + 1 (doc_containment_dups, round-14 queue) = 49,
+        # leaving ONE spare slot. ROUND-16 FEASIBILITY (re-derive
+        # from the CORRECTNESS files via tools/round_plan.py, do not
+        # trust this count — the round-11 arithmetic catch is the
         # precedent): the r13-green block is 50 entries
         # (CORRECTNESS_r13 is 50/50 green and none re-verify in
         # round 14), so round 16 would owe exactly 50 — capacity,
-        # zero spares. Spend the round-15 spares on r13-block
-        # entries so round 16 owes 48 and keeps its own spares;
-        # r13-block candidates with standing adjudication debt
-        # first: embedding_srp_pairs and ivf_recall_report (the two
-        # round-13-verdict marginal warm walls — check their round-14
-        # A/B outcomes and VERDICT_r14 for overriding assignments),
-        # and queue NOTHING net-new in round 15 unless both spares
-        # survive.
+        # zero spares. Spend the round-15 spare on an r13-block
+        # entry so round 16 owes 49; both round-13 marginal-wall
+        # candidates (embedding_srp_pairs, ivf_recall_report) were
+        # ADJUDICATED in round 14 (pin reproduced / inside the bar),
+        # so the spare is free — check VERDICT_r14 for overriding
+        # assignments, and queue NOTHING net-new in round 15 (the
+        # round-16 front would hit capacity).
         #
         # --- last green r12 (r12 gate order preserved so memo
         # billing stays comparable; contamination_overlaps and
@@ -321,16 +321,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
-    in ``queries()`` when the verdict prefix is full. EMPTY in round
-    14 (as in rounds 12-13): nothing is carried and NOTHING is queued
-    net-new by design — the r12-green block owed in round 15 is 48
-    entries, and a net-new queue entry would re-tighten round 15
-    toward capacity (see the registry tail note). The cap here stays
-    ≤2 whenever the queue is non-empty.
+    in ``queries()`` when the verdict prefix is full. ONE entry in
+    round 14 — the round-13 tail note gated net-new queueing on both
+    round-14 spares being free, and both spare candidates' standing
+    adjudication debt CLOSED this round (the srp pin reproduced, the
+    ivf flag measured inside the bar), so the round-15 arithmetic
+    absorbs one first-verdict: 48 r12-due + 1 queue = 49 ≤ 50, one
+    spare left (re-derive via tools/round_plan.py as always). The cap
+    here stays ≤2 whenever the queue is non-empty.
+
+    - doc_containment_dups (round 14): asymmetric n-gram-set
+      containment dedup over the banded-LSH candidates — the
+      substring/superstring catch symmetric Jaccard structurally
+      misses (plans/documents_ops.doc_containment_dups; kernel
+      operators/dedup.containment_verify; integer-micros exact
+      values, unit + oracle tested at sf0.001/0.01).
+
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
-    return {}
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(spark, sf_dir)
+
+        run.__wrapped__ = fn
+        return run
+
+    return {
+        "doc_containment_dups": _wrap(documents_ops.doc_containment_dups),
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -546,6 +546,69 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact n-gram-set CONTAINMENT for candidate pairs — the
+    ASYMMETRIC twin of ``jaccard_verify``: |A∩B| / min(|A|, |B|),
+    i.e. how much of the SMALLER document's shingle set the pair
+    shares. This is the superstring/substring dedup signal: a short
+    document pasted inside a long one scores near 1.0 here while its
+    symmetric Jaccard (÷ the union) stays low, so a Jaccard-only
+    pipeline keeps both copies. Same plan shape as the Jaccard
+    verify (candidates joined back to the corpus twice, shuffle-hash
+    on doc id at scale, per-row array expression — codegen, no UDF).
+
+    Output per candidate pair: (contained_doc_id, container_doc_id,
+    containment_micros) where contained = the smaller-set side (tie
+    → the HIGHER doc_id, so the container keeps the canonical-min-id
+    convention of the dedup family). Containment ships as EXACT
+    INTEGER MICROS via half-away-from-zero integer division — the
+    round-10 tie lesson (``unigram_logprob`` precedent): set sizes
+    are small integers, so the raw ratio CAN land on a true 6-dp
+    decimal tie (e.g. 1/640 = 0.0015625) where Spark's round() and
+    DuckDB's disagree; ``(2·10⁶·inter + nmin) div (2·nmin)`` is
+    deterministic on any engine, and thresholds compare integers."""
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col("_ws"), shingle_n)).alias("_s"),
+    )
+    out = (
+        _spread(pairs)
+        .join(sh.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("_s", "_sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("_s", "_sb"), "id_b")
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    n_a, n_b = F.size("_sa"), F.size("_sb")
+    n_min = F.least(n_a, n_b)
+    micros = F.expr(
+        "(2000000 * cast(_ni as bigint) + cast(_nm as bigint)) "
+        "div (2 * cast(_nm as bigint))"
+    )
+    # the smaller-set side is the contained one; equal sizes break
+    # toward the higher id so the container is the canonical min id
+    a_contained = (n_a < n_b) | ((n_a == n_b) & (F.col("id_a") > F.col("id_b")))
+    return (
+        out.withColumn("_ni", n_inter).withColumn("_nm", n_min)
+        .where(F.col("_nm") > 0)
+        .select(
+            F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b"))
+             .alias("contained_doc_id"),
+            F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a"))
+             .alias("container_doc_id"),
+            micros.alias("containment_micros"),
+        )
+    )
+
+
 def triangle_stats(edges: DataFrame,
                    a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
     """GRAPH STATISTICS of an undirected edge list (canonical a < b,

@@ -171,6 +171,49 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_DUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: containment gate in exact integer micros (0.25): measured on the
+#: driver corpus at sf0.001 AND sf0.01, this keeps a non-degenerate
+#: report (34 pairs at sf0.01) of which ~9 are pairs the SYMMETRIC
+#: jaccard >= 0.2 gate misses — the asymmetric catch that justifies
+#: the operator. Higher cuts collapse onto the planted full
+#: duplicates (containment 1.0) the Jaccard gate already finds.
+CONTAINMENT_MICROS_MIN = 250_000
+
+
+def doc_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING/SUPERSTRING near-dup detection — exact n-gram-set
+    CONTAINMENT (|A∩B| / min|A|,|B|) over the SAME banded-LSH
+    candidate pairs as the Jaccard pipeline (round-14 gate queue).
+    The asymmetric signal symmetric Jaccard structurally misses: a
+    short document pasted inside a long one (quote farms, boilerplate
+    wrappers, excerpt pages — Lee et al.'s ExactSubstr motivation at
+    the document granularity) scores near 1.0 here while its Jaccard
+    (÷ the union) stays under any useful threshold, so a
+    Jaccard-only dedup keeps both copies and the training set learns
+    the shared span twice.
+
+    Plan shape = the audited Jaccard verify (operators/dedup.
+    containment_verify): bounded LSH candidates equi-joined back to
+    the corpus twice on doc id, per-row array intersection in
+    codegen, no UDF, no cross product — at 100 TB the bucketed
+    candidate generation bounds the pair fan-out exactly as in
+    ``ngram_jaccard_dups``. Containment ships as EXACT INTEGER
+    MICROS (half-away-from-zero integer division, the round-10 tie
+    recipe): set sizes are small integers, so the raw ratio CAN land
+    on a true 6-dp decimal tie where Spark and DuckDB round apart;
+    the threshold compares integers. Output: (contained_doc_id,
+    container_doc_id, containment_micros), contained = smaller
+    shingle set (ties → higher id, keeping the canonical-min-id
+    convention)."""
+    from ..operators.dedup import containment_verify
+
+    cand = lsh_candidate_pairs(
+        shared_minhash_bands(spark, sf_dir), n_groups=LSH_GROUPS
+    )
+    return containment_verify(
+        cand, _docs(spark, sf_dir), shingle_n=SHINGLE_N
+    ).where(F.col("containment_micros") >= CONTAINMENT_MICROS_MIN)
+
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
@@ -1720,6 +1763,37 @@ ORACLE = {
           JOIN shs sa ON sa.doc_id = id_a
           JOIN shs sb ON sb.doc_id = id_b
         ) WHERE jac >= 0.2
+    """,
+    # round-14 gate queue: asymmetric containment over the same LSH
+    # candidates; integer-micros half-away-from-zero division keeps
+    # the value engine-deterministic (the round-10 tie recipe —
+    # DuckDB's // floors, identical to Spark's div for positives)
+    "doc_containment_dups": _MINHASH_CTE + f""",
+        shs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS s
+          FROM docs
+        ), scored AS (
+          SELECT id_a, id_b,
+                 len(sa.s)::BIGINT AS na, len(sb.s)::BIGINT AS nb,
+                 len(list_filter(sa.s, x -> list_contains(sb.s, x)))::BIGINT
+                   AS ni
+          FROM cand
+          JOIN shs sa ON sa.doc_id = id_a
+          JOIN shs sb ON sb.doc_id = id_b
+        )
+        SELECT
+          CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+               THEN id_a ELSE id_b END AS contained_doc_id,
+          CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+               THEN id_b ELSE id_a END AS container_doc_id,
+          (2000000 * ni + least(na, nb)) // (2 * least(na, nb))
+            AS containment_micros
+        FROM scored
+        WHERE least(na, nb) > 0
+          AND (2000000 * ni + least(na, nb)) // (2 * least(na, nb))
+              >= {CONTAINMENT_MICROS_MIN}
     """,
     "simhash_fingerprints": f"""
         WITH d AS (SELECT doc_id, {_WS} AS ws FROM documents)

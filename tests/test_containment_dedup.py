@@ -1,0 +1,92 @@
+"""Containment dedup (round-14 gate queue): the asymmetric
+substring/superstring catch. `operators/dedup.containment_verify`
+computes |A∩B| / min(|A|,|B|) over candidate pairs as exact integer
+micros; `plans/documents_ops.doc_containment_dups` runs it over the
+banded-LSH candidates. Pins:
+
+* the asymmetric semantics on a constructed corpus — a short doc
+  pasted inside a long one scores 1.0 containment while its
+  symmetric Jaccard stays below the dedup threshold (the case a
+  Jaccard-only pipeline misses);
+* the contained/container orientation (smaller set contained; size
+  ties break toward the higher id so the container keeps the
+  canonical-min-id convention);
+* exact integer-micros values (half-away-from-zero division — no
+  engine-dependent float rounding anywhere);
+* the real-corpus entry: plan has no cartesian, every emitted row
+  clears the threshold, and the report is non-degenerate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from biometric_stream_processing_spark.operators.dedup import (
+    containment_verify,
+    jaccard_verify,
+)
+from biometric_stream_processing_spark.plans.documents_ops import (
+    CONTAINMENT_MICROS_MIN,
+    doc_containment_dups,
+)
+
+from conftest import SF_DIR
+
+
+def _mini_corpus(spark):
+    short = "alpha beta gamma delta"          # 3 bigram shingles
+    filler = " ".join(f"w{i}" for i in range(40))
+    return spark.createDataFrame(
+        [
+            (1, f"{filler} {short}"),          # superstring of doc 2
+            (2, short),                        # contained in doc 1
+            (3, "alpha beta gamma epsilon"),   # same size as doc 2
+            (4, "alpha beta gamma epsilon"),   # exact twin of doc 3
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _pairs(spark, ids):
+    return spark.createDataFrame(ids, "id_a long, id_b long")
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    d = _mini_corpus(spark)
+    p = _pairs(spark, [(1, 2)])
+    [c] = containment_verify(p, d).collect()
+    # doc 2's 3 shingles all appear in doc 1 → containment exactly 1
+    assert c.contained_doc_id == 2 and c.container_doc_id == 1
+    assert c.containment_micros == 1_000_000
+    # while the symmetric Jaccard is far below the 0.2 dedup gate:
+    # 3 shared / (40 + 3 + 3 - ... ) shingles in the union
+    [j] = jaccard_verify(p, d).collect()
+    assert j.jaccard < 0.1
+
+
+def test_size_tie_breaks_toward_higher_id(spark):
+    d = _mini_corpus(spark)
+    [c] = containment_verify(_pairs(spark, [(3, 4)]), d).collect()
+    assert c.contained_doc_id == 4 and c.container_doc_id == 3
+    assert c.containment_micros == 1_000_000
+
+
+def test_micros_are_exact_integer_division(spark):
+    # docs 2 and 3 share 2 of their 3 shingles: 2/3 → half-away
+    # integer micros (2000000*2 + 3) div (2*3) = 666667, never a
+    # float-rounded 0.666667 vs 0.666666 split
+    d = _mini_corpus(spark)
+    [c] = containment_verify(_pairs(spark, [(2, 3)]), d).collect()
+    assert c.containment_micros == 666_667
+
+
+def test_entry_on_real_corpus(spark):
+    df = doc_containment_dups(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) > 0, "the containment gate must actually fire"
+    assert all(r.containment_micros >= CONTAINMENT_MICROS_MIN
+               for r in rows)
+    assert all(r.contained_doc_id != r.container_doc_id for r in rows)
