@@ -1,0 +1,105 @@
+"""Property tests for the round-14 containment kernel: random small
+corpora + random candidate pairs checked against an independent
+pure-Python evaluator using exact integer arithmetic — (a) the micros
+value equals half-away-from-zero round of |A∩B| / min(|A|,|B|)
+computed over Python set intersections of the same distinct bigram
+shingles, (b) contained/container orientation (smaller set contained,
+size ties toward the higher id), and (c) the structural dominance
+containment ≥ jaccard that makes the operator a superset detector of
+the symmetric gate at equal thresholds."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from biometric_stream_processing_spark.operators.dedup import (
+    containment_verify,
+    jaccard_verify,
+)
+
+word_st = st.sampled_from(["a", "b", "c", "dd", "ee"])
+doc_st = st.lists(word_st, min_size=0, max_size=8).map(" ".join)
+corpus_st = st.lists(doc_st, min_size=2, max_size=5)
+
+
+def _shingles(text: str) -> set[str]:
+    ws = [w for w in text.split(" ") if w]
+    return {f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)}
+
+
+def _expected(corpus: list[str]):
+    """Pure-Python evaluator over every (a < b) id pair with both
+    shingle sets non-empty: exact integer micros + orientation."""
+    sh = {i: _shingles(t) for i, t in enumerate(corpus)}
+    out = {}
+    for a in sh:
+        for b in sh:
+            if a >= b or not sh[a] or not sh[b]:
+                continue
+            ni = len(sh[a] & sh[b])
+            nm = min(len(sh[a]), len(sh[b]))
+            micros = (2_000_000 * ni + nm) // (2 * nm)
+            if (len(sh[a]) < len(sh[b])
+                    or (len(sh[a]) == len(sh[b]) and a > b)):
+                contained, container = a, b
+            else:
+                contained, container = b, a
+            out[(contained, container)] = micros
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=corpus_st)
+def test_containment_matches_python_reference(spark, corpus):
+    d = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    ids = [(a, b) for a in range(len(corpus))
+           for b in range(len(corpus)) if a < b]
+    pairs = spark.createDataFrame(ids, "id_a long, id_b long")
+    got = {
+        (r.contained_doc_id, r.container_doc_id): r.containment_micros
+        for r in containment_verify(pairs, d).collect()
+    }
+    assert got == _expected(corpus)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=corpus_st)
+def test_containment_dominates_jaccard(spark, corpus):
+    """|A∩B|/min ≥ |A∩B|/union pointwise, so at equal thresholds the
+    containment gate can only ADD pairs over the symmetric one —
+    the superset guarantee the operator's docstring claims."""
+    d = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    ids = [(a, b) for a in range(len(corpus))
+           for b in range(len(corpus)) if a < b]
+    pairs = spark.createDataFrame(ids, "id_a long, id_b long")
+    cont = {
+        frozenset((r.contained_doc_id, r.container_doc_id)):
+            r.containment_micros
+        for r in containment_verify(pairs, d).collect()
+    }
+    # NB the kernels differ on an EMPTY shingle side (hypothesis
+    # found corpus=['', 'a a']): Jaccard emits 0.0 there (union > 0)
+    # while containment drops the pair (min = 0 — the ratio is
+    # undefined, and a 0-shingle doc can't meaningfully be
+    # "contained"); dominance only applies where both sets are
+    # non-empty, exactly the pairs the dedup gates can select
+    sh = {i: _shingles(t) for i, t in enumerate(corpus)}
+    jac = {
+        frozenset((r.id_a, r.id_b)): r.jaccard
+        for r in jaccard_verify(pairs, d).collect()
+        if r.jaccard is not None and sh[r.id_a] and sh[r.id_b]
+    }
+    for key, j in jac.items():
+        assert key in cont
+        # micros vs rounded double: allow the half-ulp of the
+        # oracle-side 6-dp rounding
+        assert cont[key] / 1e6 >= j - 5e-7
