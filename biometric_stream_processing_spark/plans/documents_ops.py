@@ -204,7 +204,12 @@ def doc_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold compares integers. Output: (contained_doc_id,
     container_doc_id, containment_micros), contained = smaller
     shingle set (ties → higher id, keeping the canonical-min-id
-    convention)."""
+    convention).
+
+    ROUND-14 BASELINE (isolated same-boot best-of-5 at sf0.1, bench
+    confs, vs same-session DuckDB): 1223 rows, cold 10.5 s (pays the
+    bands+candidates chain), warm 1.46-2.15 s vs 1.03-1.14 s → 1.4×
+    best — inside the 2× bar at registration time."""
     from ..operators.dedup import containment_verify
 
     cand = lsh_candidate_pairs(
