@@ -142,112 +142,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 14 (recorded rounds r1-r7, r9-r13): r11 leaves the window
-    # when this round records (post-recording window {r12, r13, r14}),
-    # so the r11-green remainder fills the front — derived fresh via
-    # tools/round_plan.py against CORRECTNESS_r{11,12,13}: exactly 48
-    # entries have last-green r11 (the 50-entry r11 block minus
-    # biometric_union and streaming_enriched_segment_counts, both
-    # re-verified as round-13 spares); the r12/r13 blocks are 50 each
-    # — 48+50+50 = 148 registered, set-check clean. Front = 48 r11-due
-    # in r11 gate order + 2 spares = 50; the queue is EMPTY and
-    # NOTHING is queued net-new (round-15 capacity, see the tail
-    # note). Spares are both r12-block entries so round 15 owes 48 —
-    # the two the round-13 tail note nominated (VERDICT_r13 assigned
-    # no overriding spares), both with standing warm-wall watch
-    # status, both placed AFTER their shared-memo owners so they read
-    # warm:
-    #   - spare 1: contamination_overlaps (round-12 verdict wall,
-    #     adjudicated round 13 — pin reproduced; reads the winnow
-    #     sketch built at front 47).
-    #   - spare 2: doc_tfidf_keywords (threshold-straddling 0.986 s
-    #     warm, stage-decomposition pin from round 12 stands; reads
-    #     the doc-term matrix built at front 33).
-    # IN-BLOCK OBLIGATION LANDED: orders_profile (front 35) absorbed
-    # the round-13-staged construction memo
-    # (plans/analytics._orders_profile_memoized → registered body,
-    # duplicate deleted, pins flipped permanent in
-    # tests/test_round13_profile_twin.py, hash re-verified at
-    # sf0.001/sf0.01/sf0.1) — the 54× per-call py4j plan-construction
-    # wall drops to ~0.15-0.20 s warm.
-    # MEMO_OWNERS moves (bench.py map; this front replicates the r11
-    # gate order, so the BENCH_DETAIL_r11 declared owners apply with
-    # three derived corrections for the new tail order):
-    # dedup_pipeline_report (front 36) pays the decontam index +
-    # survivors, training-corpus rows, clean corpus, and LSH pair
-    # chain (its 5_training_corpus stage materializes all four);
-    # corpus_vocab_topk (front 33) the doc-term matrix;
-    # doc_winnow_fingerprints (front 47) the winnow sketch;
-    # embedding_kmeans_quality (r13 block, first kmeans consumer)
-    # keeps the kmeans bill. The r12 block now precedes the r13 block
-    # in the tail, so three memos bill to r12-block entries:
-    # near_dup_clusters the text closure, cross_modal_dup_agreement
-    # the embedding closure, embedding_ivf_topk the IVF cells (the
-    # round-13 observation corrected this memo's hand-derived owner
-    # once already — bench.py:MEMO_OWNERS carries the note), and
-    # doc_perplexity_buckets (r12 tail end) the unigram scorer.
+    # ROUND 15 (recorded rounds r1-r7, r9-r14): r12 leaves the window
+    # when this round records (post-recording window {r13, r14, r15}),
+    # so the r12-green remainder fills the front — derived fresh via
+    # tools/round_plan.py against CORRECTNESS_r{12,13,14}: exactly 48
+    # entries have last-green r12 (the 50-entry r12 block minus
+    # contamination_overlaps and doc_tfidf_keywords, both re-verified
+    # as round-14 spares); the r13/r14 blocks are 50 each and the
+    # round-14 queue held ONE entry — 48+50+50+1 = 149 total,
+    # set-check clean. Front = 48 r12-due in r12 gate order + the
+    # queue's first-verdict + 1 spare = 50:
+    #   - position 49: doc_containment_dups (round-14 queue →
+    #     REGISTERED this round, first verdict) — placed after the
+    #     whole r12 block so the banded-LSH candidate chain it
+    #     reuses (materialized by minhash_lsh_pairs at front 2)
+    #     reads warm, matching its pre-registration baseline
+    #     protocol; bills nothing.
+    #   - spare (position 50): orders_constraint_report (r13 block)
+    #     — VERDICT_r14 "What's wrong #1": warm 0.38→1.03 s on the
+    #     r14 boot with GC ruled out by its own telemetry, the
+    #     round's one unexplained mover. Fronting it re-verifies it
+    #     (round 16 owes 49, one spare) AND opens its fingerprint
+    #     window so the adjudication can land an in-block fix if
+    #     one is warranted.
+    # MEMO_OWNERS moves (bench.py map): the front replicates the r12
+    # gate order, so the BENCH_DETAIL_r12 OBSERVED owners apply to
+    # the front verbatim — minhash_lsh_pairs (front 2) the LSH pair
+    # chain, near_dup_clusters (front 3) the text closure,
+    # embedding_ivf_topk (front 7) the IVF cells,
+    # corpus_token_budget (front 9) the clean corpus,
+    # cross_modal_dup_agreement (front 10) the embedding closure,
+    # doc_perplexity_buckets (front 48) the unigram scorer. The r13
+    # block now precedes the r14 block in the tail, so the r13-round
+    # owners return for the rest: decontaminated_train_docs the
+    # decontam index + survivors, training_corpus its rows,
+    # doc_repetition_stats the doc-term matrix,
+    # embedding_kmeans_quality the kmeans map; the winnow sketch
+    # stays with doc_winnow_fingerprints (r14 block — no r13-block
+    # consumer precedes it, same derivation as rounds 13/14).
     front = [
-        # --- last green r11 (oldest debt) IN ITS r11 GATE ORDER —
-        # 48 entries; order preserved so BENCH_DETAIL_r11 per-query
+        # --- last green r12 (oldest debt) IN ITS r12 GATE ORDER —
+        # 48 entries; order preserved so BENCH_DETAIL_r12 per-query
         # numbers stay comparable ---
-        "alert_windows",
-        "alerts_throttled", "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "customer_running_totals",
-        "dormant_customers_by_segment", "users_with_both_streams",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "doc_passages",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks", "source_dedup_report",
-        "source_quality_report",
-        "corpus_vocab_topk", "embedding_pca_quality",
-        "orders_profile", "dedup_pipeline_report",
-        "streaming_alerts", "streaming_dedup_merge",
-        "streaming_interval_pairs",
-        "streaming_session_stats", "streaming_vocab_topk",
-        "streaming_abandoned_clicks", "streaming_outer_pairs",
-        "streaming_user_cadence",
-        "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints",
-        "user_value_ewma",
-        # --- spares (both r12-block entries; see the front note) ---
-        "contamination_overlaps",
-        "doc_tfidf_keywords",
-    ]
-    tail = [
-        # ROUND-15 OBLIGATION (K=3 on recorded rounds; once round 14
-        # records, the window is {r12, r13, r14} and r12 leaves when
-        # round 15 records): the 48-entry r12-green remainder below
-        # (dedup_exact .. doc_perplexity_buckets, r12 gate order,
-        # minus the two entries round 14's spares re-verify) fills
-        # the round-15 front, PLUS the queue's one first-verdict:
-        # 48 + 1 (doc_containment_dups, round-14 queue) = 49,
-        # leaving ONE spare slot. ROUND-16 FEASIBILITY (re-derive
-        # from the CORRECTNESS files via tools/round_plan.py, do not
-        # trust this count — the round-11 arithmetic catch is the
-        # precedent): the r13-green block is 50 entries
-        # (CORRECTNESS_r13 is 50/50 green and none re-verify in
-        # round 14), so round 16 would owe exactly 50 — capacity,
-        # zero spares. Spend the round-15 spare on an r13-block
-        # entry so round 16 owes 49; both round-13 marginal-wall
-        # candidates (embedding_srp_pairs, ivf_recall_report) were
-        # ADJUDICATED in round 14 (pin reproduced / inside the bar),
-        # so the spare is free — check VERDICT_r14 for overriding
-        # assignments, and queue NOTHING net-new in round 15 (the
-        # round-16 front would hit capacity).
-        #
-        # --- last green r12 (r12 gate order preserved so memo
-        # billing stays comparable; contamination_overlaps and
-        # doc_tfidf_keywords moved to the round-14 spare slots above
-        # — rotates front in round 15) ---
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs",
@@ -279,9 +215,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_gapfill",
         "doc_duplicate_spans",
         "doc_perplexity_buckets",
-        # --- last green r13 (r13 gate order preserved; rotates
-        # front in round 16 — round 15's spares should pre-verify
-        # two of its entries, see the note above) ---
+        # --- first verdict: round-14 queue (see the front note) ---
+        "doc_containment_dups",
+        # --- spare (r13-block re-verification; see the front note) ---
+        "orders_constraint_report",
+    ]
+    tail = [
+        # ROUND-16 OBLIGATION (K=3 on recorded rounds; once round 15
+        # records, the window is {r13, r14, r15} and r13 leaves when
+        # round 16 records): the 49-entry r13-green remainder below
+        # (embedding_kmeans_quality ..
+        # streaming_enriched_segment_counts, r13 gate order, minus
+        # orders_constraint_report — round 15's spare) fills the
+        # round-16 front; the queue is EMPTY, so 49 ≤ 50 leaves ONE
+        # spare slot. ROUND-17 FEASIBILITY (re-derive from the
+        # CORRECTNESS files via tools/round_plan.py, do not trust
+        # this count — the round-11 arithmetic catch is the
+        # precedent): the r14-green block is 50 entries
+        # (CORRECTNESS_r14 is 50/50 green and only
+        # orders_constraint_report of the r13/r14 blocks re-verifies
+        # in round 15), so round 17 would owe exactly 50 — capacity,
+        # zero spares — UNLESS round 16's spare pre-verifies an
+        # r14-block entry (nominate one with standing watch status
+        # when writing the round-16 front; doc_tfidf_keywords and
+        # contamination_overlaps both carry warm-wall pins). Queue
+        # net-new in round 16 ONLY by displacing that spare: at
+        # N=149 the rotation averages 49.7 slots/round, so every
+        # queued entry must pay for itself in spare arithmetic.
+        #
+        # --- last green r13 (r13 gate order preserved so memo
+        # billing stays comparable; orders_constraint_report moved
+        # to the round-15 spare slot above — rotates front in
+        # round 16) ---
         "embedding_kmeans_quality",
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
@@ -298,7 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_heavy_hitters",
         "term_posting_lists", "corpus_pmi_collocations",
         "hll_user_rollup", "source_quality_ols",
-        "orders_constraint_report", "multimodal_decode_png",
+        "multimodal_decode_png",
         "sql_nation_revenue", "parse_props_variant",
         "dynamic_session_stats", "salted_segment_revenue",
         "dup_graph_stats", "dup_graph_pagerank",
@@ -313,6 +278,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob",
         "biometric_union",
         "streaming_enriched_segment_counts",
+        # --- last green r14 (r14 gate order preserved; rotates
+        # front in round 17 — round 16's spare should pre-verify
+        # one of its entries, see the note above) ---
+        "alert_windows",
+        "alerts_throttled", "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "customer_running_totals",
+        "dormant_customers_by_segment", "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
+        "corpus_vocab_topk", "embedding_pca_quality",
+        "orders_profile", "dedup_pipeline_report",
+        "streaming_alerts", "streaming_dedup_merge",
+        "streaming_interval_pairs",
+        "streaming_session_stats", "streaming_vocab_topk",
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        "streaming_user_cadence",
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints",
+        "user_value_ewma",
+        "contamination_overlaps",
+        "doc_tfidf_keywords",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -321,36 +319,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
-    in ``queries()`` when the verdict prefix is full. ONE entry in
-    round 14 — the round-13 tail note gated net-new queueing on both
-    round-14 spares being free, and both spare candidates' standing
-    adjudication debt CLOSED this round (the srp pin reproduced, the
-    ivf flag measured inside the bar), so the round-15 arithmetic
-    absorbs one first-verdict: 48 r12-due + 1 queue = 49 ≤ 50, one
-    spare left (re-derive via tools/round_plan.py as always). The cap
-    here stays ≤2 whenever the queue is non-empty.
-
-    - doc_containment_dups (round 14): asymmetric n-gram-set
-      containment dedup over the banded-LSH candidates — the
-      substring/superstring catch symmetric Jaccard structurally
-      misses (plans/documents_ops.doc_containment_dups; kernel
-      operators/dedup.containment_verify; integer-micros exact
-      values, unit + oracle tested at sf0.001/0.01).
+    in ``queries()`` when the verdict prefix is full. EMPTY in
+    round 15 — the round-14 queue's single entry
+    (doc_containment_dups) REGISTERED this round at front
+    position 49 for its first verdict, and the tail note's
+    round-16 arithmetic (49 r13-due, one spare) leaves no free
+    first-verdict slot to justify queueing net-new work this round
+    (VERDICT_r14 next-steps #1). The cap here stays ≤2 whenever the
+    queue is non-empty.
 
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and
     ``SPARK_GRAFT_BENCH_QUEUED=1`` appends them to the bench run."""
-
-    def _wrap(fn):
-        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            return fn(spark, sf_dir)
-
-        run.__wrapped__ = fn
-        return run
-
-    return {
-        "doc_containment_dups": _wrap(documents_ops.doc_containment_dups),
-    }
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,6 +117,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -132,68 +133,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-14 registration: the 48-entry r11-green obligation block
-    # leads IN ITS r11 GATE ORDER, then the two spares
-    # (contamination_overlaps and doc_tfidf_keywords, both r12-block
-    # watch-list re-verifications — both placed after their memo
-    # owners so they read warm and bill nothing). The front
-    # replicates the r11 order, so the BENCH_DETAIL_r11 DECLARED map
-    # applies with three tail-order corrections: the r12 block now
-    # precedes the r13 block, so the closure/IVF/unigram memos bill
-    # to their r12-block consumers (near_dup_clusters,
-    # cross_modal_dup_agreement, embedding_ivf_topk,
-    # doc_perplexity_buckets) instead of the r13-block ones.
-    # "prev" = the round-13 owner, so round-over-round per-query
+    # Round-15 registration: the 48-entry r12-green obligation block
+    # leads IN ITS r12 GATE ORDER, then the round-14 queue's first
+    # verdict (doc_containment_dups — reads the LSH candidate chain
+    # warm, bills nothing) and the spare (orders_constraint_report,
+    # no shared-memo consumption). The front replicates the r12
+    # order, so the BENCH_DETAIL_r12 OBSERVED map applies to the
+    # front verbatim; the r13 block again precedes the r14 block in
+    # the tail, so the r13-round owners return for the deep-chain
+    # memos (decontam, training corpus, doc-term matrix).
+    # "prev" = the round-14 owner, so round-over-round per-query
     # diffs separate billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # dedup_pipeline_report (front 36) counts its deepest stage
-    # (5_training_corpus) FIRST by design, which materializes the
-    # decontam index/survivors, the training-corpus capstone, the
-    # clean corpus, and the LSH pair chain in one timed call — the
-    # r7/r11 precedent (BENCH_DETAIL_r11 declared the same four)
+    # decontaminated_train_docs (r13 block, position 2) precedes
+    # training_corpus and dedup_pipeline_report (r14 block) — the
+    # round-13 observed owner under the same relative order
     "decontam_gram_index": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "decontam_survivors": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "training_corpus_rows": {
-        "owner": "dedup_pipeline_report", "prev": "training_corpus"},
+        "owner": "training_corpus",
+        "prev": "dedup_pipeline_report"},
+    # corpus_token_budget (front 9) is the first clean-corpus
+    # consumer — round 12's observed owner in the same front order
     "clean_corpus": {
-        "owner": "dedup_pipeline_report",
-        "prev": "training_corpus"},
+        "owner": "corpus_token_budget",
+        "prev": "dedup_pipeline_report"},
     "text_lsh_pairs": {
-        "owner": "dedup_pipeline_report",
-        "prev": "training_corpus"},
+        "owner": "minhash_lsh_pairs",
+        "prev": "dedup_pipeline_report"},
+    # doc_repetition_stats (r13 block, position 4) precedes both r14
+    # doc-term consumers (corpus_vocab_topk, doc_tfidf_keywords) —
+    # the round-13 observed owner
     "doc_term_matrix": {
-        "owner": "corpus_vocab_topk",
-        "prev": "doc_repetition_stats"},
-    # doc_perplexity_buckets sits at the r12-block tail end, still
-    # ahead of doc_unigram_logprob (r13 block) — same relative order
-    # as round 12, whose observed owner it was
+        "owner": "doc_repetition_stats",
+        "prev": "corpus_vocab_topk"},
+    # doc_perplexity_buckets sits at the r12-block tail end, ahead
+    # of doc_unigram_logprob (r13 block) — round 12's observed owner
     "unigram_scores": {
         "owner": "doc_perplexity_buckets",
-        "prev": "doc_unigram_logprob"},
+        "prev": "doc_perplexity_buckets"},
     "embedding_cluster_closure": {
         "owner": "cross_modal_dup_agreement",
-        "prev": "embedding_dup_clusters"},
+        "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
         "owner": "near_dup_clusters",
-        "prev": "near_dup_representatives"},
-    # embedding_ivf_topk (r12 block) precedes BOTH r13-block IVF-cell
-    # consumers (embedding_dup_clusters, whose near-dup pairs come
-    # from IVF-bucketed candidate blocks — the round-13 OBSERVED
+        "prev": "near_dup_clusters"},
+    # embedding_ivf_topk (front 7) precedes both r13-block IVF-cell
+    # consumers (embedding_dup_clusters — the round-13 OBSERVED
     # owner that corrected the r10-round hand-derivation — and
-    # ivf_recall_report); it was round 12's observed owner under the
-    # same relative order
+    # ivf_recall_report); round 12's observed owner in this order
     "ivf_cell_assignment": {
         "owner": "embedding_ivf_topk",
-        "prev": "embedding_dup_clusters"},
-    # doc_winnow_fingerprints (front 47) computes and persists the
-    # sketch; contamination_overlaps (front 49, spare slot) reads it
-    # warm two positions later
+        "prev": "embedding_ivf_topk"},
+    # doc_winnow_fingerprints (r14 block) computes and persists the
+    # sketch; contamination_overlaps (r14 block tail) reads it warm
+    # — no r12-front or r13-block entry consumes it (rounds 12-14
+    # observations)
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},
@@ -253,7 +254,25 @@ def _warn_if_driver_mem_diverged(spark, requested: dict) -> None:
     if not want:
         return
     got = spark.sparkContext.getConf().get("spark.driver.memory", "")
-    if got != want:
+
+    def _jvm_bytes(s: str) -> "int | None":
+        # JVM -Xmx spelling: optional k/m/g/t suffix, case-insensitive
+        # (round-14 advice: literal string compare flagged 4096m vs
+        # 4g as divergence — normalize before comparing)
+        m = re.fullmatch(
+            r"\s*(\d+)\s*([kmgt]?)b?\s*", s.lower()
+        ) if s else None
+        if not m:
+            return None
+        return int(m.group(1)) * 1024 ** (
+            {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
+        )
+
+    same = (
+        _jvm_bytes(got) is not None
+        and _jvm_bytes(got) == _jvm_bytes(want)
+    )
+    if got != want and not same:
         print(
             f"WARN spark.driver.memory={got or '<default>'} (requested"
             f" {want}): a pre-existing SparkSession was attached, the"
@@ -553,7 +572,6 @@ def main() -> None:
     # per-round config (default sf dir, no overrides).
     if sf_dir == "/root/testdata/sf0.1":
         import glob
-        import re
 
         root = os.path.dirname(os.path.abspath(__file__))
         rounds = [
@@ -589,7 +607,12 @@ def main() -> None:
                        "memo_owner_observed": observed}
             if gc_at_start is not None and gc_after_first is not None:
                 gc_info = {"first_pass_ms": gc_after_first - gc_at_start}
-                if gc_after_warm is not None:
+                # only when the warm loop actually ran (round-14
+                # advice): probes succeed even when the envelope
+                # skipped the pass, and a near-zero warm_pass_ms for
+                # a pass that never happened would mislead the
+                # GC-first drift-adjudication protocol
+                if gc_after_warm is not None and warm:
                     gc_info["warm_pass_ms"] = (
                         gc_after_warm - gc_after_first
                     )

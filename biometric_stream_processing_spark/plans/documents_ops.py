@@ -2767,4 +2767,6 @@ QUERIES = {
     "label_centroid_report": label_centroid_report,
     # round-9 queue, registered round 10
     "embedding_int8_recall": embedding_int8_recall,
+    # round-14 queue, registered round 15 (first verdict)
+    "doc_containment_dups": doc_containment_dups,
 }
