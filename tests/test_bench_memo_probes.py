@@ -101,3 +101,46 @@ def test_bench_and_oracle_harnesses_pin_the_driver_heap():
         "check_oracle.py lost its driver-heap default "
         "(round-13 OOM class)"
     )
+
+
+def test_driver_mem_warning_normalizes_heap_spellings(capsys):
+    """Round-14 advice: the divergence warning compared conf strings
+    literally, so an equivalent spelling of the same heap (a
+    pre-existing session launched with 4096m when 4g was requested)
+    raised a spurious OOM warning. The check must normalize JVM
+    k/m/g/t spellings to bytes first — and still warn on a REAL
+    divergence."""
+    import bench
+
+    class _FakeSpark:
+        def __init__(self, got):
+            conf = type(
+                "C", (), {"get": lambda self, k, d="": got}
+            )()
+            self.sparkContext = type(
+                "SC", (), {"getConf": lambda self: conf}
+            )()
+
+    bench._warn_if_driver_mem_diverged(
+        _FakeSpark("4096m"), {"spark.driver.memory": "4g"}
+    )
+    assert "WARN" not in capsys.readouterr().err
+
+    bench._warn_if_driver_mem_diverged(
+        _FakeSpark("1g"), {"spark.driver.memory": "4g"}
+    )
+    assert "WARN" in capsys.readouterr().err
+
+
+def test_warm_pass_gc_only_recorded_when_warm_loop_ran():
+    """Round-14 advice: gc.warm_pass_ms was written whenever the GC
+    probes succeeded, even when the envelope skipped the warm pass —
+    a near-zero figure for a pass that never ran, which the GC-first
+    drift-adjudication protocol would misread. Source pin: the
+    warm_pass_ms emission must be guarded on the warm dict being
+    non-empty."""
+    src = BENCH.read_text()
+    assert "gc_after_warm is not None and warm" in src, (
+        "bench.py lost the warm-loop guard on gc.warm_pass_ms "
+        "(round-14 advice)"
+    )
