@@ -167,11 +167,15 @@ MEMO_OWNERS = {
     "text_lsh_pairs": {
         "owner": "minhash_lsh_pairs",
         "prev": "dedup_pipeline_report"},
-    # doc_repetition_stats (r13 block, position 4) precedes both r14
-    # doc-term consumers (corpus_vocab_topk, doc_tfidf_keywords) —
-    # the round-13 observed owner
+    # OBSERVED correction (first round-15 bench run): the unigram
+    # scorer's build inside doc_perplexity_buckets (front 48)
+    # materializes the TF matrix too, so the probe fired there — not
+    # at doc_repetition_stats (r13 block), the hand-derived owner.
+    # Rounds 12 and 13 never exposed this because a dedicated
+    # doc-term consumer (doc_tfidf_keywords / doc_repetition_stats)
+    # always ran BEFORE the perplexity entry in those orders.
     "doc_term_matrix": {
-        "owner": "doc_repetition_stats",
+        "owner": "doc_perplexity_buckets",
         "prev": "corpus_vocab_topk"},
     # doc_perplexity_buckets sits at the r12-block tail end, ahead
     # of doc_unigram_logprob (r13 block) — round 12's observed owner
