@@ -747,3 +747,18 @@ def test_cadence_profile_single_user_exchange(spark):
     assert "user_id" in sh[0]
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_constraint_report_single_scan_for_non_referential_rules(spark):
+    """Round-15 merge pin: the unique-rule class folds into the
+    row-rule scan-aggregation, so the WHOLE report reads the fact
+    table exactly TWICE — once for the merged scan-agg, once for the
+    FK anti-join probe side (three scans before the merge; at 100 TB
+    the retired scan is the dominant saving). A refactor that splits
+    unique back out re-grows the scan count and fails here."""
+    p = _plan(analytics.orders_constraint_report(spark, SF_DIR))
+    n_orders_scans = p.count("orders.parquet")
+    assert n_orders_scans == 2, (
+        f"expected 2 scans of orders (merged agg + FK probe), "
+        f"plan has {n_orders_scans}"
+    )

@@ -1,0 +1,171 @@
+"""Warm-wall adjudication entry point (round 15) — automates the
+per-round protocol three verdicts have now repeated by hand:
+
+1. read the newest committed ``BENCH_DETAIL_r<N>.json``;
+2. select the WEAK candidates: batch entries with warm >1 s,
+   excluding the structural rows (streaming / bounded-guarantee /
+   io-round-trip — same sets as tools/ratio_report.py);
+3. time ONLY those entries' oracles in same-session DuckDB at the
+   given SF (best-of-3) and print warm-vs-DuckDB ratios alongside
+   the entry's warm-pass GC millis from the artifact;
+4. flag each line PINNED when the registry source around the entry
+   carries a recorded pin/adjudication marker, so the output reads
+   as "what still needs an isolated A/B this round".
+
+This is a REPORT, not a judgment: the isolated same-boot best-of-5
+protocol (verify skill) still governs any entry this table flags —
+in-bench warm readings of late-loop entries inflate 2-3× over
+isolated A/Bs of identical plans (the round-14 finding the GC column
+records). Run it AFTER bench.py, never concurrently.
+
+Usage: python tools/weak_walls.py [sf_dir] [detail_json]
+"""
+
+from __future__ import annotations
+
+import glob
+import inspect
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from ratio_report import BOUNDED_ORACLE, ROUND_TRIP_ORACLE  # noqa: E402
+
+WARM_WALL_SECONDS = 1.0
+RATIO_BAR = 2.0
+#: markers a recorded adjudication leaves in (or directly above) the
+#: entry's defining function — module comments land in the source
+#: file text, docstring pins in the function body
+PIN_MARKERS = ("FLOOR PIN", "PIN RE-CHECK", "ADJUDICATION",
+               "Pin accepted", "pin reproduce", "floor pin",
+               "Floor-bound", "stage-decomposition",
+               "isolated warm", "inside the ≤3× target",
+               "inside the bar")
+
+#: entries whose recorded pin lives in a HELPER's docstring the
+#: source-proximity heuristic cannot see (annotated explicitly, the
+#: MEMO_OWNERS precedent — update when a pin moves):
+#:   embedding_similar_pairs / embedding_srp_pairs — FLOOR PINS
+#:     paragraph in operators/similarity.similar_pairs_blocked
+#:     (round 12; srp re-pinned round 14);
+#:   split_overlap_matrix — presence-relation shape pin in
+#:     plans/documents_ops.split_grams (round 12, 1.1-1.4×
+#:     isolated, fused-bitmask rewrite measured slower);
+#:   dup_graph_pagerank / dup_graph_bfs_depths / dup_graph_stats —
+#:     round-14 finding: late-warm-loop inflation 2-3× over
+#:     isolated A/Bs (pagerank 3.5-3.8 s isolated vs 8.6 in-bench),
+#:     plans reproduce their pins; GC column attributes it.
+HELPER_PINNED = {
+    "embedding_similar_pairs", "embedding_srp_pairs",
+    "split_overlap_matrix", "dup_graph_pagerank",
+    "dup_graph_bfs_depths", "dup_graph_stats",
+}
+
+
+def _newest_detail(root: str) -> str:
+    paths = glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json"))
+    if not paths:
+        raise SystemExit("no BENCH_DETAIL_r*.json found")
+    return max(
+        paths,
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+
+
+def _pin_status(fn, name: str = "") -> str:
+    """PINNED when the entry's source (or the ~40 lines above it —
+    where module-level notes for fingerprint-frozen entries live)
+    carries an adjudication marker, or the entry is in the annotated
+    helper-pin map above."""
+    if name in HELPER_PINNED:
+        return "PINNED(helper)"
+    try:
+        target = getattr(fn, "__wrapped__", fn)
+        src = inspect.getsource(target)
+        lines, start = inspect.getsourcelines(target)
+        module_src = inspect.getsource(inspect.getmodule(target))
+        above = "\n".join(
+            module_src.splitlines()[max(0, start - 41):start]
+        )
+        hay = src + above
+    except (OSError, TypeError):
+        return "?"
+    return "PINNED" if any(m in hay for m in PIN_MARKERS) else "UNPINNED"
+
+
+def main() -> int:
+    import time
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    detail_path = args[1] if len(args) > 1 else _newest_detail(root)
+
+    with open(detail_path) as f:
+        detail = json.load(f)
+    warm = detail.get("queries_warm") or {}
+    warm_gc = detail.get("queries_warm_gc_ms") or {}
+    if not warm:
+        raise SystemExit(
+            f"{detail_path} has no queries_warm (warm pass skipped: "
+            f"{detail.get('warm_skipped')!r})"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    candidates = [
+        n for n, w in sorted(warm.items(), key=lambda kv: -kv[1])
+        if w > WARM_WALL_SECONDS
+        and not n.startswith("streaming_")
+        and n not in BOUNDED_ORACLE
+        and n not in ROUND_TRIP_ORACLE
+        and n in oracles
+    ]
+    print(
+        f"{os.path.basename(detail_path)}: {len(warm)} warm entries, "
+        f"{len(candidates)} over the {WARM_WALL_SECONDS:.0f}s wall "
+        f"(structural rows excluded)"
+    )
+    if not candidates:
+        return 0
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_unadjudicated = 0
+    print(f"{'entry':34} {'warm':>6} {'gc_ms':>6} {'duck':>6} "
+          f"{'ratio':>6}  status")
+    for name in candidates:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        w = warm[name]
+        ratio = w / best if best else float("inf")
+        status = _pin_status(qs[name], name)
+        flag = ""
+        if ratio > RATIO_BAR and not status.startswith("PINNED"):
+            flag = "  <-- needs isolated A/B"
+            n_unadjudicated += 1
+        print(f"{name:34} {w:6.2f} {warm_gc.get(name, 0):6d} "
+              f"{best:6.2f} {ratio:5.1f}x  {status}{flag}")
+    print(f"unadjudicated >1s/> {RATIO_BAR:.0f}x entries: "
+          f"{n_unadjudicated}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
