@@ -211,6 +211,21 @@ SHOWCASE = [
      "a partition-local two-phase aggregate over the hive-partitioned "
      "ORC scan; the partition column arrives from directory "
      "metadata, not data pages."),
+    ("doc_containment_dups",
+     "Asymmetric containment dedup (round-14 queue, registered round "
+     "15): the banded-LSH candidate pairs equi-join back to the "
+     "corpus twice on doc id, the intersection count runs in codegen "
+     "(`array_intersect`-family expressions, no UDF), and NO "
+     "cartesian appears anywhere — the bucketed candidate generation "
+     "bounds the pair fan-out exactly as in the Jaccard verify."),
+    ("orders_constraint_report",
+     "Declarative validation report (round-15 single-scan merge): "
+     "exactly TWO scans of orders — one merged scan-aggregation "
+     "carrying every row-predicate rule AND the unique rule (the "
+     "single-distinct rewrite groups by the key, row-rule partials "
+     "ride the same exchange), plus the FK anti-join probe side. The "
+     "anti-join broadcasts from STATS (no hint since round 13) and "
+     "flips to a shuffled join at scale."),
 ]
 
 
