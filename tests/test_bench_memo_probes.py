@@ -144,3 +144,47 @@ def test_warm_pass_gc_only_recorded_when_warm_loop_ran():
         "bench.py lost the warm-loop guard on gc.warm_pass_ms "
         "(round-14 advice)"
     )
+
+
+def test_weak_walls_selection_and_pin_detection():
+    """tools/weak_walls.py (round 15) mechanizes the warm-wall
+    protocol; its two pure pieces are pinned here so the tool cannot
+    silently drift from the verdict's weak-line definition:
+    selection = batch entries >1 s warm with structural rows
+    (streaming / bounded-oracle / io-round-trip) excluded, and the
+    pin detector must see a docstring pin, a module-level note above
+    a frozen entry, AND the annotated helper-pin map."""
+    import sys
+
+    sys.path.insert(0, str(BENCH.parent / "tools"))
+    import weak_walls
+
+    warm = {
+        "streaming_ewma": 9.0,            # streaming -> excluded
+        "orc_interchange_report": 9.0,    # round-trip -> excluded
+        "hll_user_rollup": 9.0,           # bounded oracle -> excluded
+        "fast_entry": 0.4,                # under the wall
+        "no_oracle_entry": 5.0,           # no oracle -> excluded
+        "slow_b": 1.5,
+        "slow_a": 2.5,
+    }
+    oracles = {n: "SELECT 1" for n in warm if n != "no_oracle_entry"}
+    assert weak_walls.select_candidates(warm, oracles) == [
+        "slow_a", "slow_b",
+    ]
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # docstring pin (round-15 floor pin lives in the fn body)
+    assert weak_walls._pin_status(
+        qs["embedding_rrf_fusion"], "embedding_rrf_fusion"
+    ) == "PINNED"
+    # module-level note above a fingerprint-frozen entry
+    assert weak_walls._pin_status(
+        qs["corpus_pmi_collocations"], "corpus_pmi_collocations"
+    ) == "PINNED"
+    # helper-docstring pin via the annotated map
+    assert weak_walls._pin_status(
+        qs["split_overlap_matrix"], "split_overlap_matrix"
+    ) == "PINNED(helper)"

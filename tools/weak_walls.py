@@ -65,6 +65,20 @@ HELPER_PINNED = {
 }
 
 
+def select_candidates(warm: dict, oracles: dict) -> list:
+    """The weak-candidate rule, shared with the CI smoke test: batch
+    entries over the warm wall, structural rows excluded, slowest
+    first."""
+    return [
+        n for n, w in sorted(warm.items(), key=lambda kv: -kv[1])
+        if w > WARM_WALL_SECONDS
+        and not n.startswith("streaming_")
+        and n not in BOUNDED_ORACLE
+        and n not in ROUND_TRIP_ORACLE
+        and n in oracles
+    ]
+
+
 def _newest_detail(root: str) -> str:
     paths = glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json"))
     if not paths:
@@ -120,14 +134,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    candidates = [
-        n for n, w in sorted(warm.items(), key=lambda kv: -kv[1])
-        if w > WARM_WALL_SECONDS
-        and not n.startswith("streaming_")
-        and n not in BOUNDED_ORACLE
-        and n not in ROUND_TRIP_ORACLE
-        and n in oracles
-    ]
+    candidates = select_candidates(warm, oracles)
     print(
         f"{os.path.basename(detail_path)}: {len(warm)} warm entries, "
         f"{len(candidates)} over the {WARM_WALL_SECONDS:.0f}s wall "
