@@ -18,7 +18,17 @@ in-bench warm readings of late-loop entries inflate 2-3× over
 isolated A/Bs of identical plans (the round-14 finding the GC column
 records). Run it AFTER bench.py, never concurrently.
 
-Usage: python tools/weak_walls.py [sf_dir] [detail_json]
+Usage:
+  python tools/weak_walls.py [sf_dir] [detail_json]
+  python tools/weak_walls.py --ab <entry> [entry ...] [--sf sf_dir]
+
+``--ab`` runs the SECOND half of the protocol for the named entries:
+a fresh bench-conf session (4g heap pin honored, bench warmups, the
+four lazy persists), one cold call per entry (materializes its
+memos), then warm best-of-5 vs same-session DuckDB best-of-5 —
+printing the pin-ready line the docstring adjudications record.
+Run it alone on a quiet host; it is the isolated same-boot A/B,
+so nothing else may share the machine while it times.
 """
 
 from __future__ import annotations
@@ -110,15 +120,97 @@ def _pin_status(fn, name: str = "") -> str:
     return "PINNED" if any(m in hay for m in PIN_MARKERS) else "UNPINNED"
 
 
+def _duck_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def run_isolated_ab(entries: list, sf_dir: str) -> int:
+    """The isolated same-boot best-of-5 A/B (verify-skill protocol),
+    mechanized: bench confs + warmups + the four lazy persists, one
+    cold call per entry, then 5 warm Spark timings vs 5 same-session
+    DuckDB timings. The printed RESULT line is what a docstring pin
+    records."""
+    import statistics
+    import time
+
+    import __spark_entry__ as entrymod
+    from bench import BENCH_CONFS, _warn_if_driver_mem_diverged
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        doc_winnow_fingerprints,
+        documents_clean_corpus,
+        minhash_lsh_pairs,
+        shared_ivf_cells,
+    )
+    from biometric_stream_processing_spark.session import get_spark
+
+    spark = get_spark("weak-walls-ab", extra_confs=BENCH_CONFS)
+    _warn_if_driver_mem_diverged(spark, BENCH_CONFS)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    unknown = [n for n in entries if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown entries: {unknown}")
+
+    qs["alerts_throttled"](spark, sf_dir).count()
+    qs["alerts_leading_debounce"](spark, sf_dir).count()
+    for f in (minhash_lsh_pairs, shared_ivf_cells,
+              doc_winnow_fingerprints, documents_clean_corpus):
+        f(spark, sf_dir).persist()
+
+    con = _duck_connect(sf_dir)
+    for name in entries:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        cold = time.time() - t0
+        warm = []
+        for _ in range(5):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            warm.append(time.time() - t0)
+        dd = []
+        for _ in range(5):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            dd.append(time.time() - t0)
+        bs, bd = min(warm), min(dd)
+        print(
+            f"RESULT {name}: cold={cold:.2f}s "
+            f"warm best={bs:.3f} median={statistics.median(warm):.3f} "
+            f"all={[round(w, 3) for w in warm]} | "
+            f"duckdb best={bd:.3f} median={statistics.median(dd):.3f} "
+            f"| ratio(best)={bs / bd:.2f}x",
+            flush=True,
+        )
+    return 0
+
+
 def main() -> int:
     import time
 
-    import duckdb
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = sys.argv[1:]
+    if args and args[0] == "--ab":
+        rest = args[1:]
+        sf_dir = "/root/testdata/sf0.1"
+        if "--sf" in rest:
+            i = rest.index("--sf")
+            sf_dir = rest[i + 1]
+            rest = rest[:i] + rest[i + 2:]
+        if not rest:
+            raise SystemExit("--ab needs at least one entry name")
+        return run_isolated_ab(rest, sf_dir)
 
     import __spark_entry__ as entrymod
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     detail_path = args[1] if len(args) > 1 else _newest_detail(root)
 
@@ -143,12 +235,7 @@ def main() -> int:
     if not candidates:
         return 0
 
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = _duck_connect(sf_dir)
 
     n_unadjudicated = 0
     print(f"{'entry':34} {'warm':>6} {'gc_ms':>6} {'duck':>6} "
