@@ -146,21 +146,37 @@ def constraint_report(
     scan_rules = row_rules + uniq_rules
     parts: list[DataFrame] = []
     if scan_rules:
+        # Positional aliases (_v0, _v1, ...) keep rule names out of
+        # column identifiers entirely; the names re-enter only as
+        # F.lit values in the struct array below. Round-16 advice
+        # fix: the previous stack() expr interpolated each name into
+        # an F.expr string with backtick/single-quote wrapping, so a
+        # rule or column name containing either character broke the
+        # parse — the struct-array + explode form is name-safe with
+        # the identical physical shape (one scan-aggregation, then a
+        # Generate over the 1-row result; value-identical, CI scan
+        # pin unchanged at 2 fact-table reads).
         aggs = [
-            F.sum(_violation_pred(r).cast("long")).alias(r.name)
-            for r in row_rules
+            F.sum(_violation_pred(r).cast("long")).alias(f"_v{i}")
+            for i, r in enumerate(row_rules)
         ] + [
-            (F.count(r.col) - F.countDistinct(r.col)).alias(r.name)
-            for r in uniq_rules
+            (F.count(r.col) - F.countDistinct(r.col)).alias(
+                f"_v{len(row_rules) + i}"
+            )
+            for i, r in enumerate(uniq_rules)
         ]
         one = df.agg(*aggs)
-        stacked = ", ".join(
-            f"'{r.name}', `{r.name}`" for r in scan_rules
+        pairs = F.array(*[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"_v{i}").cast("long").alias("n_violations"),
+            )
+            for i, r in enumerate(scan_rules)
+        ])
+        parts.append(
+            one.select(F.explode(pairs).alias("_p"))
+            .select("_p.rule", "_p.n_violations")
         )
-        parts.append(one.select(F.expr(
-            f"stack({len(scan_rules)}, {stacked}) AS "
-            "(rule, n_violations)"
-        )))
     for r in rules:
         if r.kind == "foreign_key":
             ref_df = refs[r.ref].select(

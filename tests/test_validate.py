@@ -59,3 +59,26 @@ def test_clean_frame_reports_all_zero(spark):
     ).collect()
     assert all(r.n_violations == 0 for r in out)
     assert len(out) == 3
+
+
+def test_rule_names_with_quotes_and_backticks(spark):
+    """Round-16 advice regression: rule names flow into the report as
+    literal VALUES, never as parsed identifiers — a name containing a
+    backtick or single quote (previously a parse error in the
+    interpolated stack() expr) must evaluate and label its row
+    verbatim, for both the row-rule and unique classes."""
+    from biometric_stream_processing_spark.operators.validate import Rule
+
+    df = spark.createDataFrame(
+        [(1, None), (1, 2.0), (2, 3.0)], "k long, v double"
+    )
+    weird_row = Rule("not_null(`v'` \"x\")", "not_null", "v")
+    weird_uni = Rule("unique('k` y)", "unique", "k")
+    out = {
+        r.rule: r.n_violations
+        for r in constraint_report(df, [weird_row, weird_uni]).collect()
+    }
+    assert out == {
+        "not_null(`v'` \"x\")": 1,
+        "unique('k` y)": 1,
+    }

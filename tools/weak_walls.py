@@ -40,7 +40,12 @@ import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+# repo root on sys.path (round-16 advice: "." only resolved
+# __spark_entry__ / bench when the tool was launched from the repo
+# root — compute the root from this file's location instead so the
+# tool runs from any cwd)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 from ratio_report import BOUNDED_ORACLE, ROUND_TRIP_ORACLE  # noqa: E402
 
@@ -68,10 +73,15 @@ PIN_MARKERS = ("FLOOR PIN", "PIN RE-CHECK", "ADJUDICATION",
 #:     round-14 finding: late-warm-loop inflation 2-3× over
 #:     isolated A/Bs (pagerank 3.5-3.8 s isolated vs 8.6 in-bench),
 #:     plans reproduce their pins; GC column attributes it.
+#:   doc_perplexity_buckets — FLOOR PIN (round 12, 72% floor,
+#:     0.458 s warm / 3.6×) in the ``corpus_ops.perplexity_buckets``
+#:     helper docstring (annotated here in round 16 when the pin
+#:     detector stopped accepting unanchored neighboring text).
 HELPER_PINNED = {
     "embedding_similar_pairs", "embedding_srp_pairs",
     "split_overlap_matrix", "dup_graph_pagerank",
     "dup_graph_bfs_depths", "dup_graph_stats",
+    "doc_perplexity_buckets",
 }
 
 
@@ -100,24 +110,37 @@ def _newest_detail(root: str) -> str:
 
 
 def _pin_status(fn, name: str = "") -> str:
-    """PINNED when the entry's source (or the ~40 lines above it —
-    where module-level notes for fingerprint-frozen entries live)
-    carries an adjudication marker, or the entry is in the annotated
-    helper-pin map above."""
+    """PINNED when an adjudication marker is ANCHORED to the entry:
+    either inside the entry's own source (docstring pins), or in a
+    module-level comment block that NAMES the entry (where pins for
+    fingerprint-frozen entries live). Round-16 advice fix: the old
+    heuristic accepted any marker in the 40 lines above the def, so
+    an unrelated neighbor's note could mark an unadjudicated entry
+    PINNED — now a module-level marker only counts when the same
+    contiguous comment block mentions the entry's name."""
     if name in HELPER_PINNED:
         return "PINNED(helper)"
     try:
         target = getattr(fn, "__wrapped__", fn)
         src = inspect.getsource(target)
-        lines, start = inspect.getsourcelines(target)
         module_src = inspect.getsource(inspect.getmodule(target))
-        above = "\n".join(
-            module_src.splitlines()[max(0, start - 41):start]
-        )
-        hay = src + above
     except (OSError, TypeError):
         return "?"
-    return "PINNED" if any(m in hay for m in PIN_MARKERS) else "UNPINNED"
+    if any(m in src for m in PIN_MARKERS):
+        return "PINNED"
+    block: list[str] = []
+    for line in module_src.splitlines() + [""]:
+        if line.lstrip().startswith("#"):
+            block.append(line)
+            continue
+        if block:
+            text = "\n".join(block)
+            if name and name in text and any(
+                m in text for m in PIN_MARKERS
+            ):
+                return "PINNED"
+            block = []
+    return "UNPINNED"
 
 
 def _duck_connect(sf_dir: str):
