@@ -142,111 +142,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 15 (recorded rounds r1-r7, r9-r14): r12 leaves the window
-    # when this round records (post-recording window {r13, r14, r15}),
-    # so the r12-green remainder fills the front — derived fresh via
-    # tools/round_plan.py against CORRECTNESS_r{12,13,14}: exactly 48
-    # entries have last-green r12 (the 50-entry r12 block minus
-    # contamination_overlaps and doc_tfidf_keywords, both re-verified
-    # as round-14 spares); the r13/r14 blocks are 50 each and the
-    # round-14 queue held ONE entry — 48+50+50+1 = 149 total,
-    # set-check clean. Front = 48 r12-due in r12 gate order + the
-    # queue's first-verdict + 1 spare = 50:
-    #   - position 49: doc_containment_dups (round-14 queue →
-    #     REGISTERED this round, first verdict) — placed after the
-    #     whole r12 block so the banded-LSH candidate chain it
-    #     reuses (materialized by minhash_lsh_pairs at front 2)
-    #     reads warm, matching its pre-registration baseline
-    #     protocol; bills nothing.
-    #   - spare (position 50): orders_constraint_report (r13 block)
-    #     — VERDICT_r14 "What's wrong #1": warm 0.38→1.03 s on the
-    #     r14 boot with GC ruled out by its own telemetry, the
-    #     round's one unexplained mover. Fronting it re-verifies it
-    #     (round 16 owes 49, one spare) AND opens its fingerprint
-    #     window so the adjudication can land an in-block fix if
-    #     one is warranted.
-    # MEMO_OWNERS moves (bench.py map): the front replicates the r12
-    # gate order, so the BENCH_DETAIL_r12 OBSERVED owners apply to
-    # the front verbatim — minhash_lsh_pairs (front 2) the LSH pair
-    # chain, near_dup_clusters (front 3) the text closure,
-    # embedding_ivf_topk (front 7) the IVF cells,
-    # corpus_token_budget (front 9) the clean corpus,
-    # cross_modal_dup_agreement (front 10) the embedding closure,
-    # doc_perplexity_buckets (front 48) the unigram scorer. The r13
-    # block now precedes the r14 block in the tail, so the r13-round
-    # owners return for the rest: decontaminated_train_docs the
-    # decontam index + survivors, training_corpus its rows,
-    # doc_repetition_stats the doc-term matrix,
-    # embedding_kmeans_quality the kmeans map; the winnow sketch
-    # stays with doc_winnow_fingerprints (r14 block — no r13-block
-    # consumer precedes it, same derivation as rounds 13/14).
+    # ROUND 16 (recorded rounds r1-r7, r9-r15): r13 leaves the window
+    # when this round records (post-recording window {r14, r15, r16}),
+    # so the r13-green remainder fills the front — derived fresh via
+    # tools/round_plan.py against CORRECTNESS_r{13,14,15}: exactly 49
+    # entries have last-green r13 (the 50-entry r13 block minus
+    # orders_constraint_report, re-verified as round 15's spare); the
+    # r14/r15 blocks are 50 each and the queue is EMPTY — 49+50+50 =
+    # 149 total, set-check clean. Front = 49 r13-due in r13 gate
+    # order + 1 spare = 50:
+    #   - spare (position 50): orders_constraint_report (r15 block)
+    #     — FORCED by the round-16 advice fix in
+    #     operators/validate.constraint_report (the stack() expr →
+    #     struct-array/explode name-safety rework): it is the ONLY
+    #     entry whose DEEP fingerprint folds validate.py defs, so
+    #     the helper edit re-enters it through the gate
+    #     (test_changed_helpers_reenter_the_gate_window). This
+    #     displaces the tail note's nominated r14-block spare: round
+    #     17 therefore owes the FULL 50-entry r14 block — exactly
+    #     GATE_CAP, feasible with zero spares (re-derive as always).
+    # MEMO_OWNERS moves (bench.py map): the front replicates the r13
+    # gate order (orders_constraint_report, which owns no memos,
+    # merely moved to position 50), so the BENCH_DETAIL_r13 OBSERVED
+    # owners apply to the front verbatim — embedding_kmeans_quality
+    # (front 1) the kmeans map, decontaminated_train_docs (front 2)
+    # the decontam index + survivors, training_corpus (front 3) its
+    # rows AND the clean corpus AND the LSH pair chain (first
+    # consumer of both in this order), doc_repetition_stats (front 4)
+    # the doc-term matrix, embedding_dup_clusters (front 9) the IVF
+    # cells + embedding closure, near_dup_representatives (front 10)
+    # the text closure, doc_unigram_logprob (front 47) the unigram
+    # scorer; the winnow sketch stays with doc_winnow_fingerprints
+    # (r14 block, first in the tail — same derivation as r13).
     front = [
-        # --- last green r12 (oldest debt) IN ITS r12 GATE ORDER —
-        # 48 entries; order preserved so BENCH_DETAIL_r12 per-query
+        # --- last green r13 (oldest debt) IN ITS r13 GATE ORDER —
+        # 49 entries; order preserved so BENCH_DETAIL_r13 per-query
         # numbers stay comparable ---
-        "dedup_exact", "minhash_lsh_pairs",
-        "near_dup_clusters", "simhash_fingerprints",
-        "simhash_dup_pairs",
-        "embedding_topk", "embedding_ivf_topk",
-        "embedding_similar_pairs_bucketed",
-        "corpus_token_budget", "cross_modal_dup_agreement",
-        "asof_latest_reading", "cogrouped_purchase_values",
-        "event_type_stats", "funnel_view_click_purchase",
-        "approx_percentile_bounds", "doc_text_stats",
-        "doc_token_counts", "doc_lang_quality",
-        "streaming_alert_windows_update",
-        "streaming_alert_windows_complete",
-        "streaming_dedup_canonicals",
-        "multimodal_meta", "multimodal_frame_samples",
-        "multimodal_features",
-        "parse_props_json", "serialize_events_json",
-        "interval_join_pairs", "full_outer_daily",
-        "tumbling_hourly", "user_sessions",
-        "props_map_entries", "salted_distinct_users",
-        "native_session_stats",
-        "fuzzy_name_matches", "event_type_ohlc",
-        "purchase_attribution",
-        "embedding_rrf_fusion", "session_transitions",
-        "event_skew_profile", "label_centroid_report",
-        "streaming_ohlc", "doc_passage_dedup",
-        "doc_bigram_logprob",
-        "streaming_funnel",
-        "orc_interchange_report",
-        "streaming_user_gapfill",
-        "doc_duplicate_spans",
-        "doc_perplexity_buckets",
-        # --- first verdict: round-14 queue (see the front note) ---
-        "doc_containment_dups",
-        # --- spare (r13-block re-verification; see the front note) ---
-        "orders_constraint_report",
-    ]
-    tail = [
-        # ROUND-16 OBLIGATION (K=3 on recorded rounds; once round 15
-        # records, the window is {r13, r14, r15} and r13 leaves when
-        # round 16 records): the 49-entry r13-green remainder below
-        # (embedding_kmeans_quality ..
-        # streaming_enriched_segment_counts, r13 gate order, minus
-        # orders_constraint_report — round 15's spare) fills the
-        # round-16 front; the queue is EMPTY, so 49 ≤ 50 leaves ONE
-        # spare slot. ROUND-17 FEASIBILITY (re-derive from the
-        # CORRECTNESS files via tools/round_plan.py, do not trust
-        # this count — the round-11 arithmetic catch is the
-        # precedent): the r14-green block is 50 entries
-        # (CORRECTNESS_r14 is 50/50 green and only
-        # orders_constraint_report of the r13/r14 blocks re-verifies
-        # in round 15), so round 17 would owe exactly 50 — capacity,
-        # zero spares — UNLESS round 16's spare pre-verifies an
-        # r14-block entry (nominate one with standing watch status
-        # when writing the round-16 front; doc_tfidf_keywords and
-        # contamination_overlaps both carry warm-wall pins). Queue
-        # net-new in round 16 ONLY by displacing that spare: at
-        # N=149 the rotation averages 49.7 slots/round, so every
-        # queued entry must pay for itself in spare arithmetic.
-        #
-        # --- last green r13 (r13 gate order preserved so memo
-        # billing stays comparable; orders_constraint_report moved
-        # to the round-15 spare slot above — rotates front in
-        # round 16) ---
         "embedding_kmeans_quality",
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
@@ -278,9 +209,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob",
         "biometric_union",
         "streaming_enriched_segment_counts",
-        # --- last green r14 (r14 gate order preserved; rotates
-        # front in round 17 — round 16's spare should pre-verify
-        # one of its entries, see the note above) ---
+        # --- spare: validate.py advice fix re-enters this entry
+        # through the gate (see the front note) ---
+        "orders_constraint_report",
+    ]
+    tail = [
+        # ROUND-17 OBLIGATION (K=3 on recorded rounds; once round 16
+        # records, the window is {r14, r15, r16} and r14 leaves when
+        # round 17 records): the FULL 50-entry r14-green block below
+        # (alert_windows .. doc_tfidf_keywords, r14 gate order) fills
+        # the round-17 front — round 16's spare went to
+        # orders_constraint_report (forced by the validate.py advice
+        # fix), so NO r14 entry was pre-verified: 50 = GATE_CAP
+        # exactly, ZERO spare slots, and round 17 must queue NOTHING
+        # and make no code/helper edit that re-enters any non-r14
+        # entry through the gate (no free slot to absorb it — stage
+        # such work as fingerprint-free twins or defer to round 18).
+        # ROUND-18 FEASIBILITY (re-derive from the CORRECTNESS files
+        # via tools/round_plan.py, do not trust this count — the
+        # round-11 arithmetic catch is the precedent): the r15-green
+        # remainder is 49 entries (the 50-entry r15 block minus
+        # orders_constraint_report, re-verified here in round 16), so
+        # round 18 owes 49 — one spare again. At N=149 the rotation
+        # averages 49.7 slots/round; every queued entry must pay for
+        # itself in spare arithmetic.
+        #
+        # --- last green r14 (r14 gate order preserved so memo
+        # billing stays comparable; rotates front in round 17) ---
         "alert_windows",
         "alerts_throttled", "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -311,6 +266,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma",
         "contamination_overlaps",
         "doc_tfidf_keywords",
+        # --- last green r15 (r15 gate order preserved;
+        # orders_constraint_report moved to the round-16 spare slot
+        # above — its remainder rotates front in round 18) ---
+        "dedup_exact", "minhash_lsh_pairs",
+        "near_dup_clusters", "simhash_fingerprints",
+        "simhash_dup_pairs",
+        "embedding_topk", "embedding_ivf_topk",
+        "embedding_similar_pairs_bucketed",
+        "corpus_token_budget", "cross_modal_dup_agreement",
+        "asof_latest_reading", "cogrouped_purchase_values",
+        "event_type_stats", "funnel_view_click_purchase",
+        "approx_percentile_bounds", "doc_text_stats",
+        "doc_token_counts", "doc_lang_quality",
+        "streaming_alert_windows_update",
+        "streaming_alert_windows_complete",
+        "streaming_dedup_canonicals",
+        "multimodal_meta", "multimodal_frame_samples",
+        "multimodal_features",
+        "parse_props_json", "serialize_events_json",
+        "interval_join_pairs", "full_outer_daily",
+        "tumbling_hourly", "user_sessions",
+        "props_map_entries", "salted_distinct_users",
+        "native_session_stats",
+        "fuzzy_name_matches", "event_type_ohlc",
+        "purchase_attribution",
+        "embedding_rrf_fusion", "session_transitions",
+        "event_skew_profile", "label_centroid_report",
+        "streaming_ohlc", "doc_passage_dedup",
+        "doc_bigram_logprob",
+        "streaming_funnel",
+        "orc_interchange_report",
+        "streaming_user_gapfill",
+        "doc_duplicate_spans",
+        "doc_perplexity_buckets",
+        "doc_containment_dups",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]
@@ -320,13 +310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE QUEUE: implemented, oracled and unit-tested ops NOT yet
     in ``queries()`` when the verdict prefix is full. EMPTY in
-    round 15 — the round-14 queue's single entry
-    (doc_containment_dups) REGISTERED this round at front
-    position 49 for its first verdict, and the tail note's
-    round-16 arithmetic (49 r13-due, one spare) leaves no free
-    first-verdict slot to justify queueing net-new work this round
-    (VERDICT_r14 next-steps #1). The cap here stays ≤2 whenever the
-    queue is non-empty.
+    round 16 — the round's one spare slot went to
+    orders_constraint_report (forced through the gate by the
+    validate.py advice fix), and round 17 owes the full 50-entry r14
+    block with ZERO spares, so queueing net-new work now would make
+    the round-17 rotation infeasible (VERDICT_r15 next-steps #6:
+    rotation health outranks novelty at N=149). The cap here stays
+    ≤2 whenever the queue is non-empty.
 
     ``tools/check_oracle.py --queued`` verifies entries here against
     ``oracle_sql()`` exactly like registered ones, and

@@ -133,72 +133,67 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-15 registration: the 48-entry r12-green obligation block
-    # leads IN ITS r12 GATE ORDER, then the round-14 queue's first
-    # verdict (doc_containment_dups — reads the LSH candidate chain
-    # warm, bills nothing) and the spare (orders_constraint_report,
-    # no shared-memo consumption). The front replicates the r12
-    # order, so the BENCH_DETAIL_r12 OBSERVED map applies to the
-    # front verbatim; the r13 block again precedes the r14 block in
-    # the tail, so the r13-round owners return for the deep-chain
-    # memos (decontam, training corpus, doc-term matrix).
-    # "prev" = the round-14 owner, so round-over-round per-query
+    # Round-16 registration: the 49-entry r13-green obligation block
+    # leads IN ITS r13 GATE ORDER, then the spare
+    # (orders_constraint_report — no shared-memo consumption). The
+    # front replicates the r13 order exactly (the spare owned
+    # nothing in r13 either), so the BENCH_DETAIL_r13 OBSERVED map
+    # applies to the front verbatim; the r14 block precedes the r15
+    # block in the tail, the same relative order as rounds 13-15 for
+    # every tail-owned memo.
+    # "prev" = the round-15 owner, so round-over-round per-query
     # diffs separate billing shifts from real regressions.
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # decontaminated_train_docs (r13 block, position 2) precedes
-    # training_corpus and dedup_pipeline_report (r14 block) — the
-    # round-13 observed owner under the same relative order
     "decontam_gram_index": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
+        "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
         "owner": "decontaminated_train_docs",
-        "prev": "dedup_pipeline_report"},
+        "prev": "decontaminated_train_docs"},
     "training_corpus_rows": {
         "owner": "training_corpus",
-        "prev": "dedup_pipeline_report"},
-    # corpus_token_budget (front 9) is the first clean-corpus
-    # consumer — round 12's observed owner in the same front order
+        "prev": "training_corpus"},
+    # training_corpus (front 3) is the first clean-corpus AND first
+    # LSH-chain consumer in the r13 order (corpus_token_budget and
+    # minhash_lsh_pairs both sit in the r15 tail block now) — the
+    # round-13 OBSERVED owners under this exact order
     "clean_corpus": {
-        "owner": "corpus_token_budget",
-        "prev": "dedup_pipeline_report"},
+        "owner": "training_corpus",
+        "prev": "corpus_token_budget"},
     "text_lsh_pairs": {
-        "owner": "minhash_lsh_pairs",
-        "prev": "dedup_pipeline_report"},
-    # OBSERVED correction (first round-15 bench run): the unigram
-    # scorer's build inside doc_perplexity_buckets (front 48)
-    # materializes the TF matrix too, so the probe fired there — not
-    # at doc_repetition_stats (r13 block), the hand-derived owner.
-    # Rounds 12 and 13 never exposed this because a dedicated
-    # doc-term consumer (doc_tfidf_keywords / doc_repetition_stats)
-    # always ran BEFORE the perplexity entry in those orders.
+        "owner": "training_corpus",
+        "prev": "minhash_lsh_pairs"},
+    # doc_repetition_stats (front 4) is the first doc-term-matrix
+    # consumer again (round-13 observed owner); the round-15
+    # perplexity-entry billing applied only while no dedicated
+    # doc-term consumer preceded it in the r12 order
     "doc_term_matrix": {
-        "owner": "doc_perplexity_buckets",
-        "prev": "corpus_vocab_topk"},
-    # doc_perplexity_buckets sits at the r12-block tail end, ahead
-    # of doc_unigram_logprob (r13 block) — round 12's observed owner
-    "unigram_scores": {
-        "owner": "doc_perplexity_buckets",
+        "owner": "doc_repetition_stats",
         "prev": "doc_perplexity_buckets"},
+    # doc_unigram_logprob (front 47) precedes doc_perplexity_buckets
+    # (r15 tail block) — round 13's observed owner
+    "unigram_scores": {
+        "owner": "doc_unigram_logprob",
+        "prev": "doc_perplexity_buckets"},
+    # embedding_dup_clusters (front 9) is the first IVF-cell AND
+    # embedding-closure consumer (round-13 OBSERVED owner — the
+    # observation that corrected the r10-round hand-derivation);
+    # near_dup_representatives (front 10) the text closure
     "embedding_cluster_closure": {
-        "owner": "cross_modal_dup_agreement",
+        "owner": "embedding_dup_clusters",
         "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
-        "owner": "near_dup_clusters",
+        "owner": "near_dup_representatives",
         "prev": "near_dup_clusters"},
-    # embedding_ivf_topk (front 7) precedes both r13-block IVF-cell
-    # consumers (embedding_dup_clusters — the round-13 OBSERVED
-    # owner that corrected the r10-round hand-derivation — and
-    # ivf_recall_report); round 12's observed owner in this order
     "ivf_cell_assignment": {
-        "owner": "embedding_ivf_topk",
+        "owner": "embedding_dup_clusters",
         "prev": "embedding_ivf_topk"},
-    # doc_winnow_fingerprints (r14 block) computes and persists the
-    # sketch; contamination_overlaps (r14 block tail) reads it warm
-    # — no r12-front or r13-block entry consumes it (rounds 12-14
-    # observations)
+    # doc_winnow_fingerprints (r14 block, leads the tail) computes
+    # and persists the sketch; contamination_overlaps (r14 block
+    # tail) reads it warm — no r13-front entry consumes it (same
+    # derivation as rounds 13-15)
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},
@@ -608,7 +603,20 @@ def main() -> None:
             payload = {"queries": timings, "sf": sf_val,
                        "total": round(total, 3),
                        "memo_owner": MEMO_OWNERS,
-                       "memo_owner_observed": observed}
+                       "memo_owner_observed": observed,
+                       # loop position per query (0-based registration
+                       # order — also the warm-loop order, which skips
+                       # streaming entries but preserves it): round-15
+                       # verdict #4 — both of that round's weak flags
+                       # were LATE-loop entries whose in-bench warm
+                       # readings carry end-of-run inflation, and the
+                       # adjudication kept re-deriving "it sits at
+                       # tail position N" by hand; weak_walls now
+                       # annotates it from this map the way the GC
+                       # columns already rule out heap thrash
+                       "queries_order": {
+                           q: i for i, q in enumerate(qs)
+                       }}
             if gc_at_start is not None and gc_after_first is not None:
                 gc_info = {"first_pass_ms": gc_after_first - gc_at_start}
                 # only when the warm loop actually ran (round-14

@@ -188,3 +188,23 @@ def test_weak_walls_selection_and_pin_detection():
     assert weak_walls._pin_status(
         qs["split_overlap_matrix"], "split_overlap_matrix"
     ) == "PINNED(helper)"
+
+
+def test_bench_detail_records_loop_positions():
+    """Round-15 verdict #4: BENCH_DETAIL must carry queries_order
+    (0-based loop position per query) so weak_walls can annotate
+    tail-position inflation instead of hand-deriving it; weak_walls
+    must read it fail-soft (older artifacts lack the map)."""
+    src = BENCH.read_text()
+    assert '"queries_order"' in src and "enumerate(qs)" in src, (
+        "bench.py lost the queries_order loop-position map"
+    )
+    import sys
+
+    sys.path.insert(0, str(BENCH.parent / "tools"))
+    import weak_walls
+
+    ww = open(weak_walls.__file__).read()
+    assert 'detail.get("queries_order")' in ww, (
+        "weak_walls must read queries_order fail-soft"
+    )

@@ -8,9 +8,13 @@ per-round protocol three verdicts have now repeated by hand:
 3. time ONLY those entries' oracles in same-session DuckDB at the
    given SF (best-of-3) and print warm-vs-DuckDB ratios alongside
    the entry's warm-pass GC millis from the artifact;
-4. flag each line PINNED when the registry source around the entry
-   carries a recorded pin/adjudication marker, so the output reads
-   as "what still needs an isolated A/B this round".
+4. flag each line PINNED when a recorded pin/adjudication marker is
+   anchored to the entry (its own source, or a module comment block
+   naming it), so the output reads as "what still needs an isolated
+   A/B this round"; and annotate each line's warm-loop POSITION from
+   the artifact's ``queries_order`` map (round 16) — a ``*`` marks
+   the last fifth of the loop, where in-bench warm readings carry
+   the documented 2-3× end-of-run inflation.
 
 This is a REPORT, not a judgment: the isolated same-boot best-of-5
 protocol (verify skill) still governs any entry this table flags —
@@ -241,6 +245,8 @@ def main() -> int:
         detail = json.load(f)
     warm = detail.get("queries_warm") or {}
     warm_gc = detail.get("queries_warm_gc_ms") or {}
+    order = detail.get("queries_order") or {}
+    n_order = (max(order.values()) + 1) if order else 0
     if not warm:
         raise SystemExit(
             f"{detail_path} has no queries_warm (warm pass skipped: "
@@ -261,8 +267,8 @@ def main() -> int:
     con = _duck_connect(sf_dir)
 
     n_unadjudicated = 0
-    print(f"{'entry':34} {'warm':>6} {'gc_ms':>6} {'duck':>6} "
-          f"{'ratio':>6}  status")
+    print(f"{'entry':34} {'warm':>6} {'gc_ms':>6} {'pos':>8} "
+          f"{'duck':>6} {'ratio':>6}  status")
     for name in candidates:
         best = None
         for _ in range(3):
@@ -273,12 +279,22 @@ def main() -> int:
         w = warm[name]
         ratio = w / best if best else float("inf")
         status = _pin_status(qs[name], name)
+        # loop position (round-15 verdict #4): late-loop warm
+        # readings inflate 2-3× over isolated A/Bs — annotate the
+        # position so the "tail-position inflation" hypothesis reads
+        # off the table instead of being re-derived by hand
+        if name in order:
+            pos = f"{order[name] + 1}/{n_order}"
+            if n_order and order[name] >= 0.8 * n_order:
+                pos += "*"  # late-loop: inflation-suspect reading
+        else:
+            pos = "-"
         flag = ""
         if ratio > RATIO_BAR and not status.startswith("PINNED"):
             flag = "  <-- needs isolated A/B"
             n_unadjudicated += 1
         print(f"{name:34} {w:6.2f} {warm_gc.get(name, 0):6d} "
-              f"{best:6.2f} {ratio:5.1f}x  {status}{flag}")
+              f"{pos:>8} {best:6.2f} {ratio:5.1f}x  {status}{flag}")
     print(f"unadjudicated >1s/> {RATIO_BAR:.0f}x entries: "
           f"{n_unadjudicated}")
     return 0
