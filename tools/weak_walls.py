@@ -31,8 +31,13 @@ a fresh bench-conf session (4g heap pin honored, bench warmups, the
 four lazy persists), one cold call per entry (materializes its
 memos), then warm best-of-5 vs same-session DuckDB best-of-5 —
 printing the pin-ready line the docstring adjudications record.
-Run it alone on a quiet host; it is the isolated same-boot A/B,
-so nothing else may share the machine while it times.
+``--floor`` (round 16, with ``--ab``) adds the floor-share half:
+the same entry re-timed warm best-of-5 at sf0.001 in the SAME
+session, printing floor% = t(sf0.001)/t(sf_dir) — the two-timing
+scheduling-floor attribution every floor pin records (a high share
+means the wall is per-job constants, not data). Run it alone on a
+quiet host; it is the isolated same-boot A/B, so nothing else may
+share the machine while it times.
 """
 
 from __future__ import annotations
@@ -159,7 +164,8 @@ def _duck_connect(sf_dir: str):
     return con
 
 
-def run_isolated_ab(entries: list, sf_dir: str) -> int:
+def run_isolated_ab(entries: list, sf_dir: str,
+                    floor: bool = False) -> int:
     """The isolated same-boot best-of-5 A/B (verify-skill protocol),
     mechanized: bench confs + warmups + the four lazy persists, one
     cold call per entry, then 5 warm Spark timings vs 5 same-session
@@ -217,6 +223,26 @@ def run_isolated_ab(entries: list, sf_dir: str) -> int:
             f"| ratio(best)={bs / bd:.2f}x",
             flush=True,
         )
+        if floor:
+            # floor-share attribution in the SAME session (the
+            # sf0.001-vs-sf_dir two-timing every floor pin records):
+            # one cold call to build the tiny-SF memos, then warm
+            # best-of-5 — share = tiny/base; per-job scheduling
+            # constants dominate when it is high
+            fn(spark, "/root/testdata/sf0.001").count()
+            tiny = []
+            for _ in range(5):
+                t0 = time.time()
+                fn(spark, "/root/testdata/sf0.001").count()
+                tiny.append(time.time() - t0)
+            bt = min(tiny)
+            print(
+                f"FLOOR  {name}: sf0.001 warm best={bt:.3f} "
+                f"median={statistics.median(tiny):.3f} -> "
+                f"floor share {100 * bt / bs:.0f}% of the {bs:.3f}s "
+                f"wall, data term ~{max(bs - bt, 0):.2f}s",
+                flush=True,
+            )
     return 0
 
 
@@ -228,13 +254,16 @@ def main() -> int:
     if args and args[0] == "--ab":
         rest = args[1:]
         sf_dir = "/root/testdata/sf0.1"
+        floor = "--floor" in rest
+        if floor:
+            rest.remove("--floor")
         if "--sf" in rest:
             i = rest.index("--sf")
             sf_dir = rest[i + 1]
             rest = rest[:i] + rest[i + 2:]
         if not rest:
             raise SystemExit("--ab needs at least one entry name")
-        return run_isolated_ab(rest, sf_dir)
+        return run_isolated_ab(rest, sf_dir, floor=floor)
 
     import __spark_entry__ as entrymod
 
