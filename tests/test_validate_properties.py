@@ -115,3 +115,47 @@ def test_constraint_report_matches_python_reference(spark):
         assert got == expected
 
     prop()
+
+
+# printable-ASCII name fuzz, biased toward the interpolation-hostile
+# characters (backtick, both quote kinds, braces, backslash) that the
+# retired stack()-expr form could not carry (round-16 advice fix)
+_NAME_CHARS = st.sampled_from(
+    list("`'\"\\{}$,()") + list("abAB01 _-.")
+)
+_NAMES = st.text(alphabet=_NAME_CHARS, min_size=1, max_size=16)
+
+
+def test_rule_names_are_opaque_values(spark):
+    """Property (round 16): whatever the rule NAME contains, the
+    report labels its row with the name verbatim and counts
+    violations identically — names are values, not parsed
+    identifiers. Runs one row-rule and one unique rule per example so
+    both merged-scan classes flow through the struct-array path."""
+    from biometric_stream_processing_spark.operators.validate import Rule
+
+    @settings(max_examples=12, deadline=None)
+    @given(_ROWS, _NAMES, _NAMES)
+    def prop(rows, name_a, name_b):
+        if name_a == name_b:
+            name_b = name_b + "_2"
+        df = spark.createDataFrame(
+            rows, "k long, fk long, price double, status string"
+        )
+        got = {
+            r.rule: r.n_violations
+            for r in constraint_report(
+                df,
+                [Rule(name_a, "not_null", "k"), Rule(name_b, "unique", "k")],
+            ).collect()
+        }
+        ks = [r[0] for r in rows]
+        assert got == {
+            name_a: sum(1 for k in ks if k is None),
+            name_b: (
+                sum(1 for k in ks if k is not None)
+                - len({k for k in ks if k is not None})
+            ),
+        }
+
+    prop()
