@@ -570,3 +570,35 @@ def test_round_plan_tool_agrees_with_the_rotation_helpers():
     }
     due = _due_after_next(proj, names, k)
     assert f"must hold {len(due)}" in out, out
+
+    # --emit-front (round 16): the paste-ready list must carry every
+    # projected-due entry exactly once, in gate order (each entry at
+    # its last-green round's CORRECTNESS key position — the order
+    # every round's front has applied by hand)
+    argv = list(_sys.argv)
+    sys_path = list(_sys.path)
+    try:
+        _sys.path.insert(0, os.path.join(ROOT, "tools"))
+        import round_plan
+
+        _sys.argv = ["round_plan.py", "--emit-front"]
+        buf = io.StringIO()
+        stdout = _sys.stdout
+        _sys.stdout = buf
+        try:
+            rc = round_plan.main()
+        finally:
+            _sys.stdout = stdout
+    finally:
+        _sys.argv = argv
+        _sys.path[:] = sys_path
+    out = buf.getvalue()
+    assert rc == 0, out
+    emitted = re.findall(r'^\s+"([a-z0-9_]+)",', out, re.M)
+    assert sorted(emitted) == sorted(due), (emitted, due)
+    for a, b in zip(emitted, emitted[1:]):
+        ga, gb = _last_green(rounds, a), _last_green(rounds, b)
+        if ga is None or gb is None:
+            continue  # never-verified sort last; skip mixed pairs
+        assert (ga, list(rounds[ga]).index(a)) <= \
+               (gb, list(rounds[gb]).index(b)), (a, b)

@@ -10,11 +10,19 @@ disagree with the tests.
 
 Usage::
 
-    python tools/round_plan.py
+    python tools/round_plan.py [--emit-front]
 
 Prints: recorded rounds and the K-window, per-round last-green block
 sizes, the due set once the upcoming round records (in registration
 order), how the CURRENT front covers it, and remaining spare slots.
+
+``--emit-front`` (round 16) additionally prints the FOLLOWING
+round's projected due block as a paste-ready Python list in GATE
+ORDER — each entry ordered by its position in its last-green round's
+CORRECTNESS file (the "front = due block in its last-green gate
+order" policy every round has applied by hand; 50 names transcribed
+manually is the error surface this removes). Spare slots, if any,
+are noted for the session to assign.
 """
 
 from __future__ import annotations
@@ -93,6 +101,29 @@ def main() -> int:
         print("UNPAYABLE — registration outpaced verification "
               "capacity (test_rotation_debt_is_payable will be red)")
         return 1
+
+    if "--emit-front" in sys.argv:
+        # gate order: oldest-debt block first, each block in its
+        # last-green round's CORRECTNESS key order (registration
+        # order of that round — the order bench comparability
+        # depends on); never-verified entries (queue) last, in
+        # registration order
+        def sort_key(n):
+            g = last_green[n]
+            if g is None:
+                return (1, 0, names.index(n))
+            return (0, g, list(rounds[g]).index(n))
+
+        ordered = sorted(due_following, key=sort_key)
+        print(f"\n--emit-front: projected r{projected_round + 1} "
+              f"front ({len(ordered)} due + {spare} spare "
+              f"slot{'s' if spare != 1 else ''} to assign):")
+        print("    front = [")
+        for n in ordered:
+            g = last_green[n]
+            print(f'        "{n}",  # last green '
+                  f"{'r%d' % g if g else 'never (first verdict)'}")
+        print("    ]")
     return 0
 
 
