@@ -346,7 +346,13 @@ def similar_pairs_blocked(
     effects and that run's DuckDB variance. Attribution unchanged
     (55% scheduling floor, residual = the pair-expansion dots on
     exchanged rows — the join IS the operator); no further work
-    planned."""
+    planned.
+    ROUND-16 RE-CHECK (proactive, entry front with window open):
+    isolated best-of-5 ``embedding_srp_pairs`` warm 1.239 s best /
+    1.373 median vs same-session DuckDB 0.466 s → 2.66× — the pin's
+    class again (the cross-boot band now reads 2.1-2.7×); same
+    session also re-confirmed ``ivf_recall_report`` 1.53× and
+    ``split_overlap_matrix`` 1.64×, both inside the 2× bar."""
     base = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
