@@ -101,8 +101,25 @@ def main() -> int:
             print("no BENCH_DETAIL with queries_warm found")
             return 1
     elif len(args) > 1 and args[1] != "--run":
-        lines = open(args[1]).read().strip().splitlines()
-        spark_times = json.loads(lines[-2])["queries"]
+        # bench.py prints the FULL per-query dict on its own line,
+        # then a 12-entry slowest summary as the final line. Find
+        # the full dict by content, not position (round 16: a
+        # trailing sentinel line appended by a wrapper script made
+        # the old lines[-2] silently pick the 12-entry summary and
+        # report totals off ~100 s)
+        spark_times = None
+        for line in reversed(open(args[1]).read().strip().splitlines()):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            q = d.get("queries")
+            if isinstance(q, dict) and len(q) > 20 and "metric" not in d:
+                spark_times = q
+                break
+        if spark_times is None:
+            print(f"no full per-query dict found in {args[1]}")
+            return 1
     elif "--run" in args:
         from bench import BENCH_CONFS
         from biometric_stream_processing_spark.session import get_spark
