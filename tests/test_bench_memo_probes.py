@@ -208,3 +208,6 @@ def test_bench_detail_records_loop_positions():
     assert 'detail.get("queries_order")' in ww, (
         "weak_walls must read queries_order fail-soft"
     )
+    assert "1.2 * cold[name]" in ww, (
+        "weak_walls lost the thresholded warm>cold inversion marker"
+    )

@@ -14,7 +14,10 @@ per-round protocol three verdicts have now repeated by hand:
    A/B this round"; and annotate each line's warm-loop POSITION from
    the artifact's ``queries_order`` map (round 16) — a ``*`` marks
    the last fifth of the loop, where in-bench warm readings carry
-   the documented 2-3× end-of-run inflation.
+   the documented 2-3× end-of-run inflation, and ``inv`` marks a
+   warm reading >1.2× the entry's own first-pass time (physically
+   backwards for an identical plan — the reading itself is
+   inflated; the alerts_throttled round-15/16 signature).
 
 This is a REPORT, not a judgment: the isolated same-boot best-of-5
 protocol (verify skill) still governs any entry this table flags —
@@ -276,6 +279,7 @@ def main() -> int:
     warm_gc = detail.get("queries_warm_gc_ms") or {}
     order = detail.get("queries_order") or {}
     n_order = (max(order.values()) + 1) if order else 0
+    cold = detail.get("queries") or {}
     if not warm:
         raise SystemExit(
             f"{detail_path} has no queries_warm (warm pass skipped: "
@@ -318,6 +322,14 @@ def main() -> int:
                 pos += "*"  # late-loop: inflation-suspect reading
         else:
             pos = "-"
+        # warm>cold inversion (round 16: the alerts_throttled
+        # signature) — a warm repeat reading well above the entry's
+        # own first-pass time is physically backwards for an
+        # identical plan and marks the READING as inflated; 1.2×
+        # threshold so run-to-run noise (first-pass and warm within
+        # ~15% of each other) doesn't spam the column
+        if cold.get(name) and w > 1.2 * cold[name]:
+            pos += " inv"
         flag = ""
         if ratio > RATIO_BAR and not status.startswith("PINNED"):
             flag = "  <-- needs isolated A/B"
