@@ -1,0 +1,305 @@
+"""STAGED round-18 twins (VERDICT_r15 next-steps #6) — implemented,
+unit-tested, NOT registered.
+
+Round-17 owes the full 50-entry r14 block with ZERO spare slots (the
+registry tail note), so net-new work cannot enter the gate before
+round 18. This module holds the two candidates the round-15 verdict
+nominated, built now so round 18's registration is a queue edit, not
+a build:
+
+1. ``embedding_rerank_report`` — a second-stage reranker over the
+   RRF fusion output (the hybrid-retrieval pattern: cheap first-stage
+   rank fusion proposes a small candidate list, an expensive pairwise
+   scorer re-orders it). The report records the rank MOVEMENT the
+   rerank induces, which is the signal a retrieval pipeline monitors.
+2. ``streaming_containment_registry`` — the streaming twin of
+   ``doc_containment_dups``'s registry shape: documents arrive as a
+   stream and each micro-batch folds into an accumulating
+   bands/docs/pairs registry, discovering exactly the NEW containment
+   pairs the batch makes possible (new-vs-all candidates; old pairs
+   are never regenerated).
+
+Fingerprint discipline: every top-level name here is NEW and unique
+package-wide — the deep-fingerprint AST walk (tools/gate_sources.py)
+resolves name references in registered sources against every
+top-level def in the package, so redefining an existing name (even
+``_docs``) would move frozen entries' deep hashes. This module's
+names are grepped-unique; ``python tools/gate_sources.py`` must come
+back byte-identical after any edit here.
+
+Reference framing: the reference engine has no retrieval or registry
+operators — both entries extend the LLM-training-data surface
+(SURVEY.md beyond-reference mandate), composing the audited
+operators (`operators/similarity.py`, `operators/dedup.py`) rather
+than introducing new kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.dedup import containment_verify, minhash_bands
+from ..operators.similarity import dot_double
+from .documents_ops import (
+    BANDS,
+    CONTAINMENT_MICROS_MIN,
+    NUM_HASHES,
+    ORACLE,
+    QUERY_MOD,
+    SHINGLE_N,
+    TOPK,
+    _dot,
+    _emb,
+    embedding_rrf_fusion,
+)
+
+#: second-stage score bonus when query and candidate share a label —
+#: the metadata feature the first-stage vector rankers never see (the
+#: cross-encoder analogy: the reranker scores the PAIR jointly, with
+#: signals unavailable to the independent retrievers). 0.25 is a
+#: power of two, so the bonus addition introduces no decimal-binary
+#: rounding asymmetry on either engine.
+RERANK_LABEL_BONUS = 0.25
+
+
+def embedding_rerank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-STAGE RERANK over the RRF fusion output — the standard
+    two-stage retrieval shape (BM25/dense propose, cross-encoder
+    re-orders): the fused top-``TOPK`` candidate list per query is
+    re-scored by a pairwise scorer richer than either first-stage
+    ranker — exact full-precision cosine PLUS a label-agreement bonus
+    (``RERANK_LABEL_BONUS``), the metadata signal rank fusion
+    structurally cannot use — and the report emits the re-ordered
+    list with each candidate's rank movement (``rank_delta`` =
+    fused_rank − rerank_rank: positive = promoted by the reranker).
+
+    Determinism (the embedding_topk recipe, 15 rounds green): cosine
+    is the identical left-associated dot/(√·√) expression on both
+    engines (IEEE ops on identical operands are bit-identical), the
+    bonus is a single addition of an exactly-representable 0.25, the
+    ORDERING uses the raw double (never the rounded display value)
+    with a neighbor_id tiebreak, and ranks/deltas/label_match are
+    ints. ``rerank_score`` is rounded at 6 dp for display only — the
+    components are full-precision doubles (not 6-dp-quantized like
+    the centroid sums), so the round-10 true-decimal-tie class has no
+    mass here.
+
+    Plan shape (the 100 TB story): the candidate list is
+    |queries|·TOPK rows — a fixed-query-set-derived relation (the
+    documented size-invariant broadcast class) — so BOTH vector
+    fetches are broadcast joins against it and the corpus scan
+    shuffles nothing; the rerank window partitions by query_id over
+    ≤TOPK rows per query. The expensive first stage
+    (``embedding_rrf_fusion``) is reused as-is, memo/persist
+    semantics included; this report adds one corpus scan + two
+    broadcast joins + one tiny window, which is exactly the cost
+    profile of a deployment reranker (candidate fan-in, not pair
+    fan-out).
+    """
+    fused = embedding_rrf_fusion(spark, sf_dir).select(
+        "query_id", "fused_rank", "neighbor_id"
+    )
+    e = _emb(spark, sf_dir)
+    # query side: fixed query set (vec_id % QUERY_MOD == 0) — the
+    # documented broadcastable class shared with the first stage
+    q = F.broadcast(e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("_q2"),
+    ))
+    # candidate list broadcast against the corpus scan: the corpus
+    # (the SF-growing side) never shuffles
+    cand = F.broadcast(fused.join(q, "query_id"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        F.col("label").alias("_cl"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("_c2"),
+    )
+    pair = cand.join(c, "neighbor_id")
+    cos = dot_double(F.col("_qv"), F.col("_cv")) / (
+        F.sqrt("_q2") * F.sqrt("_c2")
+    )
+    scored = pair.select(
+        "query_id", "neighbor_id", "fused_rank",
+        F.when(F.col("_ql") == F.col("_cl"), F.lit(1))
+         .otherwise(F.lit(0)).alias("label_match"),
+        (cos + F.when(F.col("_ql") == F.col("_cl"),
+                      F.lit(RERANK_LABEL_BONUS))
+                .otherwise(F.lit(0.0))).alias("_s"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("_s").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(wr))
+        .select(
+            "query_id", "rerank_rank", "neighbor_id", "fused_rank",
+            (F.col("fused_rank") - F.col("rerank_rank")).alias("rank_delta"),
+            "label_match",
+            F.round("_s", 6).alias("rerank_score"),
+        )
+    )
+
+
+def streaming_containment_registry(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING twin of ``doc_containment_dups``'s registry shape
+    (the VERDICT_r15 #6 nomination): documents arrive as a stream and
+    each micro-batch folds into an accumulating three-table registry
+    — ``bands`` (the MinHash LSH index), ``docs`` (the shingle
+    corpus), ``pairs`` (the confirmed containment catches) — via
+    ``foreachBatch``, the same sink discipline as
+    ``streaming_dedup_merge``. With the single-file source the final
+    pairs registry equals the batch ``doc_containment_dups`` relation
+    (so a registration would SHARE its DuckDB oracle); multi-batch
+    incremental folding is golden-tested in
+    tests/test_staged_r18_twins.py.
+
+    INCREMENTAL candidate rule — the part that makes this a streaming
+    operator rather than a re-run: each batch generates candidates by
+    equi-joining the BATCH's new band rows against the FULL band
+    registry (which already includes the batch), keeping pairs with
+    at least one new side. Old×old pairs are never regenerated (their
+    bands were joined when they were new), new×new pairs normalize
+    through least/greatest + distinct, and new×old pairs appear
+    exactly once, in the batch that completes them — so across any
+    batch split the union of per-batch catches equals the batch
+    pipeline's result, with per-batch join cost bounded by
+    |batch bands| × bucket occupancy, not |registry|². The verify
+    step reuses the audited ``containment_verify`` kernel (codegen
+    array-intersect, exact integer micros) against the accumulated
+    docs table, gated at ``CONTAINMENT_MICROS_MIN`` like the batch
+    entry.
+
+    Scale framing: the registry tables are parquet appends here (test
+    harness); a deployment swaps them for a transactional store
+    (MERGE INTO / the ``sinks.idempotent_keyed_upsert_writer``
+    pattern) and partitions ``bands`` by band so each batch's
+    candidate join prunes to the buckets it touches. State never
+    lives on the driver and no step recomputes the old corpus; the
+    one full-registry read per batch is the stream-static join every
+    streaming-LSH deployment carries, served by an indexed store at
+    scale. A degenerate hot bucket bounds at |batch∩bucket|×|bucket|
+    rows — one side batch-bounded, unlike the batch pipeline's n²
+    (which its triangle partitioning guards); a skew-split of the
+    band join is the production hardening if batch×bucket ever
+    dominates.
+    """
+    from ..streaming.pipeline import pinned_shuffle_partitions, scratch_dir
+
+    reg = scratch_dir("bspe_ctr_")
+    bands_dir = os.path.join(reg, "bands")
+    docs_dir = os.path.join(reg, "docs")
+    pairs_dir = os.path.join(reg, "pairs")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    with pinned_shuffle_partitions(spark):
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", doc_glob
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        src = reader.parquet(sf_dir)
+
+        def _fold(bdf: DataFrame, _bid: int) -> None:
+            if not bdf.head(1):
+                return
+            s = bdf.sparkSession
+            docs_b = bdf.select("doc_id", "text")
+            docs_b.write.mode("append").parquet(docs_dir)
+            bands_b = minhash_bands(
+                docs_b, shingle_n=SHINGLE_N,
+                num_hashes=NUM_HASHES, bands=BANDS,
+            )
+            bands_b.write.mode("append").parquet(bands_dir)
+            bands_all = s.read.parquet(bands_dir)
+            cand = (
+                bands_b.select(
+                    F.col("doc_id").alias("_idn"), "band", "bucket"
+                )
+                .join(
+                    bands_all.select(
+                        F.col("doc_id").alias("_ida"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                .where(F.col("_idn") != F.col("_ida"))
+                .select(
+                    F.least("_idn", "_ida").alias("id_a"),
+                    F.greatest("_idn", "_ida").alias("id_b"),
+                )
+                .distinct()
+            )
+            docs_all = s.read.parquet(docs_dir)
+            out = containment_verify(
+                cand, docs_all, shingle_n=SHINGLE_N
+            ).where(
+                F.col("containment_micros") >= CONTAINMENT_MICROS_MIN
+            )
+            out.write.mode("append").parquet(pairs_dir)
+
+        q = (
+            src.writeStream.outputMode("append")
+            .foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(reg, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    result_schema = ("contained_doc_id long, container_doc_id long, "
+                     "containment_micros long")
+    try:
+        return spark.read.schema(result_schema).parquet(pairs_dir)
+    except Exception:
+        # no batch produced a pair above the gate — empty relation
+        return spark.createDataFrame([], result_schema)
+
+
+#: staged oracles, NOT merged into ``__spark_entry__.oracle_sql()``
+#: until registration (round 18): kept beside the code so the unit
+#: tests pre-validate the exact SQL the gate will run.
+#: ``streaming_containment_registry`` shares the batch containment
+#: oracle; the rerank oracle mirrors the Spark expression shapes
+#: exactly (left-associated dot chain, same association for the
+#: bonus addition, raw-double ordering, 6-dp display round).
+STAGED_ORACLE: dict[str, str] = {
+    "embedding_rerank_report": f"""
+        WITH fused AS ({ORACLE["embedding_rrf_fusion"]}),
+        p AS (
+          SELECT f.query_id, f.fused_rank, f.neighbor_id,
+                 (({_dot('a', 'b')})
+                  / (sqrt({_dot('a', 'a')}) * sqrt({_dot('b', 'b')})))
+                 + (CASE WHEN a.label = b.label
+                         THEN {RERANK_LABEL_BONUS}::DOUBLE
+                         ELSE 0.0::DOUBLE END) AS s,
+                 CASE WHEN a.label = b.label THEN 1 ELSE 0 END
+                   AS label_match
+          FROM fused f
+          JOIN embeddings a ON a.vec_id = f.query_id
+          JOIN embeddings b ON b.vec_id = f.neighbor_id
+        ), r AS (
+          SELECT query_id, neighbor_id, fused_rank, label_match, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, neighbor_id)
+                   AS rerank_rank
+          FROM p
+        )
+        SELECT query_id, rerank_rank, neighbor_id, fused_rank,
+               fused_rank - rerank_rank AS rank_delta, label_match,
+               round(s, 6) AS rerank_score
+        FROM r
+    """,
+    "streaming_containment_registry": ORACLE["doc_containment_dups"],
+}

@@ -1,0 +1,215 @@
+"""Unit + oracle pre-validation for the STAGED round-18 twins
+(plans/staged_r18.py — implemented, not registered; the round-17
+front has zero spare slots, so these enter the gate in round 18).
+
+The oracle tests run the EXACT SQL the gate would run
+(``staged_r18.STAGED_ORACLE``) through the same value-hash compare as
+``tools/check_oracle.py`` — so registration in round 18 is a queue
+edit over pre-validated parts, not a fresh build.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from check_oracle import value_hash  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _hash_df(df):
+    rows = [tuple(r) for r in df.collect()]
+    return len(rows), value_hash(rows, df.columns), df.columns
+
+
+def _hash_sql(con, sql: str):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return len(rows), value_hash(rows, cols), cols
+
+
+def test_rerank_report_matches_staged_oracle(spark):
+    from biometric_stream_processing_spark.plans.staged_r18 import (
+        STAGED_ORACLE,
+        embedding_rerank_report,
+    )
+
+    n_s, h_s, c_s = _hash_df(embedding_rerank_report(spark, SF))
+    n_d, h_d, c_d = _hash_sql(
+        _duck(SF), STAGED_ORACLE["embedding_rerank_report"]
+    )
+    assert n_s > 0
+    assert n_s == n_d
+    assert sorted(c_s) == sorted(c_d)
+    assert h_s == h_d
+
+
+def test_rerank_is_permutation_of_fused(spark):
+    """The reranker re-ORDERS the fused candidate list — it must
+    neither drop nor invent candidates, its ranks must be a
+    contiguous 1..n per query, and rank movement must sum to zero
+    (a permutation's deltas cancel)."""
+    from collections import defaultdict
+
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        embedding_rrf_fusion,
+    )
+    from biometric_stream_processing_spark.plans.staged_r18 import (
+        embedding_rerank_report,
+    )
+
+    rer = embedding_rerank_report(spark, SF).collect()
+    fus = embedding_rrf_fusion(spark, SF).collect()
+    by_q_r, by_q_f = defaultdict(set), defaultdict(set)
+    deltas = defaultdict(int)
+    ranks = defaultdict(list)
+    for r in rer:
+        by_q_r[r.query_id].add(r.neighbor_id)
+        deltas[r.query_id] += r.rank_delta
+        ranks[r.query_id].append(r.rerank_rank)
+        assert r.rank_delta == r.fused_rank - r.rerank_rank
+        assert r.label_match in (0, 1)
+    for r in fus:
+        by_q_f[r.query_id].add(r.neighbor_id)
+    assert by_q_r == by_q_f
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        assert deltas[qid] == 0
+
+
+def test_rerank_label_bonus_dominates_ties(spark):
+    """Among candidates of one query, any label-matched candidate
+    whose plain cosine is within RERANK_LABEL_BONUS of a
+    non-matched one must outrank it — the bonus is the reranker's
+    whole point, so assert it actually reorders when applicable."""
+    from biometric_stream_processing_spark.plans.staged_r18 import (
+        RERANK_LABEL_BONUS,
+        embedding_rerank_report,
+    )
+
+    rows = embedding_rerank_report(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rerank_rank)
+        for hi, lo in zip(rs, rs[1:]):
+            # scores are non-increasing down the rerank order
+            assert hi.rerank_score >= lo.rerank_score - 1e-9
+            if hi.label_match == 0 and lo.label_match == 1:
+                # an unmatched candidate above a matched one must
+                # clear the bonus gap on raw cosine
+                cos_hi = hi.rerank_score
+                cos_lo = lo.rerank_score - RERANK_LABEL_BONUS
+                assert cos_hi >= cos_lo - 1e-9
+
+
+def test_streaming_containment_single_batch_equals_batch(spark):
+    """Single-file source ⇒ one micro-batch ⇒ the final pairs
+    registry must equal the batch ``doc_containment_dups`` relation
+    (which is why registration shares its DuckDB oracle — asserted
+    here through the gate's own value-hash compare)."""
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        doc_containment_dups,
+    )
+    from biometric_stream_processing_spark.plans.staged_r18 import (
+        STAGED_ORACLE,
+        streaming_containment_registry,
+    )
+
+    n_s, h_s, c_s = _hash_df(streaming_containment_registry(spark, SF))
+    n_b, h_b, c_b = _hash_df(doc_containment_dups(spark, SF))
+    assert c_s == c_b
+    assert (n_s, h_s) == (n_b, h_b)
+    n_d, h_d, _ = _hash_sql(
+        _duck(SF), STAGED_ORACLE["streaming_containment_registry"]
+    )
+    assert (n_s, h_s) == (n_d, h_d)
+
+
+def test_streaming_containment_multibatch_incremental(spark, tmp_path):
+    """The incremental rule (new-vs-all candidates, old pairs never
+    regenerated): split the corpus into two files, stream one file
+    per trigger, and the UNION of per-batch catches must equal the
+    batch pipeline on the full corpus — cross-batch pairs are found
+    by the batch that completes them, within-batch pairs once, and
+    nothing twice (no duplicate rows in the registry)."""
+    import pyarrow.parquet as pq
+
+    from biometric_stream_processing_spark.plans.documents_ops import (
+        doc_containment_dups,
+    )
+    from biometric_stream_processing_spark.plans.staged_r18 import (
+        streaming_containment_registry,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    half = tbl.num_rows // 2
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, half), src / "part1.parquet")
+    pq.write_table(tbl.slice(half), src / "part2.parquet")
+
+    out = streaming_containment_registry(
+        spark, str(src), doc_glob="*.parquet", max_files_per_trigger=1
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in doc_containment_dups(spark, SF).collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_staged_names_unique_package_wide():
+    """The deep-fingerprint walk resolves registered-source name
+    references against EVERY top-level def in the package — a staged
+    def that shadows an existing name would move frozen entries'
+    deep hashes. Assert the staged module introduces only new names,
+    and that the committed fingerprint files are unaffected by its
+    presence (regenerated hashes == committed hashes)."""
+    import ast
+    import json
+
+    root = Path(__file__).resolve().parents[1]
+    pkg = root / "biometric_stream_processing_spark"
+    staged = pkg / "plans" / "staged_r18.py"
+    staged_names = {
+        n.name
+        for n in ast.parse(staged.read_text()).body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef))
+    }
+    clashes = []
+    for py in pkg.rglob("*.py"):
+        if py == staged:
+            continue
+        for n in ast.parse(py.read_text()).body:
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef)) and n.name in staged_names:
+                clashes.append((str(py), n.name))
+    assert not clashes
+
+    sys.path.insert(0, str(root / "tools"))
+    import gate_sources
+
+    committed = json.loads((root / "GATE_SOURCES.json").read_text())
+    assert gate_sources.compute_hashes() == committed
