@@ -233,6 +233,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 18 owes 49 — one spare again. At N=149 the rotation
         # averages 49.7 slots/round; every queued entry must pay for
         # itself in spare arithmetic.
+        # ROUND-18 QUEUE CANDIDATES, PRE-BUILT (round 16, VERDICT_r15
+        # #6): plans/staged_r18.py holds both nominated net-new
+        # entries implemented + unit-tested + oracle-prevalidated
+        # through the gate's own value-hash compare
+        # (tests/test_staged_r18_twins.py) — embedding_rerank_report
+        # (oracle in staged_r18.STAGED_ORACLE) and
+        # streaming_containment_registry (shares the batch
+        # doc_containment_dups oracle; single-batch == batch
+        # asserted). Registration = move one into queries() +
+        # oracle_sql(); each costs round 18's one spare slot, so at
+        # most one registers in round 18 unless the spare math says
+        # otherwise — re-derive first.
         #
         # --- last green r14 (r14 gate order preserved so memo
         # billing stays comparable; rotates front in round 17) ---
