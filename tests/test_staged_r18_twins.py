@@ -144,12 +144,16 @@ def test_streaming_containment_single_batch_equals_batch(spark):
     assert (n_s, h_s) == (n_d, h_d)
 
 
-def test_streaming_containment_multibatch_incremental(spark, tmp_path):
+@pytest.mark.parametrize("n_files", [2, 3])
+def test_streaming_containment_multibatch_incremental(
+    spark, tmp_path, n_files
+):
     """The incremental rule (new-vs-all candidates, old pairs never
-    regenerated): split the corpus into two files, stream one file
+    regenerated): split the corpus into n files, stream one file
     per trigger, and the UNION of per-batch catches must equal the
     batch pipeline on the full corpus — cross-batch pairs are found
-    by the batch that completes them, within-batch pairs once, and
+    by the batch that completes them (the 3-file case includes a
+    registry side two batches old), within-batch pairs once, and
     nothing twice (no duplicate rows in the registry)."""
     import pyarrow.parquet as pq
 
@@ -161,11 +165,14 @@ def test_streaming_containment_multibatch_incremental(spark, tmp_path):
     )
 
     tbl = pq.read_table(f"{SF}/documents.parquet")
-    half = tbl.num_rows // 2
     src = tmp_path / "docs"
     src.mkdir()
-    pq.write_table(tbl.slice(0, half), src / "part1.parquet")
-    pq.write_table(tbl.slice(half), src / "part2.parquet")
+    step = tbl.num_rows // n_files
+    for i in range(n_files):
+        length = step if i < n_files - 1 else tbl.num_rows - step * i
+        pq.write_table(
+            tbl.slice(i * step, length), src / f"part{i + 1}.parquet"
+        )
 
     out = streaming_containment_registry(
         spark, str(src), doc_glob="*.parquet", max_files_per_trigger=1
