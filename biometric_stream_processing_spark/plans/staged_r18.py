@@ -99,6 +99,18 @@ def embedding_rerank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins + one tiny window, which is exactly the cost
     profile of a deployment reranker (candidate fan-in, not pair
     fan-out).
+
+    STAGING BASELINE (round 16, isolated bench-conf session at
+    sf0.1): 100 rows, cold 2.04 s, warm best-of-5 1.242 s vs
+    same-session DuckDB 0.433 s (2.9×) — with a 78% scheduling
+    floor (sf0.001 warm best 0.974 s, data term ~0.27 s): the wall
+    is the inherited ``embedding_rrf_fusion`` FLOOR-PIN class
+    (round-15 adjudication: 1.14 s isolated, 85% floor), the rerank
+    itself adding ~0.1-0.3 s of data term. Per-stage scheduling
+    constants amortize at scale; expect the registration-round
+    weak_walls line to read like the rrf entry's. Gate-SF
+    prevalidation: sf0.01 value-hash matches the staged oracle
+    (25 rows, hash 51e52c13affda4aa, round-16 session).
     """
     fused = embedding_rrf_fusion(spark, sf_dir).select(
         "query_id", "fused_rank", "neighbor_id"
@@ -192,6 +204,15 @@ def streaming_containment_registry(
     (which its triangle partitioning guards); a skew-split of the
     band join is the production hardening if batch×bucket ever
     dominates.
+
+    STAGING BASELINE (round 16, isolated bench-conf session at
+    sf0.1): 1223 rows (== the batch relation, the round-14
+    containment baseline's count), full stream + fresh registry in
+    2.45-3.33 s per run (best-of-3; every call restreams from a new
+    scratch dir — there is no warm repeat, the streaming-entry
+    norm). Gate-SF prevalidation: sf0.01 value-hash matches the
+    shared batch oracle (34 rows, hash facba57455039f4a, round-16
+    session).
     """
     from ..streaming.pipeline import pinned_shuffle_partitions, scratch_dir
 
