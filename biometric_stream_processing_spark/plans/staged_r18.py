@@ -195,7 +195,13 @@ def streaming_containment_registry(
     harness); a deployment swaps them for a transactional store
     (MERGE INTO / the ``sinks.idempotent_keyed_upsert_writer``
     pattern) and partitions ``bands`` by band so each batch's
-    candidate join prunes to the buckets it touches. State never
+    candidate join prunes to the buckets it touches. Honest caveat
+    the harness shape carries: a micro-batch RETRY would re-append
+    (the plain parquet append has no batch-id lineage), so
+    exactly-once needs the versioned-write discipline
+    ``sinks.py`` already implements and
+    ``test_exactly_once_sink.py`` drives — wire it at registration
+    if the entry's oracle is ever run under induced replay. State never
     lives on the driver and no step recomputes the old corpus; the
     one full-registry read per batch is the stream-static join every
     streaming-LSH deployment carries, served by an indexed store at
