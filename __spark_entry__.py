@@ -142,112 +142,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 16 (recorded rounds r1-r7, r9-r15): r13 leaves the window
-    # when this round records (post-recording window {r14, r15, r16}),
-    # so the r13-green remainder fills the front — derived fresh via
-    # tools/round_plan.py against CORRECTNESS_r{13,14,15}: exactly 49
-    # entries have last-green r13 (the 50-entry r13 block minus
-    # orders_constraint_report, re-verified as round 15's spare); the
-    # r14/r15 blocks are 50 each and the queue is EMPTY — 49+50+50 =
-    # 149 total, set-check clean. Front = 49 r13-due in r13 gate
-    # order + 1 spare = 50:
-    #   - spare (position 50): orders_constraint_report (r15 block)
-    #     — FORCED by the round-16 advice fix in
-    #     operators/validate.constraint_report (the stack() expr →
-    #     struct-array/explode name-safety rework): it is the ONLY
-    #     entry whose DEEP fingerprint folds validate.py defs, so
-    #     the helper edit re-enters it through the gate
-    #     (test_changed_helpers_reenter_the_gate_window). This
-    #     displaces the tail note's nominated r14-block spare: round
-    #     17 therefore owes the FULL 50-entry r14 block — exactly
-    #     GATE_CAP, feasible with zero spares (re-derive as always).
-    # MEMO_OWNERS moves (bench.py map): the front replicates the r13
-    # gate order (orders_constraint_report, which owns no memos,
-    # merely moved to position 50), so the BENCH_DETAIL_r13 OBSERVED
-    # owners apply to the front verbatim — embedding_kmeans_quality
-    # (front 1) the kmeans map, decontaminated_train_docs (front 2)
-    # the decontam index + survivors, training_corpus (front 3) its
-    # rows AND the clean corpus AND the LSH pair chain (first
-    # consumer of both in this order), doc_repetition_stats (front 4)
-    # the doc-term matrix, embedding_dup_clusters (front 9) the IVF
-    # cells + embedding closure, near_dup_representatives (front 10)
-    # the text closure, doc_unigram_logprob (front 47) the unigram
-    # scorer; the winnow sketch stays with doc_winnow_fingerprints
-    # (r14 block, first in the tail — same derivation as r13).
+    # ROUND 17 (recorded rounds r1-r7, r9-r16): r14 leaves the window
+    # when this round records (post-recording window {r15, r16, r17}),
+    # so the FULL 50-entry r14-green block fills the front — derived
+    # fresh via tools/round_plan.py against CORRECTNESS_r{14,15,16}:
+    # exactly 50 entries have last-green r14 (round 16's spare went to
+    # orders_constraint_report, forced by the validate.py advice fix,
+    # so no r14 entry was pre-verified); the r15 remainder is 49 and
+    # the r16 block is 50, queue EMPTY — 50+49+50 = 149 total,
+    # set-check clean. Front = the 50 r14-due entries in r14 gate
+    # order: exactly GATE_CAP, ZERO spare slots, queue NOTHING.
+    # In-front rework this round (VERDICT_r16 #2): streaming_dedup_merge
+    # IS in the r14 block (round_plan confirms last-green r14), so
+    # routing it through the production parquet-backed registry sink
+    # (streaming/sinks.py) re-enters it through a slot it already
+    # occupies — no spare needed. No other entry's fingerprint may
+    # move (gate_sources deep-diff asserted after the edit).
+    # MEMO_OWNERS moves (bench.py map): the front replicates the r14
+    # gate order exactly, so the BENCH_DETAIL_r14 OBSERVED owners
+    # apply to the front verbatim — corpus_vocab_topk (front 33) the
+    # doc-term matrix, dedup_pipeline_report (front 36) the clean
+    # corpus + LSH pair chain + training-corpus rows + decontam index
+    # and survivors (first consumer of all five in this order),
+    # doc_winnow_fingerprints (front 47) the winnow sketch; in the
+    # tail the r15 remainder precedes the r16 block, so
+    # embedding_ivf_topk takes the IVF cells, cross_modal_dup_agreement
+    # the embedding closure, near_dup_clusters the text closure,
+    # doc_perplexity_buckets the unigram scorer (each the first
+    # consumer in r15-before-r16 order — the same owners BENCH_DETAIL
+    # r14 observed), and the kmeans map stays with
+    # embedding_kmeans_quality (r16 block; no earlier consumer).
     front = [
-        # --- last green r13 (oldest debt) IN ITS r13 GATE ORDER —
-        # 49 entries; order preserved so BENCH_DETAIL_r13 per-query
+        # --- last green r14 (oldest debt) IN ITS r14 GATE ORDER —
+        # 50 entries; order preserved so BENCH_DETAIL_r14 per-query
         # numbers stay comparable ---
-        "embedding_kmeans_quality",
-        "decontaminated_train_docs",
-        "training_corpus", "doc_repetition_stats",
-        "nation_pair_volume", "embedding_srp_pairs",
-        "ngram_jaccard_dups", "documents_clean_corpus",
-        "embedding_dup_clusters", "near_dup_representatives",
-        "embedding_similar_pairs",
-        "user_state_history", "user_hourly_gapfill",
-        "running_zscore_flags",
-        "value_histogram", "user_retention_cohorts",
-        "user_rolling_median",
-        "doc_weighted_sample", "corpus_mixture_sample",
-        "above_median_length_docs", "split_overlap_matrix",
-        "corpus_heavy_hitters",
-        "term_posting_lists", "corpus_pmi_collocations",
-        "hll_user_rollup", "source_quality_ols",
-        "multimodal_decode_png",
-        "sql_nation_revenue", "parse_props_variant",
-        "dynamic_session_stats", "salted_segment_revenue",
-        "dup_graph_stats", "dup_graph_pagerank",
-        "dup_graph_bfs_depths", "ivf_recall_report",
-        "streaming_approx_users", "streaming_native_dedup",
-        "embedding_kmeans_cells", "streaming_anomalies",
-        "streaming_state_history",
-        "embedding_int8_recall",
-        "source_unigram_kl", "streaming_ewma",
-        "user_cadence_profile",
-        "streaming_attribution", "streaming_transitions",
-        "doc_unigram_logprob",
-        "biometric_union",
-        "streaming_enriched_segment_counts",
-        # --- spare: validate.py advice fix re-enters this entry
-        # through the gate (see the front note) ---
-        "orders_constraint_report",
-    ]
-    tail = [
-        # ROUND-17 OBLIGATION (K=3 on recorded rounds; once round 16
-        # records, the window is {r14, r15, r16} and r14 leaves when
-        # round 17 records): the FULL 50-entry r14-green block below
-        # (alert_windows .. doc_tfidf_keywords, r14 gate order) fills
-        # the round-17 front — round 16's spare went to
-        # orders_constraint_report (forced by the validate.py advice
-        # fix), so NO r14 entry was pre-verified: 50 = GATE_CAP
-        # exactly, ZERO spare slots, and round 17 must queue NOTHING
-        # and make no code/helper edit that re-enters any non-r14
-        # entry through the gate (no free slot to absorb it — stage
-        # such work as fingerprint-free twins or defer to round 18).
-        # ROUND-18 FEASIBILITY (re-derive from the CORRECTNESS files
-        # via tools/round_plan.py, do not trust this count — the
-        # round-11 arithmetic catch is the precedent): the r15-green
-        # remainder is 49 entries (the 50-entry r15 block minus
-        # orders_constraint_report, re-verified here in round 16), so
-        # round 18 owes 49 — one spare again. At N=149 the rotation
-        # averages 49.7 slots/round; every queued entry must pay for
-        # itself in spare arithmetic.
-        # ROUND-18 QUEUE CANDIDATES, PRE-BUILT (round 16, VERDICT_r15
-        # #6): plans/staged_r18.py holds both nominated net-new
-        # entries implemented + unit-tested + oracle-prevalidated
-        # through the gate's own value-hash compare
-        # (tests/test_staged_r18_twins.py) — embedding_rerank_report
-        # (oracle in staged_r18.STAGED_ORACLE) and
-        # streaming_containment_registry (shares the batch
-        # doc_containment_dups oracle; single-batch == batch
-        # asserted). Registration = move one into queries() +
-        # oracle_sql(); each costs round 18's one spare slot, so at
-        # most one registers in round 18 unless the spare math says
-        # otherwise — re-derive first.
-        #
-        # --- last green r14 (r14 gate order preserved so memo
-        # billing stays comparable; rotates front in round 17) ---
         "alert_windows",
         "alerts_throttled", "alerts_leading_debounce",
         "order_counts_unpivot", "status_priority_cube",
@@ -278,9 +206,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma",
         "contamination_overlaps",
         "doc_tfidf_keywords",
-        # --- last green r15 (r15 gate order preserved;
-        # orders_constraint_report moved to the round-16 spare slot
-        # above — its remainder rotates front in round 18) ---
+    ]
+    tail = [
+        # ROUND-18 OBLIGATION (K=3 on recorded rounds; once round 17
+        # records, the window is {r15, r16, r17} and r15 leaves when
+        # round 18 records): the 49-entry r15-green remainder below
+        # (dedup_exact .. doc_containment_dups, r15 gate order — the
+        # 50-entry r15 block minus orders_constraint_report, which
+        # round 16 re-verified as its spare) fills the round-18
+        # front, leaving ONE spare slot. Re-derive from the
+        # CORRECTNESS files via tools/round_plan.py, do not trust
+        # this count — the round-11 arithmetic catch is the
+        # precedent.
+        # ROUND-18 SPARE, PRE-DECIDED (VERDICT_r16 #6): register
+        # staged_r18.streaming_containment_registry (after its
+        # round-17 idempotence fix) — it adds a genuinely new
+        # capability class (incremental new-vs-all dedup registry);
+        # embedding_rerank_report stays staged for round 19 ONLY if
+        # spare math allows (it will not: registering one entry makes
+        # N=150, and round 19 owes the full 50-entry r16 block —
+        # zero spares — while round 20 owes the 50-entry r17 block.
+        # At N=150 and K=3 every remaining round is exactly 50; the
+        # second staged twin cannot register without going over cap,
+        # so it stays a validated staged demonstration).
+        # Registration = move it into queries() + oracle_sql() as
+        # round 18's position-50 spare.
+        # ROUND-19 OBLIGATION: the full 50-entry r16 block (third
+        # group below) — zero spares, queue nothing in round 19.
+        #
+        # --- last green r15 (r15 gate order preserved so memo
+        # billing stays comparable; orders_constraint_report moved
+        # to the round-16 spare slot and now sits in the r16 block
+        # below — this remainder rotates front in round 18) ---
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs",
@@ -313,6 +270,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans",
         "doc_perplexity_buckets",
         "doc_containment_dups",
+        # --- last green r16 (r16 gate order preserved: the 49
+        # r13-due entries in r13 order + the orders_constraint_report
+        # spare; rotates front in round 19) ---
+        "embedding_kmeans_quality",
+        "decontaminated_train_docs",
+        "training_corpus", "doc_repetition_stats",
+        "nation_pair_volume", "embedding_srp_pairs",
+        "ngram_jaccard_dups", "documents_clean_corpus",
+        "embedding_dup_clusters", "near_dup_representatives",
+        "embedding_similar_pairs",
+        "user_state_history", "user_hourly_gapfill",
+        "running_zscore_flags",
+        "value_histogram", "user_retention_cohorts",
+        "user_rolling_median",
+        "doc_weighted_sample", "corpus_mixture_sample",
+        "above_median_length_docs", "split_overlap_matrix",
+        "corpus_heavy_hitters",
+        "term_posting_lists", "corpus_pmi_collocations",
+        "hll_user_rollup", "source_quality_ols",
+        "multimodal_decode_png",
+        "sql_nation_revenue", "parse_props_variant",
+        "dynamic_session_stats", "salted_segment_revenue",
+        "dup_graph_stats", "dup_graph_pagerank",
+        "dup_graph_bfs_depths", "ivf_recall_report",
+        "streaming_approx_users", "streaming_native_dedup",
+        "embedding_kmeans_cells", "streaming_anomalies",
+        "streaming_state_history",
+        "embedding_int8_recall",
+        "source_unigram_kl", "streaming_ewma",
+        "user_cadence_profile",
+        "streaming_attribution", "streaming_transitions",
+        "doc_unigram_logprob",
+        "biometric_union",
+        "streaming_enriched_segment_counts",
+        "orders_constraint_report",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

@@ -133,67 +133,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-16 registration: the 49-entry r13-green obligation block
-    # leads IN ITS r13 GATE ORDER, then the spare
-    # (orders_constraint_report — no shared-memo consumption). The
-    # front replicates the r13 order exactly (the spare owned
-    # nothing in r13 either), so the BENCH_DETAIL_r13 OBSERVED map
-    # applies to the front verbatim; the r14 block precedes the r15
-    # block in the tail, the same relative order as rounds 13-15 for
-    # every tail-owned memo.
-    # "prev" = the round-15 owner, so round-over-round per-query
+    # Round-17 registration: the FULL 50-entry r14-green obligation
+    # block leads IN ITS r14 GATE ORDER (zero spares). The front
+    # replicates the r14 order exactly and the tail keeps the r15
+    # remainder ahead of the r16 block — the same relative order
+    # round 14 ran — so the BENCH_DETAIL_r14 OBSERVED map applies
+    # verbatim (12/12, memo_owner_mismatch was empty that round).
+    # "prev" = the round-16 owner, so round-over-round per-query
     # diffs separate billing shifts from real regressions.
+    # The kmeans map has no r14-front or r15-remainder consumer;
+    # its first consumer is embedding_kmeans_quality (r16 block).
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
+    # dedup_pipeline_report (front 36) is the first consumer of all
+    # five corpus-chain memos in the r14 order: the decontam pair
+    # (decontaminated_train_docs sits in the r16 tail block), the
+    # training-corpus rows and clean corpus (training_corpus
+    # likewise r16 block), and the LSH pair chain (minhash_lsh_pairs
+    # r15 remainder, AFTER the front) — round 14's observed owners.
     "decontam_gram_index": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
     "decontam_survivors": {
-        "owner": "decontaminated_train_docs",
+        "owner": "dedup_pipeline_report",
         "prev": "decontaminated_train_docs"},
     "training_corpus_rows": {
-        "owner": "training_corpus",
+        "owner": "dedup_pipeline_report",
         "prev": "training_corpus"},
-    # training_corpus (front 3) is the first clean-corpus AND first
-    # LSH-chain consumer in the r13 order (corpus_token_budget and
-    # minhash_lsh_pairs both sit in the r15 tail block now) — the
-    # round-13 OBSERVED owners under this exact order
     "clean_corpus": {
-        "owner": "training_corpus",
-        "prev": "corpus_token_budget"},
+        "owner": "dedup_pipeline_report",
+        "prev": "training_corpus"},
     "text_lsh_pairs": {
-        "owner": "training_corpus",
-        "prev": "minhash_lsh_pairs"},
-    # doc_repetition_stats (front 4) is the first doc-term-matrix
-    # consumer again (round-13 observed owner); the round-15
-    # perplexity-entry billing applied only while no dedicated
-    # doc-term consumer preceded it in the r12 order
+        "owner": "dedup_pipeline_report",
+        "prev": "training_corpus"},
+    # corpus_vocab_topk (front 33) is the first doc-term-matrix
+    # consumer (doc_repetition_stats moved to the r16 tail block)
     "doc_term_matrix": {
-        "owner": "doc_repetition_stats",
-        "prev": "doc_perplexity_buckets"},
-    # doc_unigram_logprob (front 47) precedes doc_perplexity_buckets
-    # (r15 tail block) — round 13's observed owner
+        "owner": "corpus_vocab_topk",
+        "prev": "doc_repetition_stats"},
+    # doc_perplexity_buckets (r15 remainder) precedes
+    # doc_unigram_logprob (r16 block) in the tail — round 14's
+    # observed owner returns
     "unigram_scores": {
-        "owner": "doc_unigram_logprob",
-        "prev": "doc_perplexity_buckets"},
-    # embedding_dup_clusters (front 9) is the first IVF-cell AND
-    # embedding-closure consumer (round-13 OBSERVED owner — the
-    # observation that corrected the r10-round hand-derivation);
-    # near_dup_representatives (front 10) the text closure
+        "owner": "doc_perplexity_buckets",
+        "prev": "doc_unigram_logprob"},
+    # r15 remainder precedes the r16 block: cross_modal_dup_agreement
+    # takes the embedding closure, near_dup_clusters the text
+    # closure, embedding_ivf_topk the IVF cells (each ahead of the
+    # r16-block former owners embedding_dup_clusters /
+    # near_dup_representatives) — round 14's observed owners
     "embedding_cluster_closure": {
-        "owner": "embedding_dup_clusters",
-        "prev": "cross_modal_dup_agreement"},
+        "owner": "cross_modal_dup_agreement",
+        "prev": "embedding_dup_clusters"},
     "text_cluster_closure": {
-        "owner": "near_dup_representatives",
-        "prev": "near_dup_clusters"},
+        "owner": "near_dup_clusters",
+        "prev": "near_dup_representatives"},
     "ivf_cell_assignment": {
-        "owner": "embedding_dup_clusters",
-        "prev": "embedding_ivf_topk"},
-    # doc_winnow_fingerprints (r14 block, leads the tail) computes
-    # and persists the sketch; contamination_overlaps (r14 block
-    # tail) reads it warm — no r13-front entry consumes it (same
-    # derivation as rounds 13-15)
+        "owner": "embedding_ivf_topk",
+        "prev": "embedding_dup_clusters"},
+    # doc_winnow_fingerprints (front 47) computes and persists the
+    # sketch; contamination_overlaps (front 49) reads it warm — the
+    # r14 derivation verbatim
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},
