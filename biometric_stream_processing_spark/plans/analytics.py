@@ -397,7 +397,8 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # warm best 0.409 s ⇒ 58% scheduling floor (five broadcast-build
 # jobs + the main stage), data term ~0.29 s. The r15 in-bench 1.03 s
 # was tail-position inflation, the documented late-warm-loop class.
-# Expected outcome (scheduling-floor pin) confirmed by measurement.
+# Expected outcome confirmed by measurement: scheduling-floor
+# PIN(nation_pair_volume).
 def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — one fact feeding TWO independent dimension
     paths: lineitem revenue rolled up by (customer nation, supplier

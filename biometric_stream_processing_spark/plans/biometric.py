@@ -89,7 +89,7 @@ def alert_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/weak_walls.py --ab, sf0.1, bench confs, quiet host): cold
 # 0.67 s, warm best 0.504 s / median 0.593 — UNDER the 1 s warm
 # wall; sf0.001 warm best 0.475 s ⇒ 94% scheduling floor, data term
-# ~0.03 s. FLOOR PIN: the 16× ratio is a small-denominator artifact
+# ~0.03 s. FLOOR PIN(alerts_throttled): the 16× ratio is a small-denominator artifact
 # (DuckDB runs the whole window+dedup CTE in 31 ms at sf0.1); the
 # in-bench 1.34 s was late-warm-loop inflation (r14-tail position,
 # GC column empty — the documented class). The plan is already the

@@ -889,7 +889,7 @@ def pmi_collocations(df: DataFrame, min_count: int = PMI_MIN_COUNT,
 # read sf0.001 0.62 s vs sf0.1 0.75 s → 82% SCHEDULING FLOOR (the
 # round-6 attribution, 66%, scaled by this boot's band). The
 # absolute data term is ≤0.15 s against a sub-second wall; the ratio
-# denominator is a 0.1 s-class oracle. FLOOR PIN — expected outcome
+# denominator is a 0.1 s-class oracle. FLOOR PIN(corpus_pmi_collocations) — expected outcome
 # per the verdict; plan unchanged since the round-10 persist share
 # with doc_bigram_logprob.
 def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

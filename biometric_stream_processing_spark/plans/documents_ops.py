@@ -1458,7 +1458,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.79-1.25 s → 1.66× best / 1.73× median — INSIDE the 2× bar. The
 # in-bench 2.1× reading was position effects plus that run's DuckDB
 # variance, not a plan regression; both input topk plans are
-# unchanged. No pin needed, nothing to do.
+# unchanged. Adjudicated PIN(ivf_recall_report): inside the bar,
+# nothing to do.
 def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY EVALUATION in-engine: recall@k of the IVF index
     against the exact brute-force ground truth — the measurement every

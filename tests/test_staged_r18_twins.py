@@ -220,3 +220,11 @@ def test_staged_names_unique_package_wide():
 
     committed = json.loads((root / "GATE_SOURCES.json").read_text())
     assert gate_sources.compute_hashes() == committed
+    # Round-17 advice fix: the hazard this test documents (a staged
+    # def shadowing an existing name moves FROZEN entries' hashes)
+    # manifests in the DEEP hashes — the AST name-resolution walk
+    # folds every same-named top-level def — so assert those too.
+    committed_deep = json.loads(
+        (root / "GATE_SOURCES_DEEP.json").read_text()
+    )
+    assert gate_sources.compute_deep_hashes() == committed_deep

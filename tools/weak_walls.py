@@ -124,12 +124,16 @@ def _newest_detail(root: str) -> str:
 def _pin_status(fn, name: str = "") -> str:
     """PINNED when an adjudication marker is ANCHORED to the entry:
     either inside the entry's own source (docstring pins), or in a
-    module-level comment block that NAMES the entry (where pins for
-    fingerprint-frozen entries live). Round-16 advice fix: the old
-    heuristic accepted any marker in the 40 lines above the def, so
-    an unrelated neighbor's note could mark an unadjudicated entry
-    PINNED — now a module-level marker only counts when the same
-    contiguous comment block mentions the entry's name."""
+    module-level comment block carrying the EXPLICIT anchor token
+    ``PIN(<entry_name>)`` (where pins for fingerprint-frozen entries
+    live). Round-17 advice fix: the round-16 named-block heuristic
+    still over-matched — a block adjudicating entry A that mentioned
+    entry B in passing (e.g. the alerts_throttled block's aside about
+    alerts_leading_debounce's kernel) marked B PINNED via substring
+    containment. Module blocks now count ONLY on the explicit
+    ``PIN(name)`` token, so a passing mention can never suppress the
+    needs-isolated-A/B flag; writing a module pin means writing the
+    anchor (all four existing module pins carry it)."""
     if name in HELPER_PINNED:
         return "PINNED(helper)"
     try:
@@ -140,18 +144,10 @@ def _pin_status(fn, name: str = "") -> str:
         return "?"
     if any(m in src for m in PIN_MARKERS):
         return "PINNED"
-    block: list[str] = []
-    for line in module_src.splitlines() + [""]:
-        if line.lstrip().startswith("#"):
-            block.append(line)
-            continue
-        if block:
-            text = "\n".join(block)
-            if name and name in text and any(
-                m in text for m in PIN_MARKERS
-            ):
-                return "PINNED"
-            block = []
+    if name and re.search(
+        r"#.*\bPIN\(\s*" + re.escape(name) + r"\s*\)", module_src
+    ):
+        return "PINNED"
     return "UNPINNED"
 
 
