@@ -162,6 +162,7 @@ def streaming_containment_registry(
     sf_dir: str,
     doc_glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
+    registry_dir: str | None = None,
 ) -> DataFrame:
     """STREAMING twin of ``doc_containment_dups``'s registry shape
     (the VERDICT_r15 #6 nomination): documents arrive as a stream and
@@ -191,17 +192,28 @@ def streaming_containment_registry(
     docs table, gated at ``CONTAINMENT_MICROS_MIN`` like the batch
     entry.
 
-    Scale framing: the registry tables are parquet appends here (test
-    harness); a deployment swaps them for a transactional store
-    (MERGE INTO / the ``sinks.idempotent_keyed_upsert_writer``
-    pattern) and partitions ``bands`` by band so each batch's
-    candidate join prunes to the buckets it touches. Honest caveat
-    the harness shape carries: a micro-batch RETRY would re-append
-    (the plain parquet append has no batch-id lineage), so
-    exactly-once needs the versioned-write discipline
-    ``sinks.py`` already implements and
-    ``test_exactly_once_sink.py`` drives — wire it at registration
-    if the entry's oracle is ever run under induced replay. State never
+    Exactly-once under batch REPLAY (round-17 fix of the round-16
+    staging caveat, VERDICT_r16 #3): every registry write goes to a
+    per-batch ``batch_id=N`` directory in OVERWRITE mode — the
+    ``sinks.idempotent_parquet_writer`` discipline — and registry
+    reads glob ``batch_id=*``. A replayed micro-batch (crash between
+    sink write and checkpoint commit) first REWRITES its own three
+    batch directories — healing any torn write — and only then
+    re-reads the globs, so it recomputes byte-identical bands,
+    candidates and pairs: no duplicates, nothing lost, regardless of
+    how many times the engine re-delivers the batch
+    (``minhash_bands`` and ``containment_verify`` are deterministic).
+    Forced-replay golden: tests/test_staged_r18_twins.py drops the
+    last checkpoint commit marker and restarts — the
+    ``test_exactly_once_sink.py`` recipe. ``registry_dir`` exposes
+    the registry+checkpoint root for exactly that restart path (same
+    lineage resumes; default is a fresh scratch dir per call).
+
+    Scale framing: a deployment swaps the per-batch parquet
+    directories for a transactional store (MERGE INTO / the
+    ``sinks.idempotent_keyed_upsert_writer`` pattern) and partitions
+    ``bands`` by band so each batch's candidate join prunes to the
+    buckets it touches. State never
     lives on the driver and no step recomputes the old corpus; the
     one full-registry read per batch is the stream-static join every
     streaming-LSH deployment carries, served by an indexed store at
@@ -222,7 +234,7 @@ def streaming_containment_registry(
     """
     from ..streaming.pipeline import pinned_shuffle_partitions, scratch_dir
 
-    reg = scratch_dir("bspe_ctr_")
+    reg = registry_dir or scratch_dir("bspe_ctr_")
     bands_dir = os.path.join(reg, "bands")
     docs_dir = os.path.join(reg, "docs")
     pairs_dir = os.path.join(reg, "pairs")
@@ -239,18 +251,26 @@ def streaming_containment_registry(
             )
         src = reader.parquet(sf_dir)
 
-        def _fold(bdf: DataFrame, _bid: int) -> None:
+        def _fold(bdf: DataFrame, bid: int) -> None:
             if not bdf.head(1):
                 return
             s = bdf.sparkSession
             docs_b = bdf.select("doc_id", "text")
-            docs_b.write.mode("append").parquet(docs_dir)
+            # write-own-batch-dir FIRST (overwrite): a replay heals
+            # any torn write before the registry globs below read it
+            docs_b.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch_id={bid}")
+            )
             bands_b = minhash_bands(
                 docs_b, shingle_n=SHINGLE_N,
                 num_hashes=NUM_HASHES, bands=BANDS,
             )
-            bands_b.write.mode("append").parquet(bands_dir)
-            bands_all = s.read.parquet(bands_dir)
+            bands_b.write.mode("overwrite").parquet(
+                os.path.join(bands_dir, f"batch_id={bid}")
+            )
+            bands_all = s.read.option("basePath", bands_dir).parquet(
+                os.path.join(bands_dir, "batch_id=*")
+            )
             cand = (
                 bands_b.select(
                     F.col("doc_id").alias("_idn"), "band", "bucket"
@@ -268,13 +288,17 @@ def streaming_containment_registry(
                 )
                 .distinct()
             )
-            docs_all = s.read.parquet(docs_dir)
+            docs_all = s.read.option("basePath", docs_dir).parquet(
+                os.path.join(docs_dir, "batch_id=*")
+            ).select("doc_id", "text")
             out = containment_verify(
                 cand, docs_all, shingle_n=SHINGLE_N
             ).where(
                 F.col("containment_micros") >= CONTAINMENT_MICROS_MIN
             )
-            out.write.mode("append").parquet(pairs_dir)
+            out.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch_id={bid}")
+            )
 
         q = (
             src.writeStream.outputMode("append")
@@ -287,11 +311,19 @@ def streaming_containment_registry(
 
     result_schema = ("contained_doc_id long, container_doc_id long, "
                      "containment_micros long")
-    try:
-        return spark.read.schema(result_schema).parquet(pairs_dir)
-    except Exception:
-        # no batch produced a pair above the gate — empty relation
+    # Round-17 advice fix: only the legitimately-empty case (no
+    # non-empty batch ever ran, so the pairs store was never created)
+    # maps to an empty relation — a corrupt part file or schema
+    # mismatch now PROPAGATES instead of masquerading as "no pairs
+    # found" (which would surface as a confusing oracle hash
+    # mismatch rather than a stack trace).
+    if not os.path.isdir(pairs_dir):
         return spark.createDataFrame([], result_schema)
+    return spark.read.schema(result_schema).option(
+        "basePath", pairs_dir
+    ).parquet(os.path.join(pairs_dir, "batch_id=*")).select(
+        "contained_doc_id", "container_doc_id", "containment_micros"
+    )
 
 
 #: staged oracles, NOT merged into ``__spark_entry__.oracle_sql()``
