@@ -841,6 +841,14 @@ _TRAINING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 # -------------------------------------------------------------- similarity
 
+# ROUND-17 ADJUDICATION (module-level: frozen r15-block entry):
+# BENCH_DETAIL_r17 read 1.00 s warm / 6.2× at position 56/149.
+# Isolated same-boot best-of-5 (weak_walls --ab --floor): warm best
+# 0.681 s / median 0.710 vs DuckDB 0.171 s; sf0.001 warm best
+# 0.538 s ⇒ 79% scheduling floor, data term ~0.14 s. The brute-force
+# exact baseline is one broadcast of 20 query vectors + a single
+# corpus scan — already the minimal plan; the ratio prices the
+# per-job floor against a 0.17 s oracle. FLOOR PIN(embedding_topk).
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") % QUERY_MOD == 0)
@@ -2687,6 +2695,13 @@ Q8_REF_SCALE = 1 << 20
 Q8_K = 10
 
 
+# ROUND-17 ADJUDICATION (module-level: frozen r16-block entry):
+# BENCH_DETAIL_r17 read 1.10 s warm / 6.5× at position 140/149 (last
+# fifth). Isolated same-boot best-of-5 (weak_walls --ab --floor):
+# warm best 0.647 s / median 0.706 vs DuckDB 0.176 s; sf0.001 warm
+# best 0.540 s ⇒ 84% scheduling floor, data term ~0.11 s. Late-loop
+# inflation class — FLOOR PIN(embedding_int8_recall); the dual
+# integer ranking plan is unchanged.
 def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8-QUANTIZATION RECALL REPORT (``operators/similarity.
     quantized_recall``): per query (vec_id % QUERY_MOD), recall@10 of
