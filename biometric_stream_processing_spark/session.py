@@ -42,8 +42,20 @@ DEFAULT_CONFS: dict[str, str] = {
     # here, not in a caller's conf.set):
     #   SPARK_GRAFT_CPUS=11 SPARK_GRAFT_SHUFFLE_PARTITIONS=7 \
     #     python tools/check_oracle.py /root/testdata/sf0.01
+    # "Cores" means the MASTER's cores (round 17, guide §2
+    # scale-adaptivity): when SPARK_GRAFT_CPUS pins the local master
+    # to N threads, sizing exchanges to the MACHINE's os.cpu_count()
+    # (e.g. 32 shuffle partitions on a local[4] session) schedules
+    # 8 waves of tiny tasks per exchange for no extra parallelism.
+    # Fall back to all cores when the master is unpinned ("*" or
+    # unset). Every harness that TIMES queries pins this knob
+    # explicitly (bench.py: 4; tests: 8), so bench numbers are
+    # unaffected; this sizes the untimed/driver-session paths right.
     "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(os.cpu_count() or 8)
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        (lambda c: c if c.isdigit() else str(os.cpu_count() or 8))(
+            os.environ.get("SPARK_GRAFT_CPUS", "")
+        ),
     ),
     "spark.ui.enabled": "false",
 }
