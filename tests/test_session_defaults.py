@@ -1,0 +1,72 @@
+"""Round-17 optimization-round pins for the session-factory defaults
+(`session.DEFAULT_CONFS` is computed at import time from env, so each
+case re-imports the module in a subprocess with a controlled
+environment — no SparkSession is launched).
+
+1. Shuffle partitions derive from the MASTER's cores (numeric
+   SPARK_GRAFT_CPUS), not the machine's cpu_count — the guide-§2
+   scale-adaptivity fix: a local[4] driver session must not default
+   to 32 shuffle partitions on a 32-core box.
+2. SPARK_GRAFT_SHUFFLE_PARTITIONS (the adversarial-sweep knob)
+   still beats everything.
+3. Non-numeric / unset SPARK_GRAFT_CPUS ("*" = all cores) falls back
+   to os.cpu_count() — the pre-round-17 behavior, unchanged.
+4. The ParallelGC local-JVM default is present and the
+   SPARK_GRAFT_DRIVER_JAVA_OPTS env hook overrides or clears it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from biometric_stream_processing_spark.session import DEFAULT_CONFS
+print(json.dumps({{
+    "shuffle": DEFAULT_CONFS["spark.sql.shuffle.partitions"],
+    "gc": DEFAULT_CONFS.get("spark.driver.extraJavaOptions"),
+}}))
+"""
+
+
+def _defaults(**env_overrides) -> dict:
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("SPARK_GRAFT_")}
+    env.update(env_overrides)
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=REPO)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    return json.loads(out)
+
+
+def test_shuffle_default_follows_numeric_spark_graft_cpus():
+    assert _defaults(SPARK_GRAFT_CPUS="4")["shuffle"] == "4"
+    assert _defaults(SPARK_GRAFT_CPUS="11")["shuffle"] == "11"
+
+
+def test_shuffle_env_override_still_wins():
+    got = _defaults(SPARK_GRAFT_CPUS="11",
+                    SPARK_GRAFT_SHUFFLE_PARTITIONS="7")
+    assert got["shuffle"] == "7"
+
+
+def test_shuffle_falls_back_to_cpu_count_when_master_unpinned():
+    expect = str(os.cpu_count() or 8)
+    assert _defaults()["shuffle"] == expect
+    assert _defaults(SPARK_GRAFT_CPUS="*")["shuffle"] == expect
+
+
+def test_gc_default_and_env_hook():
+    assert _defaults()["gc"] == "-XX:+UseParallelGC"
+    assert _defaults(
+        SPARK_GRAFT_DRIVER_JAVA_OPTS="-XX:+UseG1GC"
+    )["gc"] == "-XX:+UseG1GC"
+    # empty string = clear the flag (fall back to the JVM default)
+    assert _defaults(SPARK_GRAFT_DRIVER_JAVA_OPTS="")["gc"] == ""
