@@ -142,102 +142,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composites (billing annotated per round in BENCH_DETAIL via
     # bench.py's MEMO_OWNERS map).
     #
-    # ROUND 17 (recorded rounds r1-r7, r9-r16): r14 leaves the window
-    # when this round records (post-recording window {r15, r16, r17}),
-    # so the FULL 50-entry r14-green block fills the front — derived
-    # fresh via tools/round_plan.py against CORRECTNESS_r{14,15,16}:
-    # exactly 50 entries have last-green r14 (round 16's spare went to
-    # orders_constraint_report, forced by the validate.py advice fix,
-    # so no r14 entry was pre-verified); the r15 remainder is 49 and
-    # the r16 block is 50, queue EMPTY — 50+49+50 = 149 total,
-    # set-check clean. Front = the 50 r14-due entries in r14 gate
-    # order: exactly GATE_CAP, ZERO spare slots, queue NOTHING.
-    # In-front rework this round (VERDICT_r16 #2): streaming_dedup_merge
-    # IS in the r14 block (round_plan confirms last-green r14), so
-    # routing it through the production parquet-backed registry sink
-    # (streaming/sinks.py) re-enters it through a slot it already
-    # occupies — no spare needed. No other entry's fingerprint may
-    # move (gate_sources deep-diff asserted after the edit).
-    # MEMO_OWNERS moves (bench.py map): the front replicates the r14
-    # gate order exactly, so the BENCH_DETAIL_r14 OBSERVED owners
-    # apply to the front verbatim — corpus_vocab_topk (front 33) the
-    # doc-term matrix, dedup_pipeline_report (front 36) the clean
-    # corpus + LSH pair chain + training-corpus rows + decontam index
-    # and survivors (first consumer of all five in this order),
-    # doc_winnow_fingerprints (front 47) the winnow sketch; in the
-    # tail the r15 remainder precedes the r16 block, so
-    # embedding_ivf_topk takes the IVF cells, cross_modal_dup_agreement
-    # the embedding closure, near_dup_clusters the text closure,
-    # doc_perplexity_buckets the unigram scorer (each the first
-    # consumer in r15-before-r16 order — the same owners BENCH_DETAIL
-    # r14 observed), and the kmeans map stays with
-    # embedding_kmeans_quality (r16 block; no earlier consumer).
+    # ROUND 18 (recorded rounds r1-r7, r9-r17; optimization round 2
+    # of 2): r15 leaves the window when this round records
+    # (post-recording window {r16, r17, r18}), so the 49-entry
+    # r15-green remainder fills the front — derived fresh via
+    # tools/round_plan.py against CORRECTNESS_r{15,16,17}: 49 due
+    # (the 50-entry r15 block minus orders_constraint_report, which
+    # round 16 pre-verified as its spare), r16 block 50, r17 block 50,
+    # queue EMPTY — 49+50+50 = 149, set-check clean. ONE spare slot.
+    # SPARE (position 50): embedding_kmeans_quality — the documented
+    # "oldest-fresh fill" (head of the r16 block in r16 gate order),
+    # pre-paying round-19 debt so round 19 gets a spare of its own.
+    # The round-17 registry note's pre-decided spare
+    # (staged_r18.streaming_containment_registry) is NOT registered:
+    # it is a new feature and this is an optimization round
+    # (OPTIMIZATION_r17 "NOTE FOR ROUND 18"); it stays a validated
+    # staged demonstration. An edit-enabling spare (fronting a frozen
+    # wall to optimize it) was evaluated and declined on measurement:
+    # every frozen >1 s wall carries a multi-round pin
+    # (embedding_similar_pairs: unroll/Arrow dead ends recorded in
+    # operators/similarity.py; dup_graph_*: one-job-per-level loops;
+    # streaming_state_history: parquet-sink A/B measured a wash —
+    # OPTIMIZATION_r18.md).
+    # MEMO_OWNERS moves (bench.py map, re-derived for this order and
+    # verified by the bench's observed-owner probe): minhash_lsh_pairs
+    # (front 2) now owns the LSH candidate persist,
+    # near_dup_clusters (front 3) keeps the text closure,
+    # embedding_ivf_topk (front 7) keeps the IVF cells,
+    # corpus_token_budget (front 9) takes the clean corpus,
+    # cross_modal_dup_agreement (front 10) keeps the embedding
+    # closure, doc_perplexity_buckets (front 48) keeps the unigram
+    # scorer, embedding_kmeans_quality (front 50) keeps the kmeans
+    # map; in the tail the r16 block precedes the r17 block, so
+    # decontaminated_train_docs takes the decontam pair,
+    # training_corpus the training rows, doc_repetition_stats the
+    # doc-term matrix, ngram_jaccard_dups the verify chain's
+    # text_lsh_pairs read (already owned by minhash up front), and
+    # doc_winnow_fingerprints (r17 block) keeps the winnow sketch.
     front = [
-        # --- last green r14 (oldest debt) IN ITS r14 GATE ORDER —
-        # 50 entries; order preserved so BENCH_DETAIL_r14 per-query
+        # --- last green r15 (oldest debt) IN ITS r15 GATE ORDER —
+        # 49 entries; order preserved so BENCH_DETAIL_r15 per-query
         # numbers stay comparable ---
-        "alert_windows",
-        "alerts_throttled", "alerts_leading_debounce",
-        "order_counts_unpivot", "status_priority_cube",
-        "distinct_user_type_pairs", "top_orders",
-        "customers_without_orders", "customer_running_totals",
-        "dormant_customers_by_segment", "users_with_both_streams",
-        "order_price_deciles", "order_priority_pivot",
-        "customers_with_orders", "users_never_purchasing",
-        "approx_distinct_bounds", "value_percentiles",
-        "doc_split_assignment", "doc_stratified_sample",
-        "doc_pack_assignments",
-        "multimodal_decode_audio", "multimodal_resize_images",
-        "doc_passages",
-        "user_value_rolling_1h", "q1_pricing_summary",
-        "late_shipment_priority_counts", "parts_above_brand_avg",
-        "disjunctive_revenue", "top_customers_per_segment",
-        "abandoned_clicks", "source_dedup_report",
-        "source_quality_report",
-        "corpus_vocab_topk", "embedding_pca_quality",
-        "orders_profile", "dedup_pipeline_report",
-        "streaming_alerts", "streaming_dedup_merge",
-        "streaming_interval_pairs",
-        "streaming_session_stats", "streaming_vocab_topk",
-        "streaming_abandoned_clicks", "streaming_outer_pairs",
-        "streaming_user_cadence",
-        "regional_revenue_rollup", "q5_asia_revenue",
-        "doc_winnow_fingerprints",
-        "user_value_ewma",
-        "contamination_overlaps",
-        "doc_tfidf_keywords",
-    ]
-    tail = [
-        # ROUND-18 OBLIGATION (K=3 on recorded rounds; once round 17
-        # records, the window is {r15, r16, r17} and r15 leaves when
-        # round 18 records): the 49-entry r15-green remainder below
-        # (dedup_exact .. doc_containment_dups, r15 gate order — the
-        # 50-entry r15 block minus orders_constraint_report, which
-        # round 16 re-verified as its spare) fills the round-18
-        # front, leaving ONE spare slot. Re-derive from the
-        # CORRECTNESS files via tools/round_plan.py, do not trust
-        # this count — the round-11 arithmetic catch is the
-        # precedent.
-        # ROUND-18 SPARE, PRE-DECIDED (VERDICT_r16 #6): register
-        # staged_r18.streaming_containment_registry (after its
-        # round-17 idempotence fix) — it adds a genuinely new
-        # capability class (incremental new-vs-all dedup registry);
-        # embedding_rerank_report stays staged for round 19 ONLY if
-        # spare math allows (it will not: registering one entry makes
-        # N=150, and round 19 owes the full 50-entry r16 block —
-        # zero spares — while round 20 owes the 50-entry r17 block.
-        # At N=150 and K=3 every remaining round is exactly 50; the
-        # second staged twin cannot register without going over cap,
-        # so it stays a validated staged demonstration).
-        # Registration = move it into queries() + oracle_sql() as
-        # round 18's position-50 spare.
-        # ROUND-19 OBLIGATION: the full 50-entry r16 block (third
-        # group below) — zero spares, queue nothing in round 19.
-        #
-        # --- last green r15 (r15 gate order preserved so memo
-        # billing stays comparable; orders_constraint_report moved
-        # to the round-16 spare slot and now sits in the r16 block
-        # below — this remainder rotates front in round 18) ---
         "dedup_exact", "minhash_lsh_pairs",
         "near_dup_clusters", "simhash_fingerprints",
         "simhash_dup_pairs",
@@ -270,10 +215,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans",
         "doc_perplexity_buckets",
         "doc_containment_dups",
-        # --- last green r16 (r16 gate order preserved: the 49
-        # r13-due entries in r13 order + the orders_constraint_report
-        # spare; rotates front in round 19) ---
+        # --- spare slot (oldest-fresh fill): head of the r16 block,
+        # pre-paying round-19 debt ---
         "embedding_kmeans_quality",
+    ]
+    tail = [
+        # ROUND-19 OBLIGATION (K=3 on recorded rounds; once round 18
+        # records, the window is {r16, r17, r18} and r16 leaves when
+        # round 19 records): the 49-entry r16-green remainder below
+        # (decontaminated_train_docs .. orders_constraint_report, r16
+        # gate order — the 50-entry r16 block minus
+        # embedding_kmeans_quality, pre-verified as round 18's spare)
+        # fills the round-19 front, leaving ONE spare slot. Re-derive
+        # from the CORRECTNESS files via tools/round_plan.py, do not
+        # trust this count — the round-11 arithmetic catch is the
+        # precedent.
+        # ROUND-20 OBLIGATION: the full 50-entry r17 block (second
+        # group below) — zero spares in round 20 unless round 19
+        # pre-pays with its spare.
+        #
+        # --- last green r16 (r16 gate order preserved minus the
+        # kmeans_quality spare; rotates front in round 19) ---
         "decontaminated_train_docs",
         "training_corpus", "doc_repetition_stats",
         "nation_pair_volume", "embedding_srp_pairs",
@@ -305,6 +267,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biometric_union",
         "streaming_enriched_segment_counts",
         "orders_constraint_report",
+        # --- last green r17 (the r14-green block round 17
+        # re-verified, r14/r17 gate order preserved; rotates front in
+        # round 20) ---
+        "alert_windows",
+        "alerts_throttled", "alerts_leading_debounce",
+        "order_counts_unpivot", "status_priority_cube",
+        "distinct_user_type_pairs", "top_orders",
+        "customers_without_orders", "customer_running_totals",
+        "dormant_customers_by_segment", "users_with_both_streams",
+        "order_price_deciles", "order_priority_pivot",
+        "customers_with_orders", "users_never_purchasing",
+        "approx_distinct_bounds", "value_percentiles",
+        "doc_split_assignment", "doc_stratified_sample",
+        "doc_pack_assignments",
+        "multimodal_decode_audio", "multimodal_resize_images",
+        "doc_passages",
+        "user_value_rolling_1h", "q1_pricing_summary",
+        "late_shipment_priority_counts", "parts_above_brand_avg",
+        "disjunctive_revenue", "top_customers_per_segment",
+        "abandoned_clicks", "source_dedup_report",
+        "source_quality_report",
+        "corpus_vocab_topk", "embedding_pca_quality",
+        "orders_profile", "dedup_pipeline_report",
+        "streaming_alerts", "streaming_dedup_merge",
+        "streaming_interval_pairs",
+        "streaming_session_stats", "streaming_vocab_topk",
+        "streaming_abandoned_clicks", "streaming_outer_pairs",
+        "streaming_user_cadence",
+        "regional_revenue_rollup", "q5_asia_revenue",
+        "doc_winnow_fingerprints",
+        "user_value_ewma",
+        "contamination_overlaps",
+        "doc_tfidf_keywords",
     ]
     ordered = front + [n for n in all_q if n not in front and n not in tail]
     ordered += [n for n in tail if n in all_q]

@@ -133,68 +133,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_DETAIL_r<N>.json so round-over-round per-query diffs separate
 # real regressions from billing shifts. "prev" = last round's owner.
 MEMO_OWNERS = {
-    # Round-17 registration: the FULL 50-entry r14-green obligation
-    # block leads IN ITS r14 GATE ORDER (zero spares). The front
-    # replicates the r14 order exactly and the tail keeps the r15
-    # remainder ahead of the r16 block — the same relative order
-    # round 14 ran — so the BENCH_DETAIL_r14 OBSERVED map applies
-    # verbatim (12/12, memo_owner_mismatch was empty that round).
-    # "prev" = the round-16 owner, so round-over-round per-query
-    # diffs separate billing shifts from real regressions.
-    # The kmeans map has no r14-front or r15-remainder consumer;
-    # its first consumer is embedding_kmeans_quality (r16 block).
+    # Round-18 registration: the 49-entry r15-green obligation block
+    # leads IN ITS r15 GATE ORDER + the embedding_kmeans_quality
+    # spare at position 50; the tail keeps the r16 block ahead of the
+    # r17 (r14-green) block. "prev" = the round-17 owner, so
+    # round-over-round per-query diffs separate billing shifts from
+    # real regressions. Derivation verified by the bench's
+    # observed-owner probes (mismatch list must stay empty).
+    # The kmeans map's first consumer is the spare itself (front 50).
     "kmeans_training_and_assignment_map": {
         "owner": "embedding_kmeans_quality",
         "prev": "embedding_kmeans_quality"},
-    # dedup_pipeline_report (front 36) is the first consumer of all
-    # five corpus-chain memos in the r14 order: the decontam pair
-    # (decontaminated_train_docs sits in the r16 tail block), the
-    # training-corpus rows and clean corpus (training_corpus
-    # likewise r16 block), and the LSH pair chain (minhash_lsh_pairs
-    # r15 remainder, AFTER the front) — round 14's observed owners.
+    # The five corpus-chain memos split up: minhash_lsh_pairs
+    # (front 2) is now itself the first consumer of its persisted
+    # candidate relation; corpus_token_budget (front 9) is the first
+    # clean-corpus reader; the decontam pair and the training-corpus
+    # rows fall to their r16-block builders (decontaminated_train_docs
+    # / training_corpus), ahead of dedup_pipeline_report (r17 block),
+    # which loses all five bills it carried in round 17.
     "decontam_gram_index": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "decontam_survivors": {
-        "owner": "dedup_pipeline_report",
-        "prev": "decontaminated_train_docs"},
+        "owner": "decontaminated_train_docs",
+        "prev": "dedup_pipeline_report"},
     "training_corpus_rows": {
-        "owner": "dedup_pipeline_report",
-        "prev": "training_corpus"},
+        "owner": "training_corpus",
+        "prev": "dedup_pipeline_report"},
     "clean_corpus": {
-        "owner": "dedup_pipeline_report",
-        "prev": "training_corpus"},
+        "owner": "corpus_token_budget",
+        "prev": "dedup_pipeline_report"},
     "text_lsh_pairs": {
-        "owner": "dedup_pipeline_report",
-        "prev": "training_corpus"},
-    # corpus_vocab_topk (front 33) is the first doc-term-matrix
-    # consumer (doc_repetition_stats moved to the r16 tail block)
+        "owner": "minhash_lsh_pairs",
+        "prev": "dedup_pipeline_report"},
+    # doc_perplexity_buckets (front 48) builds the unigram scorer,
+    # whose construction itself reads the doc-term matrix — so BOTH
+    # memos bill to it (doc_repetition_stats and corpus_vocab_topk,
+    # the other _TF consumers, sit in the tail blocks).
     "doc_term_matrix": {
-        "owner": "corpus_vocab_topk",
-        "prev": "doc_repetition_stats"},
-    # doc_perplexity_buckets (r15 remainder) precedes
-    # doc_unigram_logprob (r16 block) in the tail — round 14's
-    # observed owner returns
+        "owner": "doc_perplexity_buckets",
+        "prev": "corpus_vocab_topk"},
     "unigram_scores": {
         "owner": "doc_perplexity_buckets",
-        "prev": "doc_unigram_logprob"},
-    # r15 remainder precedes the r16 block: cross_modal_dup_agreement
-    # takes the embedding closure, near_dup_clusters the text
-    # closure, embedding_ivf_topk the IVF cells (each ahead of the
-    # r16-block former owners embedding_dup_clusters /
-    # near_dup_representatives) — round 14's observed owners
+        "prev": "doc_perplexity_buckets"},
+    # Unchanged from round 17: the r15 entries that owned these memos
+    # as tail-first-consumers now own them as front entries.
     "embedding_cluster_closure": {
         "owner": "cross_modal_dup_agreement",
-        "prev": "embedding_dup_clusters"},
+        "prev": "cross_modal_dup_agreement"},
     "text_cluster_closure": {
         "owner": "near_dup_clusters",
-        "prev": "near_dup_representatives"},
+        "prev": "near_dup_clusters"},
     "ivf_cell_assignment": {
         "owner": "embedding_ivf_topk",
-        "prev": "embedding_dup_clusters"},
-    # doc_winnow_fingerprints (front 47) computes and persists the
-    # sketch; contamination_overlaps (front 49) reads it warm — the
-    # r14 derivation verbatim
+        "prev": "embedding_ivf_topk"},
+    # winnow sketch: both consumers sit in the r17 tail block in
+    # their r14 relative order (winnow before contamination)
     "winnow_fingerprints": {
         "owner": "doc_winnow_fingerprints",
         "prev": "doc_winnow_fingerprints"},
