@@ -1263,18 +1263,41 @@ def streaming_user_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wall (sf0.1, local[32]): 10.5 s cold (QUEUED_BENCH_r11), 8.0 s
     warm best-of-3 — above the 2-4 s Python-stateful class because
     the RELATION is big, not the machine: the hourly spine is
-    ~1.05 M rows at sf0.1 (×700 the cadence twin's output), so the
-    Arrow emission + memory-sink collect dominates; the keyed state
-    itself is three longs and the kernel is one dict pass per batch.
-    DuckDB replays the same relation in 1.7 s (no state machinery —
-    the ratio_report streaming caveat applies). State-partition A/B
-    (round 12, warm pairs): 4 → 13.7-14.4 s (the big emission
-    SERIALIZES — opposite of the light machines' 4-is-best rule),
-    8 → 6.5-7.8 s, 16 → 7.5-8.4 s, 32 → 5.1-9.2 s (unstable);
-    8 stands."""
-    import os
-    import uuid
+    ~1.05 M rows at sf0.1 (×700 the cadence twin's output); the keyed
+    state itself is three longs and the kernel is one dict pass per
+    batch. DuckDB replays the same relation in 1.7 s (no state
+    machinery — the ratio_report streaming caveat applies).
+    State-partition A/B (round 12, warm pairs): 4 → 13.7-14.4 s (the
+    big emission SERIALIZES — opposite of the light machines'
+    4-is-best rule), 8 → 6.5-7.8 s, 16 → 7.5-8.4 s, 32 → 5.1-9.2 s
+    (unstable); 8 stands.
 
+    ROUND-18 SINK REWORK (guide §5 driver-memory bound; the
+    streaming_dedup_merge precedent): the memory sink held the whole
+    ~1.05 M-row emission ON THE DRIVER (a ``collect()`` in disguise —
+    the one remaining unbounded-driver-memory shape in a registered
+    path, VERDICT_r17 #3), and its 8→32-core speedup of 1.09×
+    confirmed the wall was the driver transfer, not the kernel. Now
+    each micro-batch writes straight from the executors through the
+    exactly-once ``sinks.idempotent_parquet_writer`` (batch_id=N
+    directory, overwritten on replay) and the entry returns the
+    read-back relation — zero driver-side rows at any scale. Same
+    relation by construction (append-mode emission union == the
+    memory table; asserted row-identical at sf0.001 AND sf0.01 via
+    exceptAll both ways against the memory-sink form before the
+    swap, and the shared hourly-gapfill oracle re-hashes it at the
+    gate). Measured (sf0.1, local[32], bench confs, interleaved
+    best-of-3, memory vs parquet): 16.1/10.0/11.4 s vs
+    10.9/8.6/7.1 s — ~-30% cold, and the driver no longer scales
+    with the spine. In-bench: 6.9 s (this boot's baseline) → see
+    BENCH_DETAIL_r18."""
+    import os
+
+    from .sinks import (
+        idempotent_parquet_writer,
+        read_idempotent_output,
+        start_with_foreach_batch,
+    )
     from .state import gapfill_stream
 
     # Python-stateful: 8 partitions, see streaming_abandoned_clicks
@@ -1285,9 +1308,15 @@ def streaming_user_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*.parquet", ts_unit,
         )
         out = gapfill_stream(src)
-        name = "gapfill_stream_" + uuid.uuid4().hex[:8]
-        out = run_stream_to_memory(out, name, scratch_dir("bspe_gap_"))
-    return out.where(F.col("user_id") != SENTINEL_USER_ID)
+        out_dir = scratch_dir("bspe_gap_out_")
+        q = start_with_foreach_batch(
+            out, idempotent_parquet_writer(out_dir),
+            scratch_dir("bspe_gap_"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        res = read_idempotent_output(spark, out_dir).drop("batch_id")
+    return res.where(F.col("user_id") != SENTINEL_USER_ID)
 
 
 def streaming_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:

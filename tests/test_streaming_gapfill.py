@@ -120,3 +120,27 @@ def test_gapfill_sentinel_only_carries_clock(spark, tmpdir):  # noqa: F811
     assert _rows(spark, outdir) == [
         (5, _hour_es(0), 1, 100, 100, False),
     ]
+
+
+def test_registered_entry_is_driver_memory_bounded(spark):
+    """ROUND-18 SINK REWORK PIN: the registered entry routes its
+    ~|users × hours| emission through the exactly-once foreachBatch
+    parquet sink (executor-side writes, zero driver-held rows) and
+    the returned relation must (a) read back from parquet — not from
+    a driver-memory sink's LocalTableScan — and (b) equal the batch
+    twin's relation exactly (the shared oracle's guarantee,
+    re-asserted here so the sink swap can never silently drop or
+    duplicate a batch directory)."""
+    from biometric_stream_processing_spark.plans import timeseries_ops
+    from biometric_stream_processing_spark.streaming.pipeline import (
+        streaming_user_gapfill,
+    )
+    from tests.conftest import SF_DIR
+
+    out = streaming_user_gapfill(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan and "LocalTableScan" not in plan, plan
+    batch = timeseries_ops.user_hourly_gapfill(spark, SF_DIR)
+    assert [f.name for f in out.schema] == [f.name for f in batch.schema]
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
