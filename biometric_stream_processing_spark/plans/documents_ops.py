@@ -245,14 +245,42 @@ WINNOW_W = 4   # winnowing window (hashes per selection window)
 QUALITY_MIN = 0.3  # clean-corpus quality floor
 
 
+def _simhash_fps_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with the ``dedup._spread`` degenerate-case
+    guard for the PAIRS path (round 18, guide §2): the sf0.1 corpus
+    scans as ONE task (single parquet file), so the per-doc simhash
+    fold — the pair pipeline's dominant cost — ran on one core.
+    Round-robin before the fold parallelizes it; a real corpus
+    arrives in many splits, so this is a no-op cost at scale (the
+    minhash path has carried the same guard since round 9).
+
+    Kept OUT of ``simhash_fingerprints`` itself deliberately: that
+    entry is a pure projection whose bench ``count()`` column-prunes
+    the fold to a bare scan-count, so the exchange would only add
+    cost there (measured +0.17 s count-side), while here every
+    fingerprint is materialized into the block explode (measured
+    pairs 2.18/2.26 → 1.56/1.68 s warm best-of-5, two interleaved
+    reps). Values are the identical fold expression — row placement
+    cannot move them (exceptAll-both-ways empty at sf0.01 and sf0.1,
+    120 608 pairs)."""
+    from ..operators.dedup import _spread
+
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    )
+    return d.select("doc_id", simhash16(F.col("_ws")).alias("simhash"))
+
+
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup DETECTION (completing the fingerprint-only
     ``simhash_fingerprints``): exact Hamming ≤ HAMMING_MAX pairs via
     pigeonhole blocking + verify (operators/dedup.py). The oracle is
     the O(n²) brute force — completeness of the blocked plan IS the
-    property under test."""
+    property under test. Round 18: the fingerprint feed runs through
+    ``_simhash_fps_spread`` (degenerate single-split guard — see its
+    docstring for the A/B; the pair set is bit-identical)."""
     return simhash_blocked_pairs(
-        simhash_fingerprints(spark, sf_dir),
+        _simhash_fps_spread(spark, sf_dir),
         n_blocks=SIMHASH_BLOCKS, hamming_max=HAMMING_MAX,
         n_groups=LSH_GROUPS, bits=16,
     )
