@@ -329,17 +329,41 @@ def duplicate_spans(df: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     # a real corpus arrives in thousands of splits, so this
     # round-robin is a no-op cost at scale
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ws = words(F.col("text"))
-    grams = df.select(
-        "doc_id",
-        F.size(ws).alias("n_words"),
-        shingles(ws, k).alias("_gs"),
+    # ROUND-18 GRAM-PASS REWORK (guide §4.1 built-ins-over-lambdas +
+    # §2.3 narrower exchange key; value-identical by construction,
+    # exceptAll-both-ways empty at sf0.01 AND sf0.1):
+    # (a) the gram STRING is now built AFTER the posexplode — the
+    #     zipped slice struct explodes as-is and concat_ws+md5 run in
+    #     the flat whole-stage-codegen projection, where the old
+    #     shape evaluated concat_ws inside an INTERPRETED transform
+    #     lambda per gram (the shingles() path; warm best-of-5 A/B:
+    #     1.24/1.37 → 1.05/1.13 s across two interleaved reps);
+    # (b) the gram key riding the flag exchange is unhex(md5) — the
+    #     same 128 bits as 16 BYTES instead of a 32-char string, so
+    #     the one corpus-sized exchange and its window sort carry and
+    #     compare half the key bytes (equality classes unchanged:
+    #     unhex is injective on md5 output; locally ≈ neutral-to-
+    #     slightly-better, 1.06/1.04 s — the byte halving is the
+    #     100 TB term).
+    # Docs with fewer than k words get a NULL zip (posexplode emits
+    # nothing), matching the old empty-shingles drop and the oracle's
+    # len(ws) >= k filter.
+    d = df.select("doc_id", words(F.col("text")).alias("_ws"))
+    m = F.size("_ws")
+    z = F.arrays_zip(
+        *[F.slice("_ws", p + 1, m - (k - 1)).alias(f"w{p}")
+          for p in range(k)]
+    )
+    grams = d.select(
+        "doc_id", m.alias("n_words"), F.when(m >= k, z).alias("_z")
     ).select(
         "doc_id", "n_words",
-        F.posexplode("_gs").alias("pos", "_gram"),
+        F.posexplode("_z").alias("pos", "_g"),
     ).select(
         "doc_id", "n_words", (F.col("pos") + 1).alias("pos"),
-        F.md5("_gram").alias("_gh"),
+        F.unhex(F.md5(F.concat_ws(
+            " ", *[F.col(f"_g.w{p}") for p in range(k)]
+        ))).alias("_gh"),
     )
     w_gh = W.partitionBy("_gh")
     flagged = (

@@ -769,3 +769,20 @@ def test_constraint_report_single_scan_for_non_referential_rules(spark):
         f"expected 2 scans of orders (merged agg + FK probe), "
         f"plan has {n_orders_scans}"
     )
+
+
+def test_duplicate_spans_gram_build_is_codegen_and_binary_keyed(spark):
+    """ROUND-18 GRAM-PASS PIN: the gram string is assembled AFTER the
+    posexplode — concat_ws+md5 sit in the flat projection (whole-stage
+    codegen), not inside an interpreted transform() lambda over the
+    shingle array — and the key riding the flag exchange is
+    unhex(md5(...)): 16 bytes instead of a 32-char hex string on the
+    one corpus-sized exchange and its window sort (equality classes
+    unchanged — unhex is injective on md5 output)."""
+    from biometric_stream_processing_spark.plans import corpus_ops
+
+    p = _plan(corpus_ops.doc_duplicate_spans(spark, SF_DIR))
+    assert "unhex(md5(cast(concat_ws(" in p, p
+    # the old shape evaluated the gram concat inside the shingles()
+    # transform lambda; the explode-first form must not
+    assert "transform(arrays_zip" not in p, p
