@@ -51,9 +51,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # unset). Every harness that TIMES queries pins this knob
     # explicitly (bench.py: 4; tests: 8), so bench numbers are
     # unaffected; this sizes the untimed/driver-session paths right.
+    # isascii() guard (round-17 advice): str.isdigit() alone accepts
+    # non-ASCII Unicode digits (e.g. '٤'), which would pass through
+    # verbatim and fail conf parsing at session start.
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        (lambda c: c if c.isdigit() else str(os.cpu_count() or 8))(
+        (lambda c: c if (c.isascii() and c.isdigit())
+         else str(os.cpu_count() or 8))(
             os.environ.get("SPARK_GRAFT_CPUS", "")
         ),
     ),

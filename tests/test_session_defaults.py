@@ -70,3 +70,16 @@ def test_gc_default_and_env_hook():
     )["gc"] == "-XX:+UseG1GC"
     # empty string = clear the flag (fall back to the JVM default)
     assert _defaults(SPARK_GRAFT_DRIVER_JAVA_OPTS="")["gc"] == ""
+
+
+def test_shuffle_rejects_non_ascii_digit_cpus():
+    """Round-17 advice: str.isdigit() alone accepts non-ASCII Unicode
+    digits (e.g. ARABIC-INDIC FOUR), which would flow verbatim into
+    spark.sql.shuffle.partitions and fail conf parsing at session
+    start. Such values must fall back to cpu_count like any other
+    non-numeric master spec."""
+    import os as _os
+
+    assert _defaults(SPARK_GRAFT_CPUS="٤")["shuffle"] == str(
+        _os.cpu_count() or 8
+    )
