@@ -1286,11 +1286,15 @@ def streaming_user_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory table; asserted row-identical at sf0.001 AND sf0.01 via
     exceptAll both ways against the memory-sink form before the
     swap, and the shared hourly-gapfill oracle re-hashes it at the
-    gate). Measured (sf0.1, local[32], bench confs, interleaved
-    best-of-3, memory vs parquet): 16.1/10.0/11.4 s vs
-    10.9/8.6/7.1 s — ~-30% cold, and the driver no longer scales
-    with the spine. In-bench: 6.9 s (this boot's baseline) → see
-    BENCH_DETAIL_r18."""
+    gate). Measured (sf0.1, local[32], bench confs): interleaved
+    best-of-3 in one session, memory vs parquet — 16.1/10.0/11.4 s
+    vs 10.9/8.6/7.1 s (~-30%); fresh-process SINGLE-SHOT pairs
+    (3 alternating processes, bench-style warmup) — mem
+    8.1/9.3/10.1 s vs pq 8.7/7.8/5.9 s (median -16%). The streaming
+    in-bench band is wide (the r17 protocol note), so the structural
+    claim — driver memory no longer scales with the spine — is the
+    load-bearing one; the wall-clock delta is consistently
+    negative."""
     import os
 
     from .sinks import (
