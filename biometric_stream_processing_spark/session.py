@@ -54,6 +54,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # isascii() guard (round-17 advice): str.isdigit() alone accepts
     # non-ASCII Unicode digits (e.g. '٤'), which would pass through
     # verbatim and fail conf parsing at session start.
+    # CAPTURED AT MODULE-IMPORT TIME (round-17 advice, documented
+    # choice): callers that pass an explicit master= (tests' local[8])
+    # or mutate the env after import get this import-time value, not
+    # a master-derived one — every TIMED harness therefore pins the
+    # knob explicitly (bench.py/check_oracle: 4; tests/conftest: 8),
+    # and library users who pin master= should pin extra_confs too.
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS",
         (lambda c: c if (c.isascii() and c.isdigit())
@@ -72,7 +78,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # attaching to an existing session ignores it, harmless); a
     # cluster deployment with 32g+ executor heaps should re-measure
     # G1/ZGC and override via SPARK_GRAFT_DRIVER_JAVA_OPTS (set it
-    # to "" to fall back to the JVM default).
+    # to "" to fall back to the JVM default). FOOTGUN (round-17
+    # advice, documented): the env value REPLACES the whole option
+    # string — setting it for an unrelated JVM flag silently drops
+    # the ParallelGC default; include -XX:+UseParallelGC in the
+    # value if the collector win should be kept.
     "spark.driver.extraJavaOptions": os.environ.get(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
     ),
