@@ -786,3 +786,20 @@ def test_duplicate_spans_gram_build_is_codegen_and_binary_keyed(spark):
     # the old shape evaluated the gram concat inside the shingles()
     # transform lambda; the explode-first form must not
     assert "transform(arrays_zip" not in p, p
+
+
+def test_simhash_pairs_fold_runs_behind_the_spread(spark):
+    """ROUND-18 PIN: the pairs path materializes a simhash per doc,
+    so its fingerprint fold must run AFTER the single-split
+    round-robin spread (the sf-scale corpus scans as one task; the
+    fold on one core was the measured wall). simhash_fingerprints
+    itself stays a pure projection — no spread exchange (its bench
+    count() column-prunes the fold, and the no-shuffle projection is
+    the scale-true fingerprint shape)."""
+    from biometric_stream_processing_spark.plans import documents_ops
+
+    pairs = _plan(documents_ops.simhash_dup_pairs(spark, SF_DIR))
+    sh = _shuffles(pairs)
+    assert any("RoundRobin" in s for s in sh), sh
+    fps = _plan(documents_ops.simhash_fingerprints(spark, SF_DIR))
+    assert not _shuffles(fps), _shuffles(fps)
